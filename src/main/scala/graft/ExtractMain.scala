@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{ExtractJob, LocalManifestCommitter}
+import graft.sources.PagesSynth
+
+/** spark-submit entry point for the extraction job (north_rule: "launched via
+  * spark-submit on multi-executor clusters").
+  *
+  *   spark-submit --class graft.ExtractMain <jar> \
+  *     --out /path/out [--input /path/pages_parquet | --synth N] \
+  *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K]
+  *
+  * With `--input`, reads a parquet pages table with the BASELINE.json:15
+  * schema (in production: an Iceberg table — the committer seam is
+  * [[graft.pipeline.PartitionCommitter]]). With `--synth N`, generates the
+  * deterministic synthetic table. Resume is automatic: committed part_ids in
+  * `<out>/_manifest` are skipped.
+  */
+object ExtractMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val out = opts.getOrElse("--out", sys.error("--out required"))
+    val numParts = opts.getOrElse("--num-parts", "32").toInt
+    val batchSize = opts.getOrElse("--batch-size", "8").toInt
+    val maxBatches = opts.getOrElse("--max-batches", Int.MaxValue.toString).toInt
+
+    val builder = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // master comes from spark-submit; default for bare `java -cp` runs:
+    val spark = (if (opts.contains("--master") || sys.props.contains("spark.master"))
+      builder else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = opts.get("--input") match {
+      case Some(path) => spark.read.parquet(path)
+      case None => PagesSynth.pagesDF(spark, opts.getOrElse("--synth", "1000").toLong)
+    }
+    val cfg = ExtractJob.Config(
+      numParts = numParts, batchSize = batchSize,
+      langFilter = opts.get("--lang"),
+      inputSnapshot = opts.getOrElse("--input", s"synth-${opts.getOrElse("--synth", "1000")}"),
+      maxBatches = maxBatches)
+
+    val t0 = System.nanoTime()
+    val res = ExtractJob.run(spark, pages, out, cfg)
+    val wallS = (System.nanoTime() - t0) / 1e9
+
+    val mf = new LocalManifestCommitter(out).rows()
+    val docs = mf.map(_.docs).sum
+    val bytes = mf.map(_.bytes).sum
+    println(f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
+      f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
+      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.AccumulatorV2
+import scala.collection.concurrent.TrieMap
+
+/** Per-partition (bytes, docs) counters merged at the driver. Accumulator
+  * updates can double-count on task retry, so these feed only the
+  * informational `bytes` metric; `docs`/`nodes` in the manifest come from an
+  * exact read-back of the committed output.
+  */
+final class PartBytesAcc extends AccumulatorV2[(Int, Long), Map[Int, Long]] {
+  private val m = TrieMap.empty[Int, Long]
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): PartBytesAcc = {
+    val c = new PartBytesAcc
+    m.foreach { case (k, v) => c.m.put(k, v) }
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, Long)): Unit =
+    m.updateWith(v._1) { case Some(x) => Some(x + v._2); case None => Some(v._2) }
+  override def merge(o: AccumulatorV2[(Int, Long), Map[Int, Long]]): Unit =
+    o.value.foreach { case (k, v) => add((k, v)) }
+  override def value: Map[Int, Long] = m.toMap
+}
+
+/** The spark-submit batch job of the north_rule: read pages → tokenize →
+  * extract → write per-partition with checkpoint/resume (SURVEY.md §3.4,
+  * §2.k/§2.l).
+  *
+  * Unit of commit = one url-hash partition (`part_id`). Partitions are
+  * processed in batches; each batch is one Spark write (dynamic partition
+  * overwrite → idempotent under retry/re-run) followed by a manifest commit.
+  * Resume = skip committed part_ids; a killed job recomputes only
+  * uncommitted partitions and the final output is byte-identical to an
+  * uninterrupted run (resume test, FIXTURES.md/BASELINE.md).
+  */
+object ExtractJob {
+
+  final case class Config(
+      numParts: Int = 32,
+      batchSize: Int = 8,
+      /** slices per batch for the pre-parse spread (0 → 3× default parallelism) */
+      repartitionSlices: Int = 0,
+      langFilter: Option[String] = None,
+      inputSnapshot: String = "synthetic",
+      codeVer: String = "0.1.0",
+      /** stop after this many batches (kill-simulation for the resume test) */
+      maxBatches: Int = Int.MaxValue)
+
+  final case class Result(batchesRun: Int, partsCommitted: Seq[Int])
+
+  def extractedPath(outDir: String) = s"$outDir/extracted"
+
+  def run(spark: SparkSession, pages: DataFrame, outDir: String,
+          cfg: Config = Config()): Result = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val committer = new LocalManifestCommitter(outDir)
+
+    val filtered = cfg.langFilter match {
+      case Some(l) => pages.filter(col("lang") === l) // pushed to the scan
+      case None    => pages
+    }
+    val withPart = ExtractPipeline.withPartId(
+      filtered.filter(col("html").isNotNull).select(col("url"), col("html")),
+      cfg.numParts)
+
+    val done = committer.done()
+    val pending = (0 until cfg.numParts).filterNot(done)
+    val slices =
+      if (cfg.repartitionSlices > 0) cfg.repartitionSlices
+      else spark.sparkContext.defaultParallelism * 3
+    var batchesRun = 0
+    val committed = Seq.newBuilder[Int]
+
+    pending.grouped(cfg.batchSize).takeWhile(_ => batchesRun < cfg.maxBatches)
+      .foreach { batch =>
+        val t0 = System.nanoTime()
+        val bytesAcc = new PartBytesAcc
+        spark.sparkContext.register(bytesAcc, s"htmlBytes-batch$batchesRun")
+
+        val sub = withPart.filter(col("part_id").isin(batch: _*))
+        // even row spread by url inside the batch — giant pages land alone,
+        // not stacked on one task (row-cost skew mitigation, SURVEY.md §2.k)
+        import spark.implicits._
+        val extracted = sub.repartition(slices, col("url"))
+          .as[PageSlice]
+          .mapPartitions(_.map { p =>
+            bytesAcc.add((p.part_id, p.html.length.toLong))
+            ExtractPipeline.extractOne(p)
+          })
+
+        extracted.toDF()
+          .write.mode("overwrite").partitionBy("part_id")
+          .parquet(extractedPath(outDir))
+
+        // exact docs/nodes from the committed files (reads 2 small columns);
+        // out_sha = order-independent digest of per-doc text hashes
+        val stats = spark.read.parquet(extractedPath(outDir))
+          .filter(col("part_id").isin(batch: _*))
+          .groupBy(col("part_id"))
+          .agg(count(lit(1)).as("docs"), sum(col("node_count")).as("nodes"),
+            expr("hex(bit_xor(xxhash64(text_sha)))").as("out_sha"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+          .toMap
+
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val bytes = bytesAcc.value
+        val rows = batch.map { pid =>
+          val (docs, nodes, sha) = stats.getOrElse(pid, (0L, 0L, ""))
+          ManifestRow(pid, cfg.inputSnapshot, docs, nodes,
+            bytes.getOrElse(pid, 0L), wallMs, "done", sha, cfg.codeVer)
+        }
+        committer.commit(rows)
+        committed ++= batch
+        batchesRun += 1
+      }
+    Result(batchesRun, committed.result())
+  }
+}

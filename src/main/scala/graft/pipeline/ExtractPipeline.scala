@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Extractor
+
+final case class SpanRow(start: Int, end: Int)
+
+/** Output schema — FIXTURES.md §2 `extracted`. */
+final case class ExtractedRow(
+    url: String,
+    text: String,
+    text_sha: String,
+    spans: Array[SpanRow],
+    node_count: Int,
+    part_id: Int)
+
+/** Narrow projection carried into the typed map — never deserializes the
+  * pre-existing `text`/`lang` columns (SURVEY.md §2.B.b: column pruning
+  * reaches the parquet scan because we select before the map).
+  */
+final case class PageSlice(url: String, html: Array[Byte], part_id: Int)
+
+/** The tokenize → node-array → boilerplate-strip → extract core as a typed
+  * Dataset transformation (SURVEY.md §3.4). Declarative outer pipeline
+  * (select/filter/repartition — all Catalyst-planned); the per-document parse
+  * is a `mapPartitions` over the narrow projection, mirroring the reference's
+  * single-pass, zero-copy ethos [R: HtmlParser.cpp · parseHtml].
+  */
+object ExtractPipeline {
+
+  /** url-hash partition id — the explicit skew-defusing shuffle key
+    * (north_rule: "explicit salting/repartition on url-hash"). pmod of
+    * xxhash64 spreads giant pages independently of their Iceberg/source
+    * partition, so one hot source partition cannot pin a straggler task.
+    */
+  def withPartId(pages: DataFrame, numParts: Int): DataFrame =
+    pages.withColumn("part_id",
+      pmod(xxhash64(col("url")), lit(numParts.toLong)).cast("int"))
+
+  def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes(UTF_8)).map(b => f"$b%02x").mkString
+  }
+
+  def extractOne(p: PageSlice): ExtractedRow = {
+    val r = Extractor.extractBytes(p.html)
+    ExtractedRow(p.url, r.text, sha256Hex(r.text),
+      r.spans.map(s => SpanRow(s.start, s.end)), r.nodeCount, p.part_id)
+  }
+
+  /** Full transform: prune columns → assign part_id → spread rows evenly by
+    * url within the requested parallelism → parse+extract. `repartitionSlices`
+    * <= 0 skips the explicit exchange (callers that already partitioned).
+    */
+  def extractDS(pages: DataFrame, numParts: Int,
+                repartitionSlices: Int = 0): Dataset[ExtractedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val sliced = withPartId(pages.select(col("url"), col("html")), numParts)
+    val spread =
+      if (repartitionSlices > 0) sliced.repartition(repartitionSlices, col("url"))
+      else sliced
+    spread.as[PageSlice].mapPartitions(_.map(extractOne))
+  }
+
+  def extractDF(pages: DataFrame, numParts: Int,
+                repartitionSlices: Int = 0): DataFrame =
+    extractDS(pages, numParts, repartitionSlices).toDF()
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.sources.PagesSynth
+import graft.core.Extractor
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** End-to-end pipeline tests (SURVEY.md §5.2.3, FIXTURES.md E-06 + resume):
+  * distributed output must equal single-threaded driver-side extraction at
+  * every parallelism, and a killed job must resume recomputing only
+  * uncommitted partitions with byte-identical final output.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val N = 400L
+
+  /** driver-side sequential oracle: (url, text, sha) for every synthesized page */
+  private lazy val oracle: Map[String, (String, String)] =
+    (0L until N).map { id =>
+      val p = PagesSynth.pageFor(id)
+      val r = Extractor.extractBytes(p.html)
+      p.url -> (r.text, ExtractPipeline.sha256Hex(r.text))
+    }.toMap
+
+  test("synthesized table is deterministic and matches the declared schema") {
+    val df = PagesSynth.pagesDF(spark, 50L)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      "url" -> "string", "warc_ts" -> "timestamp", "html" -> "binary",
+      "text" -> "string", "lang" -> "string"))
+    val a = df.select("url", "html").collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq))
+    val b = PagesSynth.pages(spark, 50L, numSlices = 7).toDF()
+      .select("url", "html").collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
+
+  test("E-06 parallelism invariance: extraction equals driver-side oracle at 1 and 16 slices") {
+    val pages = PagesSynth.pagesDF(spark, N)
+    Seq(1, 16).foreach { slices =>
+      val got = ExtractPipeline.extractDS(pages, numParts = 8, repartitionSlices = slices)
+        .collect().map(e => e.url -> (e.text, e.text_sha)).toMap
+      assert(got.size === N)
+      assert(got === oracle, s"mismatch at $slices slices")
+    }
+  }
+
+  test("extracted text bytes are reconstructible from spans + entity decode (spot check)") {
+    val p = PagesSynth.pageFor(42L)
+    val r = Extractor.extractBytes(p.html)
+    assert(r.spans.nonEmpty)
+    r.spans.foreach(s => assert(s.start >= 0 && s.end <= p.html.length && s.start < s.end))
+  }
+
+  test("resume: killed job recomputes only uncommitted partitions, output byte-identical") {
+    val pages = PagesSynth.pagesDF(spark, N)
+    val full = Files.createTempDirectory("graft-full").toString
+    val resumed = Files.createTempDirectory("graft-resume").toString
+    val cfg = ExtractJob.Config(numParts = 8, batchSize = 3, repartitionSlices = 8,
+      inputSnapshot = "synth-400")
+
+    // uninterrupted run
+    val r1 = ExtractJob.run(spark, pages, full, cfg)
+    assert(r1.batchesRun === 3 && r1.partsCommitted.sorted === (0 until 8))
+
+    // killed after one batch…
+    val k1 = ExtractJob.run(spark, pages, resumed, cfg.copy(maxBatches = 1))
+    assert(k1.batchesRun === 1 && k1.partsCommitted.size === 3)
+    // …then resumed: must process exactly the remaining 5 partitions
+    val k2 = ExtractJob.run(spark, pages, resumed, cfg)
+    assert(k2.partsCommitted.sorted === (0 until 8).filterNot(k1.partsCommitted.contains))
+    // …and a third run is a no-op
+    val k3 = ExtractJob.run(spark, pages, resumed, cfg)
+    assert(k3.batchesRun === 0 && k3.partsCommitted.isEmpty)
+
+    def slurp(dir: String) = spark.read.parquet(ExtractJob.extractedPath(dir))
+      .select("url", "text_sha", "node_count", "part_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(slurp(resumed) === slurp(full))
+
+    // manifest: exact docs/nodes, lineage fields populated
+    val mf = new LocalManifestCommitter(full).rows()
+    assert(mf.map(_.part_id) === (0 until 8))
+    assert(mf.map(_.docs).sum === N)
+    assert(mf.forall(m => m.nodes > 0 && m.status == "done" &&
+      m.input_snapshot == "synth-400" && m.out_sha.nonEmpty))
+    // bytes metric ≈ total html bytes (exact here: no task retries)
+    val totalHtml = (0L until N).map(id => PagesSynth.htmlFor(id).getBytes(UTF_8).length.toLong).sum
+    assert(mf.map(_.bytes).sum === totalHtml)
+  }
+
+  test("plan hygiene: parse input scan reads only url+html; part_id filter prunes readback") {
+    val pages = PagesSynth.pagesDF(spark, 10L)
+    // the typed map must sit over a 2-column projection, never text/lang
+    val plan = ExtractPipeline.extractDS(pages, 8).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("warc_ts"), s"warc_ts leaked into parse plan:\n$plan")
+    val analyzed = ExtractPipeline.extractDS(pages, 8).queryExecution
+      .executedPlan.toString
+    assert(analyzed.contains("MapPartitions") || analyzed.contains("mapPartitions"))
+  }
+
+  test("SparkEntry.entry returns extracted rows with the declared output schema") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("url", "text", "text_sha", "spans", "node_count", "part_id"))
+    assert(df.count() === 300)
+    assert(df.filter(length(col("text")) > 0).count() === 300)
+  }
+}
