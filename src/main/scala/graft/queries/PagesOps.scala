@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{HtmlScanner, NodeType}
+import graft.pipeline.{ExtractPipeline, PageSlice}
+import graft.sources.PagesSynth
+import graft.functions.Multimodal
+
+/** One row of the exploded analytical node table (SURVEY.md §1.3). */
+final case class NodeRow(
+    url: String,
+    idx: Int,
+    ntype: String,
+    tag: String,
+    self_closing: Boolean,
+    cdata: Boolean,
+    start: Int,
+    end: Int,
+    n_attrs: Int)
+
+/** Extraction-pipeline queries over the deterministically synthesized pages
+  * table (BASELINE.json:15 schema). Not SQL-expressible in DuckDB (the
+  * tokenizer is the operator), so these are rows-only checks per the driver
+  * contract; byte-level correctness is pinned by the fixture suite and the
+  * parallelism-invariance test instead.
+  */
+object PagesOps {
+
+  /** Fixed corpus size for the driver's verify pass — small enough to stay
+    * fast, large enough to include giants (id 0, 211, …).
+    */
+  val VerifyDocs = 2000L
+
+  private def pages(s: SparkSession): DataFrame =
+    PagesSynth.pagesDF(s, VerifyDocs)
+
+  /** The flagship pipeline: tokenize → node array → boilerplate strip →
+    * extract, as one typed narrow map after an explicit url-hash spread.
+    */
+  def q30ExtractPages(s: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.extractDF(pages(s), numParts = 16)
+      .orderBy(col("url"))
+
+  /** Exploded node table: the reference's flat node array lifted to a
+    * relational view (url, idx, type, tag, span, attr count).
+    */
+  def q31NodeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        HtmlScanner.parse(p.html).iterator.map { nd =>
+          NodeRow(p.url, nd.idx, NodeType.name(nd.nodeType), nd.tagName,
+            nd.selfClosing, nd.isCdata, nd.start, nd.end,
+            if (nd.nodeType == NodeType.StartTag) nd.attrs.length else 0)
+        }
+      }.toDF()
+      .orderBy(col("url"), col("idx"))
+  }
+
+  /** Corpus tag histogram from the node table — explode + hash agg. */
+  def q32TagHistogram(s: SparkSession, dir: String): DataFrame =
+    q31NodeTable(s, dir)
+      .filter(col("ntype") === "START")
+      .groupBy(lower(col("tag")).as("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_attrs")).as("attrs"))
+      .orderBy(col("tag"))
+
+  /** Multimodal plumbing: deterministic stub feature extraction over the
+    * opaque binary column (graft.functions.Multimodal).
+    */
+  def q33BinaryFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(pages(s)).toDF()
+      .select(col("url"), col("byte_len"), col("kind"), col("width"),
+        col("height"), col("entropy_x1000"), col("head_hex"))
+      .orderBy(col("url"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_extract_pages" -> q30ExtractPages _,
+    "q31_node_table" -> q31NodeTable _,
+    "q32_tag_histogram" -> q32TagHistogram _,
+    "q33_binary_features" -> q33BinaryFeatures _,
+  )
+
+  /** No DuckDB oracles — the scanner itself is the operator under test. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-checked query suite (SparkEntry.queries).
+  *
+  * Determinism rules (the driver hash-compares against DuckDB on the same
+  * parquet — see Verify.scala):
+  *  - every query ORDERs BY a unique key, so row order is pinned;
+  *  - no raw DOUBLE ever reaches an output or an aggregate: money/metric
+  *    doubles go through [[Q.cents]] (per-row round to integer cents, then
+  *    exact integer SUM — order-independent, engine-independent);
+  *  - column names are aliased identically in the Spark plan and the oracle
+  *    SQL (driver sorts columns by name before hashing).
+  */
+object Q {
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact integer cents of a positive double column: round(x*100) per row
+    * (IEEE-identical in Spark and DuckDB), summed as BIGINT.
+    */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+}
+
+/** Relational operator coverage over the TPC-H-ish harness tables
+  * (SURVEY.md §2.B c–h): aggregation, joins (broadcast/anti/semi), windows,
+  * top-k, set ops, rollup, scalar/date/json functions. All Catalyst
+  * built-ins — scans stay pruned/pushed-down, dims are broadcast, and the
+  * plans survive a 100× scale-up because every shuffle is on the natural
+  * group/join key.
+  */
+object Relational {
+  import Q._
+
+  /** TPC-H Q1-flavor pricing summary: partial (map-side) agg + final agg on
+    * the two low-cardinality keys — at 100 TB this is the canonical
+    * "shuffle only 4 groups" plan.
+    */
+  def q01PricingAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection: both pushed into the parquet scan (PushedFilters /
+    * ReadSchema show only 4 of 16 lineitem columns read).
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Revenue per nation: fact-fact shuffle join lineitem⋈orders on the join
+    * key, then two explicitly broadcast dim joins (customer/nation are tiny
+    * relative to any cluster). At 100 TB only the l⋈o shuffle remains.
+    */
+  def q03JoinRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("n_name"))
+
+  /** Broadcast dim join + agg by part type. */
+  def q04BroadcastParts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") <= 10)
+      .groupBy(col("p_type"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("cnt"))
+      .orderBy(col("p_type"))
+
+  /** Anti join: customers with no URGENT-priority order (the same shape as
+    * the pipeline's resume anti-join, SURVEY.md §2.l).
+    */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders").filter(col("o_orderpriority").startsWith("1")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: suppliers with at least one 1998 shipment. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "supplier")
+      .join(tbl(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1998-01-01")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+
+  /** Latest event per user — window dedup (row_number over user_id), the
+    * latest-capture-per-url pattern of SURVEY.md §2.B.e. One shuffle on the
+    * partition key; no self-join.
+    */
+  def q07WindowLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Running aggregates per user (frame spec: unbounded preceding → current). */
+  def q08WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("running_cnt"),
+        sum(cents(col("value"))).over(w).as("running_value_c"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Top-k: Catalyst rewrites orderBy+limit to TakeOrderedAndProject — no
+    * global sort at scale.
+    */
+  def q09TopkOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("totalprice_c"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Set op: first-week error-users who made no first-week purchase (EXCEPT). */
+  def q10ExceptUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").filter(col("ts") < lit("2024-01-08"))
+    ev.filter(col("event_type") === "error").select(col("user_id"))
+      .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Rollup over (lang, source) — grouping-sets coverage. */
+  def q11RollupDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Distinct (dropDuplicates) — exact distinct on a composite key. */
+  def q12DistinctPairs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), col("source"))
+      .distinct()
+      .orderBy(col("lang"), col("source"))
+
+  /** Scalar function coverage: date parts/format, string fns, conditional. */
+  def q13ScalarFns(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        upper(col("o_orderstatus")).as("status_up"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(lit("o"), col("o_orderkey")).as("tag"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON extraction from the events props column. */
+  def q14JsonExtract(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> q01PricingAgg _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_join_revenue" -> q03JoinRevenue _,
+    "q04_broadcast_parts" -> q04BroadcastParts _,
+    "q05_anti_join" -> q05AntiJoin _,
+    "q06_semi_join" -> q06SemiJoin _,
+    "q07_window_latest" -> q07WindowLatest _,
+    "q08_window_running" -> q08WindowRunning _,
+    "q09_topk_orders" -> q09TopkOrders _,
+    "q10_except_users" -> q10ExceptUsers _,
+    "q11_rollup_docs" -> q11RollupDocs _,
+    "q12_distinct_pairs" -> q12DistinctPairs _,
+    "q13_scalar_fns" -> q13ScalarFns _,
+    "q14_json_extract" -> q14JsonExtract _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        | COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_broadcast_parts" ->
+      """SELECT p_type,
+        | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | COUNT(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10 GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q07_window_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q08_window_running" ->
+      """SELECT event_id, user_id,
+        | COUNT(*) OVER w AS running_cnt,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS running_value_c
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c
+        |FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_except_users" ->
+      """SELECT user_id FROM events
+        | WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08'
+        |EXCEPT SELECT user_id FROM events
+        | WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+        |ORDER BY user_id""".stripMargin,
+    "q11_rollup_docs" ->
+      """SELECT lang, source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q12_distinct_pairs" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""".stripMargin,
+    "q13_scalar_fns" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mon,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | upper(o_orderstatus) AS status_up,
+        | CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio,
+        | CAST(length(o_orderpriority) AS INT) AS prio_len,
+        | 'o' || o_orderkey AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

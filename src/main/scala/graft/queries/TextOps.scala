@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: exact dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash, token stats, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All hashing is md5 (identical in Spark and DuckDB) so every operator here
+  * has a full DuckDB oracle. Determinism rules as in [[Q]]: integer-only
+  * outputs (ratios become `*_x1000` BIGINTs), unique-key ORDER BY.
+  *
+  * Scale notes (100 TB): every op is a single explode→groupBy shuffle keyed
+  * on doc_id or shingle — embarrassingly parallel. The LSH band join is the
+  * scale path for near-dup (candidate pairs only, never the O(n²) cross
+  * product); the plain Jaccard query is deliberately restricted to a sampled
+  * id stripe because an all-pairs shingle join does not survive 100× growth.
+  */
+object TextOps {
+  import Q._
+
+  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Distinct word-bigram shingles of the lowercased text. */
+  private def bigrams(c: Column): Column = {
+    val t = tokens(c)
+    array_distinct(zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Exact dedup by content hash: one hash-groupBy shuffle on the md5 key;
+    * keeper = min(doc_id). At 100 TB: group on the 128-bit digest, never on
+    * the raw text bytes.
+    */
+  def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(md5s(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dupes"))
+      .orderBy(col("fp"))
+
+  /** Token statistics per document. */
+  def q16TokenStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq"),
+        length(col("text")).as("chars"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("chars_nows"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length bounds + stopword-ratio floor, integer-only
+    * arithmetic (stop_cnt*20 >= words ⇔ ratio ≥ 5%).
+    */
+  def q17QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(stopwords: _*)))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), words.as("words"), stopCnt.as("stop_cnt"),
+        length(col("text")).as("chars"),
+        (words >= 20 && words <= 5000 && stopCnt * 20 >= words).as("is_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: CJK codepoint presence, else stopword density.
+    * (The harness corpus is a shared-vocabulary word salad, so this pins the
+    * deterministic heuristic, not classifier accuracy.)
+    */
+  def q18LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(stopwords: _*)))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(regexp_count(col("text"), lit("[一-鿿]")) > 0, "cjk")
+          .when(stopCnt * 100 >= words * 3, "en")
+          .otherwise("other").as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized text + md5 of the
+    * sorted distinct token set (word-order-insensitive).
+    */
+  def q19Fingerprint(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        md5s(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+        md5s(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("tok_fp"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
+    * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
+    * shingle → per-pair intersection count → Jaccard. The join is keyed on
+    * the shingle (no cross product), but all-pairs Jaccard still can't take
+    * 100×; the production path is q21's LSH banding.
+    */
+  def q20NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), bigrams(col("text")).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(lit(1000.0) * col("inter") /
+          (col("sa.n") + col("sb.n") - col("inter"))).cast("long").as("jac_x1000"))
+      .filter(col("jac_x1000") >= 60)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val NumHashes = 8
+
+  private def signature(s: SparkSession, dir: String): DataFrame = {
+    val ex = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5s(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures (8 md5-seeded min-hashes over bigram shingles) —
+    * one explode + one groupBy; signature bytes per doc are constant, so
+    * this is the sketch that makes near-dup linear at 100 TB.
+    */
+  def q21MinhashSig(s: SparkSession, dir: String): DataFrame =
+    signature(s, dir).orderBy(col("doc_id"))
+
+  /** MinHash LSH candidate pairs: 2 bands × 4 rows; a pair is a candidate if
+    * any band matches. Bands are melted to (doc_id, band_idx, digest) rows so
+    * ONE self equi-join on (band_idx, digest) covers all bands — the two join
+    * sides are identical subplans, so Catalyst's ReuseExchange computes the
+    * signatures once. This is the scale path: only same-bucket pairs ever
+    * materialize, never the O(n²) cross product.
+    */
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = signature(s, dir).select(col("doc_id"),
+        posexplode(array(
+          md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
+          md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
+      .toDF("doc_id", "band_idx", "digest")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 16-bit SimHash over distinct unigram tokens: md5-nibble bits, majority
+    * vote per bit position. Pure explode→groupBy; the 64-bit production
+    * variant only widens the bit loop.
+    */
+  def q23Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), md5s(col("tok")).as("h"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, (b div 4)+1, 1)) - 1"))
+      .withColumn("w", expr("2 * (shiftright(v, b % 4) & 1) - 1"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("w")).as("sw"))
+      .select(col("doc_id"),
+        expr("case when sw > 0 then cast(shiftleft(1, b) as bigint) else 0L end").as("bitval"))
+      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_dedup_exact" -> q15DedupExact _,
+    "q16_token_stats" -> q16TokenStats _,
+    "q17_quality_score" -> q17QualityScore _,
+    "q18_lang_id" -> q18LangId _,
+    "q19_fingerprint" -> q19Fingerprint _,
+    "q20_ngram_jaccard" -> q20NgramJaccard _,
+    "q21_minhash_sig" -> q21MinhashSig _,
+    "q22_minhash_lsh" -> q22MinhashLsh _,
+    "q23_simhash" -> q23Simhash _,
+  )
+
+  private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val dkBigrams =
+    s"""list_distinct(list_transform(generate_series(1, len($dkTokens)-1),
+       | i -> $dkTokens[i] || ' ' || $dkTokens[i+1]))""".stripMargin
+  private val dkStop =
+    s"""len(list_filter($dkTokens, x -> x IN ('the','a','of','and','to','in')))"""
+
+  val oracles: Map[String, String] = Map(
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, COUNT(*) AS dupes
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "q16_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len($dkTokens) AS INT) AS n_tokens,
+         | CAST(len(list_distinct($dkTokens)) AS INT) AS n_uniq,
+         | CAST(length(text) AS INT) AS chars,
+         | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS chars_nows
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(len($dkTokens) AS INT) AS words,
+         | CAST($dkStop AS INT) AS stop_cnt,
+         | CAST(length(text) AS INT) AS chars,
+         | (len($dkTokens) BETWEEN 20 AND 5000 AND $dkStop*20 >= len($dkTokens)) AS is_quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_lang_id" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'cjk'
+         |      WHEN $dkStop*100 >= len($dkTokens)*3 THEN 'en'
+         |      ELSE 'other' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         | md5(array_to_string(list_sort(list_distinct($dkTokens)), ' ')) AS tok_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($dkBigrams) AS s
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, inter,
+         | CAST(round(1000.0*inter/(sa.n + sb.n - inter)) AS BIGINT) AS jac_x1000
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id
+         | JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(round(1000.0*inter/(sa.n + sb.n - inter)) AS BIGINT) >= 60
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q21_minhash_sig" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents)
+         |SELECT doc_id,
+         | ${(0 until NumHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n ")}
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q22_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents),
+         |sig AS (SELECT doc_id,
+         |   ${(0 until NumHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n   ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
+         |   md5(h4||'|'||h5||'|'||h6||'|'||h7) AS band1 FROM sig)
+         |SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a
+         |   JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id FROM bands a
+         |   JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q23_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   SUM(2 * ((strpos('0123456789abcdef', substr(h, b//4+1, 1))-1 >> (b%4)) & 1) - 1) AS sw
+         |  FROM toks, generate_series(0,15) t(b) GROUP BY doc_id, b)
+         |SELECT doc_id,
+         | CAST(SUM(CASE WHEN sw > 0 THEN 1<<b ELSE 0 END) AS BIGINT) AS simhash16
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

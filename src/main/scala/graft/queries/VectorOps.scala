@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force top-k (baseline), sign-LSH bucketed top-k (scale path), and
+  * bucketed cosine near-dup pairs.
+  *
+  * Numeric determinism: vectors are cast FLOAT→DOUBLE before any arithmetic
+  * (each float is exact in double), and every similarity reaches the output
+  * as `round(1000*x)` BIGINT — summation-order noise (~1e-13) cannot move a
+  * 5e-4 rounding boundary, so Spark and the DuckDB oracle agree exactly.
+  * Ordering/limits use the *rounded* value + vec_id tiebreak, so top-k
+  * selection is engine-independent too.
+  *
+  * Scale notes: brute-force is one broadcast of the query vector + a full
+  * scan — fine for one query, not for all-pairs. The production paths are
+  * the sign-LSH bucket (prunes candidates to one bucket before scoring) and
+  * the bucket-equi-join for near-dup (never the O(n²) cross product).
+  */
+object VectorOps {
+  import Q._
+
+  private def embD(name: String = "e"): Column =
+    col("embedding").cast("array<double>").as(name)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def x1000(c: Column): Column = round(lit(1000) * c).cast("long")
+
+  /** Sign-LSH bucket from the first `bits` dimensions. */
+  private def bucket(e: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings").select(col("vec_id"), embD(), col("label"))
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("e").as("q"))
+
+  /** Brute-force top-10 by cosine against the vec_id=0 query vector:
+    * broadcast the 1-row query, score every vector, TakeOrderedAndProject.
+    */
+  def q24AnnBrute(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"),
+        x1000(dot(col("e"), col("q"))).as("dot_x1000"),
+        x1000(dot(col("e"), col("q")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q"))))).as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(10)
+
+  /** Bucketed (IVF-style) top-5: only vectors in the query's 8-bit sign-LSH
+    * bucket are scored — candidate set shrinks ~256× before any arithmetic.
+    */
+  def q25AnnBucketed(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir).withColumn("bk", bucket(col("e"), 8))
+    val qv = all.filter(col("vec_id") === 0)
+      .select(col("e").as("q"), col("bk").as("qbk"))
+    all.join(broadcast(qv), col("bk") === col("qbk"))
+      .select(col("vec_id"), col("bk"),
+        x1000(dot(col("e"), col("q")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q"))))).as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Embedding near-dup candidate pairs: 4-bit sign-LSH bucket equi-join,
+    * cosine ≥ 0.25 (the harness vectors are near-random; real near-dups
+    * raise the threshold, not the plan).
+    */
+  def q26EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val b = emb(s, dir).withColumn("bk", bucket(col("e"), 4))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        x1000(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos_x1000"))
+      .filter(col("cos_x1000") >= 250)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-label vector stats on exact integer norms. */
+  def q27VectorStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), x1000(dot(col("e"), col("e"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n2")).as("sum_norm2_x1000"),
+        min(col("n2")).as("min_norm2_x1000"), max(col("n2")).as("max_norm2_x1000"))
+      .orderBy(col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_ann_brute" -> q24AnnBrute _,
+    "q25_ann_bucketed" -> q25AnnBucketed _,
+    "q26_embed_neardup" -> q26EmbedNeardup _,
+    "q27_vector_stats" -> q27VectorStats _,
+  )
+
+  private def dkBucket(bits: Int, e: String = "emb"): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN $e[${i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q24_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        | CAST(round(1000*list_dot_product(emb, qv)) AS BIGINT) AS dot_x1000,
+        | CAST(round(1000*list_dot_product(emb, qv) /
+        |   (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv)))) AS BIGINT) AS cos_x1000
+        |FROM e, q ORDER BY cos_x1000 DESC, vec_id LIMIT 10""".stripMargin,
+    "q25_ann_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |  ${dkBucket(8)} AS bk FROM embeddings),
+         |q AS (SELECT emb AS qv, bk AS qbk FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bk,
+         | CAST(round(1000*list_dot_product(emb, qv) /
+         |   (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv)))) AS BIGINT) AS cos_x1000
+         |FROM e, q WHERE bk = qbk ORDER BY cos_x1000 DESC, vec_id LIMIT 5""".stripMargin,
+    "q26_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |  ${dkBucket(4)} AS bk FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         | CAST(round(1000*list_dot_product(a.emb, b.emb) /
+         |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS BIGINT) AS cos_x1000
+         |FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
+         |WHERE CAST(round(1000*list_dot_product(a.emb, b.emb) /
+         |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS BIGINT) >= 250
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q27_vector_stats" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT label, CAST(round(1000*list_dot_product(emb, emb)) AS BIGINT) AS n2 FROM e)
+        |SELECT label, COUNT(*) AS cnt, CAST(SUM(n2) AS BIGINT) AS sum_norm2_x1000,
+        | MIN(n2) AS min_norm2_x1000, MAX(n2) AS max_norm2_x1000
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
