@@ -7,14 +7,14 @@ final case class Span(start: Int, end: Int)
 
 final case class ExtractResult(text: String, spans: Array[Span], nodeCount: Int)
 
-/** Boilerplate strip + main-content extraction over the FLAT node array —
+/** Boilerplate strip + main-content extraction over the FLAT node stream —
   * the layer the north_star adds above the reference parser (BASELINE.json:6:
   * "boilerplate strip (DOM heuristics: tag whitelist, text-density,
   * link-density scoring) → text extraction").
   *
   * Deterministic pure function; semantics pinned by FIXTURES.md §5:
   *  - subtree drop by tag blacklist (script/style/nav/header/footer/… — E-01,
-  *    E-02); tracked with a depth counter on the flat array, tolerant of
+  *    E-02); tracked with a depth counter on the flat stream, tolerant of
   *    unclosed/unbalanced tags (E-04, F-10): a close with no open is ignored.
   *  - Remarks never contribute (E-03). CDATA content is kept verbatim —
   *    entity decoding applies only to ordinary content (E-03 policy).
@@ -24,6 +24,13 @@ final case class ExtractResult(text: String, spans: Array[Span], nodeCount: Int)
   *    non-whitespace text (text-density floor).
   *  - kept blocks are joined with a single '\n'; inside a block, decoded
   *    content is concatenated verbatim (byte-exact gate).
+  *
+  * Two entry points with identical results (property-tested):
+  * [[extract]] over a materialized node array, and the hot-path
+  * [[extractBytes]] which FUSES the state machine into the scanner's
+  * onNodeReady visitor — one pass, no node array, no per-document
+  * collection garbage (the 100 TB path; mirrors the reference's
+  * single-pass ethos [R: HtmlParser.cpp · parseHtml + onNodeReady]).
   */
 object Extractor {
 
@@ -45,28 +52,49 @@ object Extractor {
   /** Max fraction of a block's non-whitespace chars allowed under `<a>`. */
   val MaxLinkDensity = 0.5
 
-  def extractBytes(html: Array[Byte]): ExtractResult =
-    extract(HtmlScanner.parse(html))
+  private final val FDrop = 1
+  private final val FBlock = 2
+  private final val FAnchor = 4
 
-  def extractString(html: String): ExtractResult =
-    extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Tag → classification bitmask. Keyed on the lowercase names; the scanner
+    * interns common lowercase tags, and `String.toLowerCase` returns `this`
+    * for already-lowercase input, so the hot path does zero allocation.
+    */
+  private val TagFlags: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    DropTags.foreach(t => m.merge(t, FDrop, (a, b) => a | b))
+    BlockTags.foreach(t => m.merge(t, FBlock, (a, b) => a | b))
+    m.merge("a", FAnchor, (a, b) => a | b)
+    m
+  }
 
-  def extract(nodes: Array[HNode]): ExtractResult = {
-    val out = new StringBuilder(256)
-    val spans = new ArrayBuffer[Span](32)
+  @inline private def flagsOf(name: String): Int = {
+    val f = TagFlags.get(name)
+    if (f != null) f.intValue
+    else {
+      val g = TagFlags.get(name.toLowerCase)
+      if (g != null) g.intValue else 0
+    }
+  }
+
+  /** Streaming extraction state machine — one instance per document. */
+  private final class State {
+    private val out = new java.lang.StringBuilder(256)
+    private val spans = new ArrayBuffer[Span](32)
 
     // current block accumulator
-    var blockPieces = new ArrayBuffer[(String, Span)](8)
-    var blockNonWs = 0
-    var blockAnchorNonWs = 0
+    private var blockPieces = new ArrayBuffer[(String, Span)](8)
+    private var blockNonWs = 0
+    private var blockAnchorNonWs = 0
 
-    var dropDepth = 0
-    var anchorDepth = 0
+    private var dropDepth = 0
+    private var anchorDepth = 0
+    private var nodeCount = 0
 
-    def flushBlock(): Unit = {
+    private def flushBlock(): Unit = {
       if (blockNonWs > 0 &&
           blockAnchorNonWs.toDouble / blockNonWs <= MaxLinkDensity) {
-        if (out.nonEmpty) out.append('\n')
+        if (out.length > 0) out.append('\n')
         var i = 0
         while (i < blockPieces.length) {
           out.append(blockPieces(i)._1)
@@ -74,33 +102,33 @@ object Extractor {
           i += 1
         }
       }
-      if (blockPieces.nonEmpty) blockPieces = new ArrayBuffer[(String, Span)](8)
+      if (blockPieces.nonEmpty) blockPieces.clear()
       blockNonWs = 0
       blockAnchorNonWs = 0
     }
 
-    var i = 0
-    while (i < nodes.length) {
-      val nd = nodes(i)
+    def accept(nd: HNode): Unit = {
+      nodeCount += 1
       nd.nodeType match {
         case NodeType.StartTag =>
-          val t = nd.tagName.toLowerCase
-          if (DropTags.contains(t)) {
+          val f = flagsOf(nd.tagName)
+          if ((f & FDrop) != 0) {
             if (!nd.selfClosing) dropDepth += 1
-          } else if (t == "a") {
+          } else if ((f & FAnchor) != 0) {
             if (!nd.selfClosing) anchorDepth += 1
           }
-          if (BlockTags.contains(t)) flushBlock()
+          if ((f & FBlock) != 0) flushBlock()
         case NodeType.CloseTag =>
-          val t = nd.tagName.toLowerCase
-          if (DropTags.contains(t)) {
+          val f = flagsOf(nd.tagName)
+          if ((f & FDrop) != 0) {
             if (dropDepth > 0) dropDepth -= 1 // unbalanced close: ignored
-          } else if (t == "a") {
+          } else if ((f & FAnchor) != 0) {
             if (anchorDepth > 0) anchorDepth -= 1
           }
-          if (BlockTags.contains(t)) flushBlock()
+          if ((f & FBlock) != 0) flushBlock()
         case NodeType.Content =>
           if (dropDepth == 0) {
+            // nd.text decodes lazily — dropped subtrees never materialize
             val decoded = if (nd.isCdata) nd.text else Entities.decode(nd.text)
             val nw = countNonWs(decoded)
             blockPieces += ((decoded, Span(nd.start, nd.end)))
@@ -109,10 +137,32 @@ object Extractor {
           }
         case _ => // Remarks / Unknown never contribute (E-03)
       }
-      i += 1
     }
-    flushBlock()
-    ExtractResult(out.toString, spans.toArray, nodes.length)
+
+    def finish(): ExtractResult = {
+      flushBlock()
+      ExtractResult(out.toString, spans.toArray, nodeCount)
+    }
+  }
+
+  /** Hot path: fused scan+extract, no node array materialized. */
+  def extractBytes(html: Array[Byte]): ExtractResult = {
+    val st = new State
+    HtmlScanner.scan(html)(nd => { st.accept(nd); true })
+    st.finish()
+  }
+
+  def extractString(html: String): ExtractResult =
+    extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Array path (analytical view / tests) — identical result to
+    * [[extractBytes]] by construction (shared State).
+    */
+  def extract(nodes: Array[HNode]): ExtractResult = {
+    val st = new State
+    var i = 0
+    while (i < nodes.length) { st.accept(nodes(i)); i += 1 }
+    st.finish()
   }
 
   @inline private def countNonWs(s: String): Int = {

@@ -47,12 +47,32 @@ final class HNode(
     val idx: Int,
     val nodeType: Byte,
     val tagName: String,
-    val text: String,
+    src: Array[Byte],
+    tStart: Int,
+    tEnd: Int,
     val selfClosing: Boolean,
     val isCdata: Boolean,
     val start: Int,
     val end: Int,
     private var _attrs: Array[HAttr]) {
+
+  private var _text: String = null
+
+  /** Content/remarks text (raw attribute string for start tags), decoded
+    * LAZILY from the source buffer on first access — the JVM analog of the
+    * reference's pointer-into-arena nodes [R: HtmlParser.h · MemBuffer]:
+    * content inside dropped subtrees (script/style/nav/…) is never
+    * materialized as a String at all, which is most of the byte volume of
+    * real pages. Idempotent; the 100 TB hot path touches it only for kept
+    * blocks.
+    */
+  def text: String = {
+    if (_text == null)
+      _text =
+        if (tEnd <= tStart) ""
+        else new String(src, tStart, tEnd - tStart, UTF_8)
+    _text
+  }
 
   def attrsParsed: Boolean = _attrs != null
 
@@ -95,10 +115,22 @@ final class HNode(
 }
 
 object HNode {
+  /** Span-based constructor (the scanner's path — zero text allocation). */
+  def span(idx: Int, nodeType: Byte, tagName: String, src: Array[Byte],
+           tStart: Int, tEnd: Int, selfClosing: Boolean, isCdata: Boolean,
+           start: Int, end: Int, attrs: Array[HAttr] = null): HNode =
+    new HNode(idx, nodeType, tagName, src, tStart, tEnd, selfClosing, isCdata,
+      start, end, attrs)
+
+  /** String-based constructor (tests / ad-hoc use). */
   def apply(idx: Int, nodeType: Byte, tagName: String, text: String,
             selfClosing: Boolean, isCdata: Boolean, start: Int, end: Int,
-            attrs: Array[HAttr] = null): HNode =
-    new HNode(idx, nodeType, tagName, text, selfClosing, isCdata, start, end, attrs)
+            attrs: Array[HAttr] = null): HNode = {
+    val n = new HNode(idx, nodeType, tagName, null, 0, 0, selfClosing, isCdata,
+      start, end, attrs)
+    n._text = if (text == null) "" else text
+    n
+  }
 
   private[core] def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -153,6 +185,46 @@ object HtmlScanner {
     */
   final val MaxTagName = 15
 
+  /** Interning table for common lowercase tag names: a scan of a real page
+    * emits hundreds of tag nodes whose names are drawn from a tiny set;
+    * returning the canonical String instead of allocating per node removes
+    * the dominant small-allocation source in the hot loop. Case-preserving
+    * semantics are kept — only exact (lowercase) byte matches intern.
+    */
+  private val InternedTags: Array[Array[String]] = {
+    val names = Array(
+      "a", "b", "i", "p", "u", "br", "hr", "td", "th", "tr", "ul", "ol",
+      "li", "em", "h1", "h2", "h3", "h4", "h5", "h6", "div", "img", "pre",
+      "nav", "dl", "dt", "dd", "span", "body", "html", "head", "form",
+      "meta", "link", "code", "table", "tbody", "thead", "tfoot", "style",
+      "title", "input", "label", "small", "script", "strong", "select",
+      "option", "footer", "header", "button", "article", "section", "aside",
+      "main", "figure", "iframe", "noscript", "blockquote", "textarea")
+    val byLen = Array.fill(MaxTagName + 1)(Array.empty[String])
+    names.groupBy(_.length).foreach { case (l, ns) => byLen(l) = ns }
+    byLen
+  }
+
+  /** Tag name at b[from, from+len): interned common name or a fresh String. */
+  private def tagNameOf(b: Array[Byte], from: Int, len: Int): String = {
+    if (len <= MaxTagName) {
+      val cands = InternedTags(len)
+      var c = 0
+      while (c < cands.length) {
+        val s = cands(c)
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          if (b(from + i) != s.charAt(i)) ok = false
+          i += 1
+        }
+        if (ok) return s
+        c += 1
+      }
+    }
+    new String(b, from, len, UTF_8)
+  }
+
   /** Tag identification (A10): the scanner itself only needs script/style to
     * drive raw-text mode; consumers extend via the `rawTextTags` parameter
     * (the analog of overriding onIdentifyHtmlTag
@@ -197,7 +269,7 @@ object HtmlScanner {
       var j = ts + 1
       while (j < n && isNameByte(b(j))) j += 1
       val nameLen = math.min(j - (ts + 1), MaxTagName)
-      val name = str(ts + 1, ts + 1 + nameLen)
+      val name = tagNameOf(b, ts + 1, nameLen)
       // quote-unaware scan to '>' (F-08); raw rest-of-tag kept for lazy attrs
       var k = j
       while (k < n && b(k) != '>') k += 1
@@ -211,17 +283,17 @@ object HtmlScanner {
         re -= 1
         while (re > rs && isWs(b(re - 1))) re -= 1
       }
-      val raw = str(rs, re)
       val end = if (k < n) k + 1 else n
-      val node = HNode(idx, NodeType.StartTag, name, raw, self, false, ts, end,
-        attrs = if (eagerAttrs) Attrs.parse(raw) else null)
+      val node = HNode.span(idx, NodeType.StartTag, name, b, rs, re, self,
+        isCdata = false, ts, end)
+      if (eagerAttrs) node.attrs // force the lazy parse (A11 eager mode)
       emit(node)
       // raw-text mode (A9): script/style content is one Content node
       if (!stop && !self && end < n && rawTextTags.contains(name.toLowerCase)) {
         val m = indexOfCloseTag(b, end, n, name)
         val contentEnd = if (m >= 0) m else n
         if (contentEnd > end)
-          emit(HNode(idx, NodeType.Content, "", str(end, contentEnd),
+          emit(HNode.span(idx, NodeType.Content, "", b, end, contentEnd,
             selfClosing = false, isCdata = false, end, contentEnd))
         // the close tag itself (if found) is parsed by the main loop
         return contentEnd
@@ -234,7 +306,7 @@ object HtmlScanner {
       val cs = i
       while (i < n && !isTagOpen(b, i, n)) i += 1
       if (i > cs)
-        emit(HNode(idx, NodeType.Content, "", str(cs, i),
+        emit(HNode.span(idx, NodeType.Content, "", b, cs, i,
           selfClosing = false, isCdata = false, cs, i))
       if (!stop && i < n) {
         val c1 = b(i + 1)
@@ -244,31 +316,31 @@ object HtmlScanner {
           val ns = j
           while (j < n && isNameByte(b(j))) j += 1
           val nameLen = math.min(j - ns, MaxTagName)
-          val name = str(ns, ns + nameLen)
+          val name = tagNameOf(b, ns, nameLen)
           var k = j
           while (k < n && b(k) != '>') k += 1
           val end = if (k < n) k + 1 else n
-          emit(HNode(idx, NodeType.CloseTag, name, "",
+          emit(HNode.span(idx, NodeType.CloseTag, name, b, 0, 0,
             selfClosing = false, isCdata = false, ts, end))
           i = end
         } else if (c1 == '!') {
           if (regionMatches(b, i, "<!--")) { // comment (A5)
             val m = indexOf(b, i + 4, n, "-->")
             val (txtEnd, end) = if (m >= 0) (m, m + 3) else (n, n)
-            emit(HNode(idx, NodeType.Remarks, "", str(i + 4, txtEnd),
+            emit(HNode.span(idx, NodeType.Remarks, "", b, i + 4, txtEnd,
               selfClosing = false, isCdata = false, i, end))
             i = end
           } else if (regionMatches(b, i, "<![CDATA[")) { // CDATA (A6)
             val m = indexOf(b, i + 9, n, "]]>")
             val (txtEnd, end) = if (m >= 0) (m, m + 3) else (n, n)
-            emit(HNode(idx, NodeType.Content, "", str(i + 9, txtEnd),
+            emit(HNode.span(idx, NodeType.Content, "", b, i + 9, txtEnd,
               selfClosing = false, isCdata = true, i, end))
             i = end
           } else { // doctype / other bang decl (A7, F-09)
             var k = i + 2
             while (k < n && b(k) != '>') k += 1
             val end = if (k < n) k + 1 else n
-            emit(HNode(idx, NodeType.Remarks, "", str(i + 2, k),
+            emit(HNode.span(idx, NodeType.Remarks, "", b, i + 2, k,
               selfClosing = false, isCdata = false, i, end))
             i = end
           }
@@ -276,7 +348,7 @@ object HtmlScanner {
           var k = i + 2
           while (k < n && b(k) != '>') k += 1
           val end = if (k < n) k + 1 else n
-          emit(HNode(idx, NodeType.Remarks, "", str(i + 2, k),
+          emit(HNode.span(idx, NodeType.Remarks, "", b, i + 2, k,
             selfClosing = false, isCdata = false, i, end))
           i = end
         } else { // start tag (A3/A8)

@@ -39,9 +39,24 @@ object ExtractPipeline {
     pages.withColumn("part_id",
       pmod(xxhash64(col("url")), lit(numParts.toLong)).cast("int"))
 
+  private val shaDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private final val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-    d.digest(s.getBytes(UTF_8)).map(b => f"$b%02x").mkString
+    val d = shaDigest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(UTF_8))
+    val out = new Array[Char](h.length * 2)
+    var i = 0
+    while (i < h.length) {
+      out(2 * i) = HexChars((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def extractOne(p: PageSlice): ExtractedRow = {

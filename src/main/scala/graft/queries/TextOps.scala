@@ -122,11 +122,21 @@ object TextOps {
 
   private val NumHashes = 8
 
+  /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
+    * on purpose — min over LONG keeps the signature aggregation a
+    * HashAggregate; min over the hex STRING would fall back to
+    * SortAggregate and sort every exploded shingle row (measured 10×
+    * slower at sf0.1).
+    */
+  private def seededHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
   private def signature(s: SparkSession, dir: String): DataFrame = {
     val ex = tbl(s, dir, "documents")
       .select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
     val aggs = (0 until NumHashes).map(i =>
-      min(md5s(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+      min(seededHash(i, col("s"))).as(s"h$i"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -245,12 +255,12 @@ object TextOps {
     "q21_minhash_sig" ->
       s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents)
          |SELECT doc_id,
-         | ${(0 until NumHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n ")}
+         | ${(0 until NumHashes).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n ")}
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q22_minhash_lsh" ->
       s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents),
          |sig AS (SELECT doc_id,
-         |   ${(0 until NumHashes).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n   ")}
+         |   ${(0 until NumHashes).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
          |  FROM sh GROUP BY doc_id),
          |bands AS (SELECT doc_id,
          |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
