@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 128 GiB box. A fixed -Xms matters more than a big -Xmx: when G1 grows
+  // the heap from the tiny default toward -Xmx it commits/zeroes/uncommits
+  // pages continuously — measured as MINUTES of kernel time per benchmark
+  // run and 2× slower 32-thread extraction.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
