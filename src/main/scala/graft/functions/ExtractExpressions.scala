@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.Extractor
+
+/** Static entry points referenced from generated code (doGenCode below calls
+  * these by name — keep signatures stable).
+  */
+object ExtractOps {
+  def extractText(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(Extractor.extractBytes(html).text)
+
+  def nodeCount(html: Array[Byte]): Int = {
+    var n = 0
+    graft.core.HtmlScanner.scan(html)(_ => { n += 1; true })
+    n
+  }
+}
+
+/** `extract_text(html binary) → string` as a native Catalyst expression with
+  * whole-stage codegen (SURVEY.md §4.3): unlike a Scala `udf`, it does not
+  * fence WholeStageCodegen, needs no closure serialization per batch, and
+  * its null handling is codegen'd. The generated code is a single static
+  * call into [[ExtractOps]], so the scanner's fused single-pass extraction
+  * is reused verbatim.
+  */
+case class ExtractText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.extractText(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.extractText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractText =
+    copy(child = newChild)
+}
+
+/** `html_node_count(html binary) → int` — tokenize-only (no extraction),
+  * counts nodes in one pass without materializing anything.
+  */
+case class HtmlNodeCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_node_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.nodeCount(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.nodeCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlNodeCount =
+    copy(child = newChild)
+}
+
+/** Registers the extraction functions into a session's FunctionRegistry —
+  * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
+  * SQL-first users of the engine.
+  *
+  * Use either
+  * `SparkSession.builder.withExtensions(GraftExtensions.inject)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` on
+  * spark-submit, or call [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "extract_text" -> (args => ExtractText(args.head)),
+    "html_node_count" -> (args => HtmlNodeCount(args.head)))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.ExtractExpressions", name),
+          builder))
+    }
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.ExtractExpressions", name),
+        builder)
+    }
+}

@@ -77,11 +77,24 @@ object PagesOps {
         col("height"), col("entropy_x1000"), col("head_hex"))
       .orderBy(col("url"))
 
+  /** SQL surface: the same extraction through the registered native
+    * Catalyst expressions (graft.functions.GraftExtensions) — what a
+    * SQL-first user of the engine runs.
+    */
+  def q34SqlExtract(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_sql")
+    s.sql(
+      """SELECT url, extract_text(html) AS text, html_node_count(html) AS node_count
+        |FROM pages_sql WHERE lang = 'en' ORDER BY url""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,
     "q33_binary_features" -> q33BinaryFeatures _,
+    "q34_sql_extract" -> q34SqlExtract _,
   )
 
   /** No DuckDB oracles — the scanner itself is the operator under test. */

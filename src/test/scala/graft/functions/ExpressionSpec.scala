@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Extractor
+import graft.sources.PagesSynth
+import graft.queries.{Relational, TextOps}
+
+/** Custom Catalyst expression + plan-shape assertions: the properties that
+  * make the plans scale (broadcast dims, pruned scans, hash aggregation,
+  * top-k rewrite) are locked in here so a regression shows up as a test
+  * failure, not as a silent 10× slowdown at the next scale-up.
+  */
+class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extract_text SQL function matches the core extractor byte-for-byte") {
+    val pages = PagesSynth.pages(spark, 50L).toDF()
+    pages.createOrReplaceTempView("pages_v")
+    val got = spark.sql(
+      "SELECT url, extract_text(html) AS t, html_node_count(html) AS n " +
+      "FROM pages_v ORDER BY url").collect()
+    val expected = (0L until 50L).map(PagesSynth.pageFor).map { p =>
+      val r = Extractor.extractBytes(p.html)
+      (p.url, r.text, r.nodeCount)
+    }.sortBy(_._1)
+    assert(got.length === 50)
+    got.zip(expected).foreach { case (row, (url, text, n)) =>
+      assert(row.getString(0) === url)
+      assert(row.getString(1) === text, s"text mismatch for $url")
+      assert(row.getInt(2) === n)
+    }
+  }
+
+  test("extract_text stays inside WholeStageCodegen (no codegen fence)") {
+    // over a parquet-backed table (the synthesized Dataset source is itself
+    // an object map, which would fence regardless of the expression)
+    val tmp = java.nio.file.Files.createTempDirectory("cg").toString
+    PagesSynth.pagesDF(spark, 10L).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("pages_cg")
+    val plan = spark.sql(
+      "SELECT length(extract_text(html)) FROM pages_cg WHERE lang = 'en'")
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("extract_text") && l.trim.startsWith("*")), plan.take(1500))
+  }
+
+  test("extract_text handles null and empty html") {
+    val rows = spark.sql(
+      "SELECT extract_text(CAST(NULL AS BINARY)), extract_text(CAST('' AS BINARY))")
+      .collect()(0)
+    assert(rows.isNullAt(0))
+    assert(rows.getString(1) === "")
+  }
+
+  test("q03 join plan broadcasts the dimension tables") {
+    val plan = Relational.q03JoinRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("extraction pipeline scan reads only url+html (column pruning)") {
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    PagesSynth.pagesDF(spark, 20L).write.mode("overwrite").parquet(tmp)
+    val plan = graft.pipeline.ExtractPipeline
+      .extractDF(spark.read.parquet(tmp), numParts = 4)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("url") && scanLine.contains("html"))
+    assert(!scanLine.contains("warc_ts") && !scanLine.contains("lang"),
+      s"scan not pruned: $scanLine")
+  }
+
+  test("minhash signature aggregates with HashAggregate, not SortAggregate") {
+    val plan = TextOps.q21MinhashSig(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), "min() fell back to SortAggregate")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.q09TopkOrders(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+}
