@@ -182,7 +182,39 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** Set op: shard-merge via unionByName + distinct (dedup across shards). */
+  def q28UnionShards(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_type"))
+    val b = ev.filter(col("event_type") === "view")
+      .select(col("event_type"), col("user_id")) // reordered: unionByName
+    a.unionByName(b).distinct().orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Set op: INTERSECT — first-day users who both erred and purchased. */
+  def q29IntersectUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").filter(col("ts") < lit("2024-01-02"))
+    ev.filter(col("event_type") === "error").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact + per-type distinct counts (the metrics-report shape; the
+    * streaming/report variant uses approx_count_distinct, oracled here with
+    * the exact form so both engines agree).
+    */
+  def q35DistinctCounts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("events"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_union_shards" -> q28UnionShards _,
+    "q29_intersect_users" -> q29IntersectUsers _,
+    "q35_distinct_counts" -> q35DistinctCounts _,
     "q01_pricing_agg" -> q01PricingAgg _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_join_revenue" -> q03JoinRevenue _,
@@ -200,6 +232,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_union_shards" ->
+      """SELECT DISTINCT user_id, event_type FROM (
+        |  SELECT user_id, event_type FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, event_type FROM events WHERE event_type = 'view')
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q29_intersect_users" ->
+      """SELECT user_id FROM events
+        | WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+        |INTERSECT SELECT user_id FROM events
+        | WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02'
+        |ORDER BY user_id""".stripMargin,
+    "q35_distinct_counts" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
