@@ -85,7 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
-    "html_node_count" -> (args => HtmlNodeCount(args.head)))
+    "html_node_count" -> (args => HtmlNodeCount(args.head)),
+    "html_nodes" -> (args => HtmlNodes(args.head)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

@@ -89,12 +89,27 @@ object PagesOps {
         |FROM pages_sql WHERE lang = 'en' ORDER BY url""".stripMargin)
   }
 
+  /** Node table via the native Generator (UDTF) — the relational twin of
+    * q31's typed flatMap, streamed out of the scanner with no per-page
+    * node-array materialization.
+    */
+  def q36SqlNodes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_gen")
+    s.sql(
+      """SELECT url, n.idx, n.ntype, n.tag, n.self_closing, n.start, n.end
+        |FROM pages_gen LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START'
+        |ORDER BY url, n.idx""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,
     "q33_binary_features" -> q33BinaryFeatures _,
     "q34_sql_extract" -> q34SqlExtract _,
+    "q36_sql_nodes" -> q36SqlNodes _,
   )
 
   /** No DuckDB oracles — the scanner itself is the operator under test. */

@@ -95,6 +95,31 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("html_nodes generator matches the scanner node-for-node") {
+    val pages = PagesSynth.pages(spark, 10L).toDF()
+    pages.createOrReplaceTempView("pages_g")
+    val got = spark.sql(
+      """SELECT url, n.idx, n.ntype, n.tag, n.self_closing, n.start, n.end,
+        |       n.attrs['href'] AS href
+        |FROM pages_g LATERAL VIEW html_nodes(html) n
+        |ORDER BY url, n.idx""".stripMargin).collect()
+    val expected = (0L until 10L).map(PagesSynth.pageFor).flatMap { p =>
+      graft.core.HtmlScanner.parse(p.html).map(nd => (p.url, nd))
+    }.sortBy { case (u, nd) => (u, nd.idx) }
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (row, (url, nd)) =>
+      assert(row.getString(0) === url)
+      assert(row.getInt(1) === nd.idx)
+      assert(row.getString(2) === graft.core.NodeType.name(nd.nodeType))
+      assert(row.getString(3) === nd.tagName)
+      assert(row.getBoolean(4) === nd.selfClosing)
+      assert(row.getInt(5) === nd.start && row.getInt(6) === nd.end)
+      if (nd.nodeType == graft.core.NodeType.StartTag)
+        assert(Option(row.getString(7)) === nd.attr("href").orElse(
+          if (nd.attrs.exists(_.name.equalsIgnoreCase("href"))) Some("") else None))
+    }
+  }
+
   test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.q09TopkOrders(spark, sfDir)
       .queryExecution.executedPlan.toString
