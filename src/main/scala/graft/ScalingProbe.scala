@@ -13,12 +13,18 @@ import graft.pipeline.ExtractPipeline
   * the efficiency ratio. One JVM per cluster size is the honest sandbox
   * proxy for one cluster per size.
   *
-  *   args: <pagesParquetPath> <cores> <reps>   → prints "min_wall_s=<sec>"
+  *   args: <pagesParquetPath> <cores> <reps> [mode]
+  *   mode: full (default) = read→extract→aggregate;
+  *         scan = read→tokenize only (node count, no extraction output);
+  *         io   = read + sum(length(html)) only (decode cost floor).
+  *   Prints "min_wall_s=<sec>".
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
-    val Array(pagesPath, coresS, repsS) = args
-    val cores = coresS.toInt
+    val pagesPath = args(0)
+    val cores = args(1).toInt
+    val repsS = args(2)
+    val mode = if (args.length > 3) args(3) else "full"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -31,8 +37,25 @@ object ScalingProbe {
 
     def once(): Double = {
       val t0 = System.nanoTime()
-      ExtractPipeline.extractDS(spark.read.parquet(pagesPath), numParts = 64)
-        .select(sum(length(col("text"))), sum(col("node_count"))).collect()
+      mode match {
+        case "io" =>
+          spark.read.parquet(pagesPath)
+            .select(sum(length(col("html")))).collect()
+        case "scan" =>
+          import spark.implicits._
+          spark.read.parquet(pagesPath)
+            .select(col("url"), col("html"))
+            .as[(String, Array[Byte])]
+            .mapPartitions(_.map { case (_, b) =>
+              var n = 0L
+              graft.core.HtmlScanner.scan(b)(_ => { n += 1; true })
+              n
+            })
+            .select(sum(col("value"))).collect()
+        case _ =>
+          ExtractPipeline.extractDS(spark.read.parquet(pagesPath), numParts = 64)
+            .select(sum(length(col("text"))), sum(col("node_count"))).collect()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     once() // codegen/JIT warm-up
