@@ -22,6 +22,9 @@ object ExtractOps {
     graft.core.HtmlScanner.scan(html)(_ => { n += 1; true })
     n
   }
+
+  def decodeEntities(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.Entities.decode(s.toString))
 }
 
 /** `extract_text(html binary) → string` as a native Catalyst expression with
@@ -68,6 +71,29 @@ case class HtmlNodeCount(child: Expression) extends UnaryExpression with Expects
     copy(child = newChild)
 }
 
+/** `decode_entities(s string) → string` — the reference's entity decoder
+  * (A13: lt/gt/amp/quot/nbsp + numeric, unknown left verbatim) as a
+  * codegen'd scalar function, for SQL users post-processing node text from
+  * `html_nodes` (the tokenizer keeps raw bytes so spans stay exact).
+  */
+case class DecodeEntities(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decode_entities"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.decodeEntities(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.decodeEntities($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeEntities =
+    copy(child = newChild)
+}
+
 /** Registers the extraction functions into a session's FunctionRegistry —
   * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
   * SQL-first users of the engine.
@@ -86,7 +112,8 @@ object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
-    "html_nodes" -> (args => HtmlNodes(args.head)))
+    "html_nodes" -> (args => HtmlNodes(args.head)),
+    "decode_entities" -> (args => DecodeEntities(args.head)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

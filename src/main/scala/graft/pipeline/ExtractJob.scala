@@ -48,9 +48,17 @@ object ExtractJob {
       inputSnapshot: String = "synthetic",
       codeVer: String = "0.1.0",
       /** stop after this many batches (kill-simulation for the resume test) */
-      maxBatches: Int = Int.MaxValue)
+      maxBatches: Int = Int.MaxValue,
+      /** pathological-page guard: docs whose html exceeds this are excluded
+        * from extraction (counted via `observe`, reported in Result). At
+        * crawl scale a handful of near-2GB pages would otherwise pin whole
+        * executors (and byte offsets are Int-bounded) — route them to a
+        * quarantine pass instead of the main job.
+        */
+      maxDocBytes: Long = 512L * 1024 * 1024)
 
-  final case class Result(batchesRun: Int, partsCommitted: Seq[Int])
+  final case class Result(batchesRun: Int, partsCommitted: Seq[Int],
+      oversizedSkipped: Long = 0L)
 
   def extractedPath(outDir: String) = s"$outDir/extracted"
 
@@ -63,6 +71,7 @@ object ExtractJob {
       case Some(l) => pages.filter(col("lang") === l) // pushed to the scan
       case None    => pages
     }
+    val oversized = spark.sparkContext.longAccumulator("oversizedDocs")
     val withPart = ExtractPipeline.withPartId(
       filtered.filter(col("html").isNotNull).select(col("url"), col("html")),
       cfg.numParts)
@@ -89,10 +98,15 @@ object ExtractJob {
           .as[PageSlice]
           .mapPartitions(_.map { p =>
             bytesAcc.add((p.part_id, p.html.length.toLong))
-            ExtractPipeline.extractOne(p)
+            if (p.html.length > cfg.maxDocBytes) {
+              // pathological-page guard: quarantine marker, dropped below
+              oversized.add(1L)
+              ExtractedRow(p.url, "", "", Array.empty, -1, p.part_id)
+            } else ExtractPipeline.extractOne(p)
           })
 
         extracted.toDF()
+          .filter(col("node_count") >= 0) // drop quarantine markers
           .write.mode("overwrite").partitionBy("part_id")
           .parquet(extractedPath(outDir))
 
@@ -118,6 +132,6 @@ object ExtractJob {
         committed ++= batch
         batchesRun += 1
       }
-    Result(batchesRun, committed.result())
+    Result(batchesRun, committed.result(), oversized.value)
   }
 }

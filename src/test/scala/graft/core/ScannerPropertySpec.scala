@@ -85,6 +85,17 @@ class ScannerPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fused streaming extraction equals the node-array path") {
+    check("fused == array", Prop.forAll(htmlish) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val fused = Extractor.extractBytes(bytes) // scan-visitor path
+      val array = Extractor.extract(HtmlScanner.parse(bytes)) // array path
+      fused.text == array.text &&
+        fused.spans.toList == array.spans.toList &&
+        fused.nodeCount == array.nodeCount
+    })
+  }
+
   test("entity decode never throws; idempotent when output has no '&'") {
     check("entities", Prop.forAll(htmlish) { s =>
       val d = Entities.decode(s)

@@ -62,6 +62,16 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("extract_text") && l.trim.startsWith("*")), plan.take(1500))
   }
 
+  test("decode_entities SQL function matches core Entities.decode") {
+    val cases = Seq("a &lt;b&gt; &amp;&quot; &nbsp; &#65;&#x42; &unknown;",
+      "no entities", "&", "&amp", "trailing &#")
+    cases.foreach { c =>
+      val got = spark.sql(s"SELECT decode_entities('${c.replace("'", "''")}')")
+        .collect()(0).getString(0)
+      assert(got === graft.core.Entities.decode(c), s"case: $c")
+    }
+  }
+
   test("extract_text handles null and empty html") {
     val rows = spark.sql(
       "SELECT extract_text(CAST(NULL AS BINARY)), extract_text(CAST('' AS BINARY))")

@@ -112,6 +112,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(analyzed.contains("MapPartitions") || analyzed.contains("mapPartitions"))
   }
 
+  test("maxDocBytes guard quarantines oversized pages, keeps the rest") {
+    val out = Files.createTempDirectory("guard").toString
+    val pages = PagesSynth.pagesDF(spark, 300L) // giants at ids 0 and 211
+    val res = ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(numParts = 4, batchSize = 4, maxDocBytes = 100000L))
+    assert(res.oversizedSkipped === 2)
+    val got = spark.read.parquet(ExtractJob.extractedPath(out))
+    assert(got.count() === 298)
+    assert(got.filter(col("node_count") < 0).count() === 0)
+  }
+
   test("SparkEntry.entry returns extracted rows with the declared output schema") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.columns.toSeq === Seq("url", "text", "text_sha", "spans", "node_count", "part_id"))
