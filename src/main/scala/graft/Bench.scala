@@ -80,14 +80,34 @@ object Bench {
         s"-XX:ActiveProcessorCount=$cores") ++ jvmArgs ++ heap ++
         Seq("-cp", System.getProperty("java.class.path"),
           "graft.ScalingProbe", pagesPath, cores.toString, "3")
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
-      val out = new String(p.getInputStream.readAllBytes)
-      p.waitFor()
-      val t = out.linesIterator.collectFirst {
-        case l if l.startsWith("min_wall_s=") => l.stripPrefix("min_wall_s=").toDouble
-      }.getOrElse(sys.error(s"probe($cores) produced no timing: $out"))
-      System.err.println(f"[bench] extract pinned[$cores] min=$t%.2fs")
-      t
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes)
+        p.waitFor()
+        val t = out.linesIterator.collectFirst {
+          case l if l.startsWith("min_wall_s=") => l.stripPrefix("min_wall_s=").toDouble
+        }.getOrElse(sys.error(s"probe($cores) produced no timing: $out"))
+        System.err.println(f"[bench] extract pinned[$cores] min=$t%.2fs")
+        t
+      } catch {
+        case e: Exception =>
+          // environment without taskset / spawnable java: degrade to an
+          // unpinned in-JVM session so the bench still emits its JSON line
+          // (numbers flagged by the smaller measured efficiency, see
+          // BASELINE.md on why unpinned ratios are biased)
+          System.err.println(s"[bench] pinned probe($cores) failed (${e.getMessage}); in-JVM fallback")
+          val s = session(cores)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            ExtractPipeline.extractDS(s.read.parquet(pagesPath), numParts = 64)
+              .select(sum(length(col("text"))), sum(col("node_count"))).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val t = (1 to 3).map(_ => once()).min
+          s.stop()
+          t
+      }
     }
     // Three pinned levels → two N→4N pairs. The small pair (2→8) is the
     // cleaner cluster proxy: at 32 threads a single box saturates shared
