@@ -23,6 +23,8 @@ object CoreBench {
     val totalBytes = corpus.map(_.length.toLong).sum
     println(f"corpus: $docs docs, ${totalBytes / 1e6}%.1f MB html")
 
+    val scanOnly = args.length > 2 && args(2) == "scan"
+
     def run(threads: Int): Double = {
       val pool = Executors.newFixedThreadPool(threads)
       val chunks = corpus.grouped(math.max(docs / (threads * 8), 1)).toSeq
@@ -30,7 +32,10 @@ object CoreBench {
       val futs = chunks.map(ch => pool.submit(new Callable[Long] {
         def call(): Long = {
           var nodes = 0L
-          ch.foreach(b => nodes += Extractor.extractBytes(b).nodeCount)
+          if (scanOnly)
+            ch.foreach(b => graft.core.HtmlScanner.scan(b)(_ => { nodes += 1; true }))
+          else
+            ch.foreach(b => nodes += Extractor.extractBytes(b).nodeCount)
           nodes
         }
       }))

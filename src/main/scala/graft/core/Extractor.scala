@@ -77,13 +77,20 @@ object Extractor {
     }
   }
 
-  /** Streaming extraction state machine — one instance per document. */
+  /** Streaming extraction state machine — one instance per document.
+    *
+    * Block content is appended DIRECTLY to the output buffer as it arrives;
+    * a block that fails the density gate at flush time is removed by
+    * truncating back to the block's start offset (cheaper than buffering
+    * pieces and re-copying every kept byte — kept text is most of the bytes).
+    */
   private final class State {
     private val out = new java.lang.StringBuilder(256)
     private val spans = new ArrayBuffer[Span](32)
 
-    // current block accumulator
-    private var blockPieces = new ArrayBuffer[(String, Span)](8)
+    // current block accumulator: [blockStartLen, out.length) is this block
+    private var blockStartLen = 0
+    private var spansStart = 0
     private var blockNonWs = 0
     private var blockAnchorNonWs = 0
 
@@ -94,15 +101,14 @@ object Extractor {
     private def flushBlock(): Unit = {
       if (blockNonWs > 0 &&
           blockAnchorNonWs.toDouble / blockNonWs <= MaxLinkDensity) {
-        if (out.length > 0) out.append('\n')
-        var i = 0
-        while (i < blockPieces.length) {
-          out.append(blockPieces(i)._1)
-          spans += blockPieces(i)._2
-          i += 1
-        }
+        // keep: block bytes are already in place
+      } else if (out.length > blockStartLen) {
+        // reject: truncate the block (and its '\n' separator) back out
+        out.setLength(blockStartLen)
+        spans.takeInPlace(spansStart)
       }
-      if (blockPieces.nonEmpty) blockPieces.clear()
+      blockStartLen = out.length
+      spansStart = spans.length
       blockNonWs = 0
       blockAnchorNonWs = 0
     }
@@ -131,7 +137,10 @@ object Extractor {
             // nd.text decodes lazily — dropped subtrees never materialize
             val decoded = if (nd.isCdata) nd.text else Entities.decode(nd.text)
             val nw = countNonWs(decoded)
-            blockPieces += ((decoded, Span(nd.start, nd.end)))
+            if (out.length == blockStartLen && blockStartLen > 0)
+              out.append('\n') // first piece of a non-first block
+            out.append(decoded)
+            spans += Span(nd.start, nd.end)
             blockNonWs += nw
             if (anchorDepth > 0) blockAnchorNonWs += nw
           }
