@@ -36,16 +36,7 @@ object Bench {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
     val loCores = math.max(cpus / 4, 1)
 
-    // ---- per-query timings at full parallelism ----
     val spark = session(cpus)
-    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
 
     // ---- extraction scaling: materialize pages once, read in both runs ----
     // RAM-backed dir: disk writeback of the freshly written corpus would
@@ -58,7 +49,6 @@ object Bench {
     pagesDf.write.mode("overwrite").parquet(pagesPath)
     val htmlBytes = spark.read.parquet(pagesPath)
       .select(sum(length(col("html")))).collect()(0).getLong(0)
-    spark.stop()
 
     // Each scaling level runs in its own CHILD JVM pinned (taskset +
     // ActiveProcessorCount) to exactly that many CPUs — see ScalingProbe
@@ -79,7 +69,8 @@ object Bench {
         s"${System.getProperty("java.home")}/bin/java",
         s"-XX:ActiveProcessorCount=$cores") ++ jvmArgs ++ heap ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.ScalingProbe", pagesPath, cores.toString, "3")
+          "graft.ScalingProbe", pagesPath, cores.toString,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4"))
       try {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
         val out = new String(p.getInputStream.readAllBytes)
@@ -117,6 +108,18 @@ object Bench {
     val walls = levels.map(c => c -> probe(c)).toMap
     val tHi = walls(cpus)
     val tLo = walls(loCores)
+
+    // ---- per-query timings at full parallelism (after the probes, so the
+    // scaling measurement sees the quietest machine) ----
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    val results =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    spark.stop()
 
     // best-effort cleanup of the RAM-backed corpus
     def rmrf(f: java.io.File): Unit = {

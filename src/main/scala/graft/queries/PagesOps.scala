@@ -103,6 +103,21 @@ object PagesOps {
         |ORDER BY url, n.idx""".stripMargin)
   }
 
+  /** Outlink extraction — the reference's classic consumer pattern (walk
+    * the node array, read `href` off anchor tags [R: testHtmlParser.cpp]),
+    * as one SQL statement over the Generator + lazy attrs.
+    */
+  def q37Outlinks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_lnk")
+    s.sql(
+      """SELECT url, n.idx, n.attrs['href'] AS href
+        |FROM pages_lnk LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND lower(n.tag) = 'a'
+        |  AND n.attrs['href'] IS NOT NULL
+        |ORDER BY url, n.idx""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
@@ -110,6 +125,7 @@ object PagesOps {
     "q33_binary_features" -> q33BinaryFeatures _,
     "q34_sql_extract" -> q34SqlExtract _,
     "q36_sql_nodes" -> q36SqlNodes _,
+    "q37_outlinks" -> q37Outlinks _,
   )
 
   /** No DuckDB oracles — the scanner itself is the operator under test. */
