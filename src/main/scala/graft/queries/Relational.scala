@@ -139,9 +139,9 @@ object Relational {
       .orderBy(col("totalprice_c").desc, col("o_orderkey"))
       .limit(10)
 
-  /** Set op: first-week error-users who made no first-week purchase (EXCEPT). */
+  /** Set op: early-window error-users with no purchase in the window (EXCEPT). */
   def q10ExceptUsers(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events").filter(col("ts") < lit("2024-01-08"))
+    val ev = tbl(s, dir, "events").filter(col("ts") < lit("2024-01-03"))
     ev.filter(col("event_type") === "error").select(col("user_id"))
       .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
       .orderBy(col("user_id"))
@@ -302,9 +302,9 @@ object Relational {
         |FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 10""".stripMargin,
     "q10_except_users" ->
       """SELECT user_id FROM events
-        | WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08'
+        | WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
         |EXCEPT SELECT user_id FROM events
-        | WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+        | WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
         |ORDER BY user_id""".stripMargin,
     "q11_rollup_docs" ->
       """SELECT lang, source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
