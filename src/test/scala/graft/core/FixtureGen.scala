@@ -40,7 +40,17 @@ object FixtureGen {
       "<article><p>Real content &amp; more.</p>" +
       "<p>Second para with <a href=q>one link</a> inside lots of words.</p>" +
       "</article><footer><a href=3>Contact</a></footer></body></html>"),
-    "21" -> "<body><script>var a=1;</script><style>p{}</style><p>keep</p></body>"
+    "21" -> "<body><script>var a=1;</script><style>p{}</style><p>keep</p></body>",
+    // adversarial additions (round 1): raw-text, attr, close-tag edge zoo
+    "22" -> """<script>document.write("<script>x</script>")</script>trail""",
+    "23" -> """<input value = "a b" disabled data-x=' q ' empty="" weird=a"b c>""",
+    "24" -> "</div>a</p><b>b</b></b>",
+    "25" -> "<style>a</styleX>b</style >c",
+    "26" -> "a<!-- -- -->b<!---->c",
+    "27" -> "<![CDATA[abc",
+    "28" -> "<script src=x />after",
+    "29" -> "<p>&#0; &#x110000; &#xD800; &lt</p>",
+    "30" -> "<p><a href=x>12345</a>67890</p><p><a href=y>123456</a>7890</p>"
   )
 
   def main(args: Array[String]): Unit = {
