@@ -30,6 +30,10 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // pages rows carry multi-KB binary html: the default 4096-row reader
+      // batch makes ~13MB column vectors (G1 humongous objects) — 256 rows
+      // keeps batches ~1MB and measures ~30% faster on the read floor
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

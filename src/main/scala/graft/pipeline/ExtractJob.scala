@@ -65,6 +65,9 @@ object ExtractJob {
   def run(spark: SparkSession, pages: DataFrame, outDir: String,
           cfg: Config = Config()): Result = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // multi-KB binary html rows: cap reader batches at ~1MB instead of the
+    // default 4096 rows (~13MB humongous G1 allocations per batch per task)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
     val committer = new LocalManifestCommitter(outDir)
 
     val filtered = cfg.langFilter match {
