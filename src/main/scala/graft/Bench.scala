@@ -70,7 +70,7 @@ object Bench {
         s"-XX:ActiveProcessorCount=$cores") ++ jvmArgs ++ heap ++
         Seq("-cp", System.getProperty("java.class.path"),
           "graft.ScalingProbe", pagesPath, cores.toString,
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4"))
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2"))
       try {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
         val out = new String(p.getInputStream.readAllBytes)
@@ -104,8 +104,17 @@ object Bench {
     // cleaner cluster proxy: at 32 threads a single box saturates shared
     // DRAM bandwidth that a real 4N-executor cluster would scale linearly
     // (core-only CoreBench shows the same 8→32 ceiling).
+    // Two interleaved probe rounds per level (separate JVMs, separate time
+    // windows): transient host/VM noise — this is a shared box — then can't
+    // depress one level of the efficiency ratio alone. min across rounds.
     val levels = Seq(math.max(cpus / 16, 1), loCores, cpus).distinct
-    val walls = levels.map(c => c -> probe(c)).toMap
+    val walls = scala.collection.mutable.Map.empty[Int, Double]
+    (1 to 2).foreach { _ =>
+      levels.foreach { c =>
+        val t = probe(c)
+        walls(c) = math.min(walls.getOrElse(c, Double.MaxValue), t)
+      }
+    }
     val tHi = walls(cpus)
     val tLo = walls(loCores)
 
