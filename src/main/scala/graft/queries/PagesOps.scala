@@ -118,6 +118,25 @@ object PagesOps {
         |ORDER BY url, n.idx""".stripMargin)
   }
 
+  /** PDF text extraction (the north_rule's "PDF/layout parse" leg):
+    * deterministic structurally-complete PDFs (alternating raw and
+    * FlateDecode content streams) → PdfTextScanner, with a per-row
+    * roundtrip_ok flag self-certifying the extraction against the known
+    * synthesized text.
+    */
+  def q38PdfExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.PdfTextScanner
+    import graft.sources.PdfSynth
+    s.range(0L, 500L).as[Long].mapPartitions(_.map { id =>
+      val flate = id % 2 == 0
+      val pdf = PdfSynth.pdfFor(id, flate)
+      val txt = PdfTextScanner.extractText(pdf)
+      (id, flate, pdf.length, txt.length, txt == PdfSynth.textFor(id))
+    }).toDF("doc_id", "flate", "pdf_bytes", "text_chars", "roundtrip_ok")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
@@ -126,6 +145,7 @@ object PagesOps {
     "q34_sql_extract" -> q34SqlExtract _,
     "q36_sql_nodes" -> q36SqlNodes _,
     "q37_outlinks" -> q37Outlinks _,
+    "q38_pdf_extract" -> q38PdfExtract _,
   )
 
   /** No DuckDB oracles — the scanner itself is the operator under test. */
