@@ -1,0 +1,58 @@
+package graft.core
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Charset detection for raw crawl bytes — BOM, then `<meta charset=…>` /
+  * `<meta http-equiv="Content-Type" content="…; charset=…">` within the
+  * first [[SniffWindow]] bytes (the WHATWG prescan approach, reimplemented
+  * from the public spec).
+  *
+  * OPT-IN utility: the pipeline's pinned invariant is "scan bytes as UTF-8,
+  * spans are byte offsets" (SURVEY.md §7) — byte-identity would not survive
+  * silent transcoding. Callers targeting non-UTF-8 corpora transcode
+  * explicitly up front:
+  *   `CharsetSniffer.toUtf8(bytes)` → UTF-8 bytes for the scanner.
+  */
+object CharsetSniffer {
+
+  final val SniffWindow = 1024
+
+  /** Detected charset name, or None (callers default to UTF-8). */
+  def sniff(b: Array[Byte]): Option[String] = {
+    if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&
+        (b(2) & 0xFF) == 0xBF) return Some("UTF-8")
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      return Some("UTF-16BE")
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
+      return Some("UTF-16LE")
+    val n = math.min(b.length, SniffWindow)
+    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val i = head.indexOf("charset")
+    if (i < 0) return None
+    var j = i + 7
+    while (j < head.length && head.charAt(j) == ' ') j += 1
+    if (j >= head.length || head.charAt(j) != '=') return None
+    j += 1
+    while (j < head.length && head.charAt(j) == ' ') j += 1
+    if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+    val s = j
+    while (j < head.length && (head.charAt(j).isLetterOrDigit ||
+        head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+    val name = head.substring(s, j)
+    if (name.isEmpty) None else Some(name)
+  }
+
+  /** Transcode to UTF-8 if a known non-UTF-8 charset is declared; bytes are
+    * returned unchanged when already UTF-8(-declared), undetected, or the
+    * declared charset is unknown to the JVM (never throws).
+    */
+  def toUtf8(b: Array[Byte]): Array[Byte] =
+    sniff(b) match {
+      case Some(name) if !name.equalsIgnoreCase("utf-8") && !name.equalsIgnoreCase("utf8") =>
+        try {
+          val cs = Charset.forName(name)
+          new String(b, cs).getBytes(StandardCharsets.UTF_8)
+        } catch { case _: Exception => b }
+      case _ => b
+    }
+}

@@ -1,0 +1,47 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+class CharsetSpec extends AnyFunSuite {
+
+  test("meta charset variants") {
+    assert(CharsetSniffer.sniff(
+      "<html><head><meta charset=\"GBK\">".getBytes) === Some("gbk"))
+    assert(CharsetSniffer.sniff(
+      "<meta charset=utf-8>".getBytes) === Some("utf-8"))
+    assert(CharsetSniffer.sniff(
+      ("<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=ISO-8859-1\">").getBytes) === Some("iso-8859-1"))
+    assert(CharsetSniffer.sniff("<html>no declaration".getBytes) === None)
+    assert(CharsetSniffer.sniff("charset please".getBytes) === None)
+  }
+
+  test("BOMs") {
+    assert(CharsetSniffer.sniff(
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte, 'x')) === Some("UTF-8"))
+    assert(CharsetSniffer.sniff(
+      Array(0xFE.toByte, 0xFF.toByte, 0, 'x')) === Some("UTF-16BE"))
+  }
+
+  test("toUtf8 transcodes Latin-1 so the scanner extracts correct text") {
+    val html = "<meta charset=iso-8859-1><p>café über</p>"
+    val latin1 = html.getBytes(StandardCharsets.ISO_8859_1)
+    // raw Latin-1 bytes are NOT valid UTF-8 for the accented chars
+    val viaSniffer = CharsetSniffer.toUtf8(latin1)
+    val r = Extractor.extractBytes(viaSniffer)
+    assert(r.text === "café über")
+    // unknown charset / already-utf8: bytes pass through unchanged
+    assert(CharsetSniffer.toUtf8("<meta charset=bogus-enc-9>x".getBytes) sameElements
+      "<meta charset=bogus-enc-9>x".getBytes)
+  }
+
+  test("never throws on garbage") {
+    val r = new scala.util.Random(11)
+    (0 until 2000).foreach { _ =>
+      val b = new Array[Byte](r.nextInt(300))
+      r.nextBytes(b)
+      CharsetSniffer.toUtf8(b)
+    }
+  }
+}
