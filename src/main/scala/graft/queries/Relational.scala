@@ -211,7 +211,21 @@ object Relational {
         count(lit(1)).as("events"))
       .orderBy(col("event_type"))
 
+  /** Tumbling time-window aggregation (the streaming metrics-rollup shape,
+    * SURVEY.md §2.B.j, run in batch): Spark's `window()` function; the
+    * window start is emitted as a formatted string so both engines hash the
+    * same value (raw timestamps differ in tz-awareness across engines).
+    */
+  def q39TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_c"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("cnt"), col("value_c"))
+      .orderBy(col("hour"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_tumbling_window" -> q39TumblingWindow _,
     "q28_union_shards" -> q28UnionShards _,
     "q29_intersect_users" -> q29IntersectUsers _,
     "q35_distinct_counts" -> q35DistinctCounts _,
@@ -232,6 +246,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        | event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q28_union_shards" ->
       """SELECT DISTINCT user_id, event_type FROM (
         |  SELECT user_id, event_type FROM events WHERE event_type = 'click'
