@@ -53,6 +53,7 @@ object Bench {
     // Each scaling level runs in its own CHILD JVM pinned (taskset +
     // ActiveProcessorCount) to exactly that many CPUs — see ScalingProbe
     // for why a shared JVM corrupts the N vs 4N ratio.
+    var probeFallback = false
     def probe(cores: Int): Double = {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -72,7 +73,10 @@ object Bench {
           "graft.ScalingProbe", pagesPath, cores.toString,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2"))
       try {
-        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        // child stderr must not back up: an unread 64KB pipe would deadlock
+        // a chatty child against our blocking stdout read
+        val p = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
         val out = new String(p.getInputStream.readAllBytes)
         p.waitFor()
         val t = out.linesIterator.collectFirst {
@@ -82,22 +86,22 @@ object Bench {
         t
       } catch {
         case e: Exception =>
-          // environment without taskset / spawnable java: degrade to an
-          // unpinned in-JVM session so the bench still emits its JSON line
-          // (numbers flagged by the smaller measured efficiency, see
-          // BASELINE.md on why unpinned ratios are biased)
-          System.err.println(s"[bench] pinned probe($cores) failed (${e.getMessage}); in-JVM fallback")
-          val s = session(cores)
+          // environment without taskset / spawnable java: measure in the
+          // EXISTING parent session (getOrCreate cannot change master, so a
+          // session(cores) call here would silently run at full parallelism
+          // AND stopping it would kill the shared context for the query
+          // loop). The numbers are then unpinned full-parallelism walls —
+          // flagged via scaling_note so the ratio isn't read as pinned.
+          System.err.println(s"[bench] pinned probe($cores) failed (${e.getMessage}); unpinned in-JVM fallback")
+          probeFallback = true
           def once(): Double = {
             val t0 = System.nanoTime()
-            ExtractPipeline.extractDS(s.read.parquet(pagesPath), numParts = 64)
+            ExtractPipeline.extractDS(spark.read.parquet(pagesPath), numParts = 64)
               .select(sum(length(col("text"))), sum(col("node_count"))).collect()
             (System.nanoTime() - t0) / 1e9
           }
           once()
-          val t = (1 to 3).map(_ => once()).min
-          s.stop()
-          t
+          (1 to 3).map(_ => once()).min
       }
     }
     // Three pinned levels → two N→4N pairs. The small pair (2→8) is the
@@ -148,16 +152,19 @@ object Bench {
     val fourXPairs = levels.sliding(2).collect {
       case Seq(a, b) if b == a * 4 => (a, b)
     }.toSeq
-    val pairsJson = fourXPairs
-      .map { case (a, b) => f""""eff_${a}_to_$b":${eff(a, b)}%.3f""" }
-      .mkString(",")
-    val (pn, p4n) = fourXPairs.headOption.getOrElse((loCores, cpus))
+    // a level set without any 4x pair (e.g. CPUS=2) still reports the
+    // lo->hi efficiency so the JSON stays well-formed and meaningful
+    val (pn, p4n) = fourXPairs.headOption.getOrElse((levels.head, levels.last))
+    val pairsJson = (fourXPairs.map { case (a, b) =>
+        f""""eff_${a}_to_$b":${eff(a, b)}%.3f"""
+      } :+ f""""scaling_efficiency":${eff(pn, p4n)}%.3f""").mkString(",")
+    val noteTxt =
+      if (probeFallback) "UNPINNED in-JVM fallback (taskset/child JVM unavailable) — ratio not comparable to pinned runs"
+      else s"CPU-pinned child JVMs; N=$pn vs 4N=$p4n; larger pair is single-box DRAM-bandwidth-bound, see BASELINE.md"
     val extract =
       f"""{"docs":$benchDocs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
       f""""levels":$levelsJson,$pairsJson,""" +
-      f""""scaling_efficiency":${eff(pn, p4n)}%.3f,""" +
-      f""""scaling_note":"CPU-pinned child JVMs; N=$pn vs 4N=$p4n; """ +
-      f"""larger pair is single-box DRAM-bandwidth-bound, see BASELINE.md"}"""
+      f""""scaling_note":"$noteTxt"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"extract":$extract,"sf":"$sfDir"}""")
   }

@@ -27,19 +27,33 @@ object CharsetSniffer {
       return Some("UTF-16LE")
     val n = math.min(b.length, SniffWindow)
     val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
-    val i = head.indexOf("charset")
-    if (i < 0) return None
-    var j = i + 7
-    while (j < head.length && head.charAt(j) == ' ') j += 1
-    if (j >= head.length || head.charAt(j) != '=') return None
-    j += 1
-    while (j < head.length && head.charAt(j) == ' ') j += 1
-    if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
-    val s = j
-    while (j < head.length && (head.charAt(j).isLetterOrDigit ||
-        head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
-    val name = head.substring(s, j)
-    if (name.isEmpty) None else Some(name)
+    // only declarations INSIDE a <meta …> tag count — a bare "charset"
+    // in a comment, script or accept-charset attribute must not trigger a
+    // (corpus-corrupting) transcode
+    var m = head.indexOf("<meta")
+    while (m >= 0) {
+      val tagEnd = head.indexOf('>', m) match {
+        case -1 => head.length
+        case e  => e
+      }
+      val i = head.indexOf("charset", m)
+      if (i >= 0 && i < tagEnd) {
+        var j = i + 7
+        while (j < tagEnd && head.charAt(j) == ' ') j += 1
+        if (j < tagEnd && head.charAt(j) == '=') {
+          j += 1
+          while (j < tagEnd && head.charAt(j) == ' ') j += 1
+          if (j < tagEnd && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+          val s = j
+          while (j < tagEnd && (head.charAt(j).isLetterOrDigit ||
+              head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+          val name = head.substring(s, j)
+          if (name.nonEmpty) return Some(name)
+        }
+      }
+      m = head.indexOf("<meta", m + 5)
+    }
+    None
   }
 
   /** Transcode to UTF-8 if a known non-UTF-8 charset is declared; bytes are

@@ -51,11 +51,20 @@ object PdfTextScanner {
         val de = indexOf(pdf, ds, "endstream")
         if (de < 0) { from = pdf.length }
         else {
-          // the dict for this stream sits between the previous "<<" and si
-          val dictStart = lastIndexOf(pdf, si, "<<")
+          // the stream's dict: walk BACKWARD balanced over '<<'/'>>' so a
+          // nested dict (e.g. /DecodeParms <<...>>) can't hide the filter
+          val dictStart = dictStartBefore(pdf, si)
           val flate = dictStart >= 0 &&
             indexOf(pdf, dictStart, si, "/FlateDecode") >= 0
-          val data = slice(pdf, ds, trimEol(pdf, ds, de))
+          // /Length is authoritative when it parses as a plain integer —
+          // EOL-stripping heuristics can eat a real trailing 0x0D of the
+          // compressed data otherwise
+          val lengthVal =
+            if (dictStart >= 0) parseLength(pdf, dictStart, si) else -1
+          val dataEnd =
+            if (lengthVal >= 0 && ds + lengthVal <= de) ds + lengthVal
+            else trimEol(pdf, ds, de)
+          val data = slice(pdf, ds, dataEnd)
           val content = if (flate) inflate(data) else data
           if (content.length > 0) appendTextOps(content, out)
           from = de + 9
@@ -94,7 +103,11 @@ object PdfTextScanner {
             if (op == "'" || op == "\"") newline()
             if (s.nonEmpty) { out.append(s); lineHasText = true }
             i = ni
-          case '<' if i + 1 < n && c(i + 1) != '<' =>
+          case '<' if i + 1 < n && c(i + 1) == '<' =>
+            // inline dictionary (e.g. '/P <</MCID 0>> BDC'): skip balanced,
+            // or its contents would be misread as hex strings/operators
+            i = skipInlineDict(c, i)
+          case '<' =>
             val (s, ni) = hexString(c, i)
             if (s.nonEmpty) { out.append(s); lineHasText = true }
             i = ni
@@ -201,6 +214,20 @@ object PdfTextScanner {
     ""
   }
 
+  /** Skip a balanced inline `<< ... >>` dictionary starting at `open`. */
+  private def skipInlineDict(c: Array[Byte], open: Int): Int = {
+    var i = open + 2
+    var depth = 1
+    val n = c.length
+    while (i < n && depth > 0) {
+      if (c(i) == '<' && i + 1 < n && c(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c(i) == '>' && i + 1 < n && c(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c(i) == '(') i = pdfString(c, i)._2 // strings may contain >>
+      else i += 1
+    }
+    i
+  }
+
   @inline private def wordEnd(c: Array[Byte], i: Int): Boolean =
     i >= c.length || !((c(i) >= 'A' && c(i) <= 'Z') || (c(i) >= 'a' && c(i) <= 'z'))
 
@@ -225,21 +252,54 @@ object PdfTextScanner {
     -1
   }
 
-  private def lastIndexOf(b: Array[Byte], before: Int, s: String): Int = {
-    var i = math.min(before, b.length) - s.length
+  /** Start of the dict whose `>>` immediately precedes `before` — backward
+    * scan balancing nested `<< >>` pairs; -1 if unbalanced/absent.
+    */
+  private def dictStartBefore(b: Array[Byte], before: Int): Int = {
+    var i = math.min(before, b.length) - 2
+    var depth = 0
     while (i >= 0) {
-      var j = 0
-      while (j < s.length && b(i + j) == s.charAt(j)) j += 1
-      if (j == s.length) return i
-      i -= 1
+      if (b(i) == '>' && b(i + 1) == '>') { depth += 1; i -= 2 }
+      else if (b(i) == '<' && b(i + 1) == '<') {
+        depth -= 1
+        if (depth == 0) return i
+        i -= 2
+      } else i -= 1
     }
     -1
   }
 
+  /** `/Length N` with a plain integer N inside [from, until); -1 when
+    * absent or an indirect reference (`N 0 R`).
+    */
+  private def parseLength(b: Array[Byte], from: Int, until: Int): Int = {
+    val k = indexOf(b, from, until, "/Length")
+    if (k < 0) return -1
+    var i = k + 7
+    while (i < until && (b(i) == ' ' || b(i) == '\r' || b(i) == '\n')) i += 1
+    var v = 0L
+    val s = i
+    while (i < until && b(i) >= '0' && b(i) <= '9' && v < Int.MaxValue) {
+      v = v * 10 + (b(i) - '0'); i += 1
+    }
+    if (i == s || v > Int.MaxValue) return -1
+    // indirect reference "N 0 R" → not a literal length
+    var j = i
+    while (j < until && b(j) == ' ') j += 1
+    val indirect = j + 2 < until && b(j) >= '0' && b(j) <= '9'
+    if (indirect) -1 else v.toInt
+  }
+
+  /** Fallback when /Length is absent: strip at most ONE EOL separator
+    * before `endstream` ("\r\n" | "\n" | "\r") — never a second byte that
+    * might be real stream data.
+    */
   private def trimEol(b: Array[Byte], ds: Int, de: Int): Int = {
     var e = de
-    if (e > ds && b(e - 1) == '\n') e -= 1
-    if (e > ds && b(e - 1) == '\r') e -= 1
+    if (e > ds && b(e - 1) == '\n') {
+      e -= 1
+      if (e > ds && b(e - 1) == '\r') e -= 1 // the "\r\n" pair
+    } else if (e > ds && b(e - 1) == '\r') e -= 1
     e
   }
 

@@ -10,10 +10,12 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.core.{HtmlScanner, NodeType}
 
 /** `html_nodes(html binary)` — a native Catalyst `Generator` (UDTF): one
-  * page row explodes into its flat node rows WITHOUT ever materializing an
-  * `ArrayType` column of all nodes per page (the `udf → array → posexplode`
-  * shape would; on a multi-MB page that array is the biggest allocation in
-  * the plan — SURVEY.md §4.3). Rows stream out of the scanner one at a time.
+  * page row explodes into its flat node rows WITHOUT materializing an
+  * `ArrayType` COLUMN of all nodes per page (the `udf → array → posexplode`
+  * shape serializes the whole array into the row — SURVEY.md §4.3). The
+  * scanner's transient JVM node array still exists for the duration of one
+  * page's iteration; what is avoided is the serialized per-row array and
+  * its copy through the exchange.
   *
   * SQL: `SELECT url, n.* FROM pages LATERAL VIEW html_nodes(html) n`
   *

@@ -60,7 +60,9 @@ object ExtractPipeline {
   }
 
   def extractOne(p: PageSlice): ExtractedRow = {
-    val r = Extractor.extractBytes(p.html)
+    // null html (allowed by the schema) → empty extraction, never an NPE
+    val r = Extractor.extractBytes(
+      if (p.html == null) Array.emptyByteArray else p.html)
     ExtractedRow(p.url, r.text, sha256Hex(r.text),
       r.spans.map(s => SpanRow(s.start, s.end)), r.nodeCount, p.part_id)
   }
@@ -73,6 +75,11 @@ object ExtractPipeline {
                 repartitionSlices: Int = 0): Dataset[ExtractedRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
+    // NOTE: no isNotNull filter here — a Filter between Project and
+    // SerializeFromObject defeats ObjectSerializerPruning on object sources
+    // (warc_ts/text/lang would be serialized just to be dropped). Null html
+    // is handled inside extractOne instead; the batch job additionally
+    // filters nulls at the parquet scan where the predicate pushes down.
     val sliced = withPartId(pages.select(col("url"), col("html")), numParts)
     val spread =
       if (repartitionSlices > 0) sliced.repartition(repartitionSlices, col("url"))

@@ -26,9 +26,13 @@ object ExtractStream {
     */
   def transform(pages: DataFrame, numParts: Int,
                 watermark: String = "1 hour"): Dataset[ExtractedRow] = {
+    // dropDuplicatesWithinWatermark: plain dropDuplicates("url") would keep
+    // every url ever seen in the state store forever (the watermark only
+    // evicts when the event-time column is part of the dedup key) — state
+    // must stay bounded by the watermark horizon on an unbounded crawl feed
     val deduped = pages
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("url")
+      .dropDuplicatesWithinWatermark("url")
     ExtractPipeline.extractDS(deduped, numParts)
   }
 

@@ -17,6 +17,18 @@ class CharsetSpec extends AnyFunSuite {
     assert(CharsetSniffer.sniff("charset please".getBytes) === None)
   }
 
+  test("charset outside a meta tag does not trigger") {
+    assert(CharsetSniffer.sniff(
+      "<!-- charset=iso-8859-1 --><p>utf8 text</p>".getBytes) === None)
+    assert(CharsetSniffer.sniff(
+      "<form accept-charset=\"iso-8859-1\">x</form>".getBytes) === None)
+    assert(CharsetSniffer.sniff(
+      "<script>var charset='koi8-r';</script>".getBytes) === None)
+    // ...but a meta later in the window still wins
+    assert(CharsetSniffer.sniff(
+      "<!-- charset=junk --><meta charset=gbk>".getBytes) === Some("gbk"))
+  }
+
   test("BOMs") {
     assert(CharsetSniffer.sniff(
       Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte, 'x')) === Some("UTF-8"))

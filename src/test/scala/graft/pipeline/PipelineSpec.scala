@@ -112,6 +112,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(analyzed.contains("MapPartitions") || analyzed.contains("mapPartitions"))
   }
 
+  test("null html rows extract to empty text, never NPE") {
+    import spark.implicits._
+    val df = Seq(("u1", "<p>hello world text</p>".getBytes(UTF_8)),
+      ("u2", null: Array[Byte])).toDF("url", "html")
+    val out = ExtractPipeline.extractDS(df, 4).collect()
+    assert(out.length === 2)
+    assert(out.find(_.url == "u2").get.text === "")
+    assert(out.find(_.url == "u1").get.text === "hello world text")
+  }
+
   test("maxDocBytes guard quarantines oversized pages, keeps the rest") {
     val out = Files.createTempDirectory("guard").toString
     val pages = PagesSynth.pagesDF(spark, 300L) // giants at ids 0 and 211
