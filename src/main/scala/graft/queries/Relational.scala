@@ -182,6 +182,17 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy(col("event_id"))
 
+  /** Pivot: per-user event-type counts as columns (explicit value list so
+    * the schema is static — an unlisted pivot scans twice to discover it).
+    */
+  def q40PivotEvents(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** Set op: shard-merge via unionByName + distinct (dedup across shards). */
   def q28UnionShards(s: SparkSession, dir: String): DataFrame = {
     val ev = tbl(s, dir, "events")
@@ -226,6 +237,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_tumbling_window" -> q39TumblingWindow _,
+    "q40_pivot_events" -> q40PivotEvents _,
     "q28_union_shards" -> q28UnionShards _,
     "q29_intersect_users" -> q29IntersectUsers _,
     "q35_distinct_counts" -> q35DistinctCounts _,
@@ -246,6 +258,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_pivot_events" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q39_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         | event_type, COUNT(*) AS cnt,
