@@ -56,26 +56,38 @@ object Extractor {
   private final val FBlock = 2
   private final val FAnchor = 4
 
-  /** Tag → classification bitmask. Keyed on the lowercase names; the scanner
-    * interns common lowercase tags, and `String.toLowerCase` returns `this`
-    * for already-lowercase input, so the hot path does zero allocation.
+  /** Extraction policy — the graft's analog of the reference's
+    * `onIdentifyHtmlTag` extension point [R: HtmlParser.h · onIdentifyHtmlTag]:
+    * consumers tune which subtrees are boilerplate, where blocks break, and
+    * the link-density gate. The flags map is precomputed once per config
+    * instance (reuse one Config across a partition).
     */
-  private val TagFlags: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    DropTags.foreach(t => m.merge(t, FDrop, (a, b) => a | b))
-    BlockTags.foreach(t => m.merge(t, FBlock, (a, b) => a | b))
-    m.merge("a", FAnchor, (a, b) => a | b)
-    m
-  }
-
-  @inline private def flagsOf(name: String): Int = {
-    val f = TagFlags.get(name)
-    if (f != null) f.intValue
-    else {
-      val g = TagFlags.get(name.toLowerCase)
-      if (g != null) g.intValue else 0
+  final case class ExtractConfig(
+      dropTags: Set[String] = DropTags,
+      blockTags: Set[String] = BlockTags,
+      maxLinkDensity: Double = MaxLinkDensity) {
+    private[Extractor] val tagFlags: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      dropTags.foreach(t => m.merge(t.toLowerCase, FDrop, (a, b) => a | b))
+      blockTags.foreach(t => m.merge(t.toLowerCase, FBlock, (a, b) => a | b))
+      m.merge("a", FAnchor, (a, b) => a | b)
+      m
+    }
+    /** Zero-alloc on lowercase names (the scanner interns common lowercase
+      * tags and `String.toLowerCase` returns `this` when unchanged).
+      */
+    @inline private[Extractor] def flagsOf(name: String): Int = {
+      val f = tagFlags.get(name)
+      if (f != null) f.intValue
+      else {
+        val g = tagFlags.get(name.toLowerCase)
+        if (g != null) g.intValue else 0
+      }
     }
   }
+
+  /** The pinned default policy (FIXTURES.md §5 semantics). */
+  val DefaultConfig: ExtractConfig = ExtractConfig()
 
   /** Streaming extraction state machine — one instance per document.
     *
@@ -84,7 +96,7 @@ object Extractor {
     * truncating back to the block's start offset (cheaper than buffering
     * pieces and re-copying every kept byte — kept text is most of the bytes).
     */
-  private final class State {
+  private final class State(cfg: ExtractConfig) {
     private val out = new java.lang.StringBuilder(256)
     private val spans = new ArrayBuffer[Span](32)
 
@@ -100,7 +112,7 @@ object Extractor {
 
     private def flushBlock(): Unit = {
       if (blockNonWs > 0 &&
-          blockAnchorNonWs.toDouble / blockNonWs <= MaxLinkDensity) {
+          blockAnchorNonWs.toDouble / blockNonWs <= cfg.maxLinkDensity) {
         // keep: block bytes are already in place
       } else if (out.length > blockStartLen) {
         // reject: truncate the block (and its '\n' separator) back out
@@ -117,7 +129,7 @@ object Extractor {
       nodeCount += 1
       nd.nodeType match {
         case NodeType.StartTag =>
-          val f = flagsOf(nd.tagName)
+          val f = cfg.flagsOf(nd.tagName)
           if ((f & FDrop) != 0) {
             if (!nd.selfClosing) dropDepth += 1
           } else if ((f & FAnchor) != 0) {
@@ -125,7 +137,7 @@ object Extractor {
           }
           if ((f & FBlock) != 0) flushBlock()
         case NodeType.CloseTag =>
-          val f = flagsOf(nd.tagName)
+          val f = cfg.flagsOf(nd.tagName)
           if ((f & FDrop) != 0) {
             if (dropDepth > 0) dropDepth -= 1 // unbalanced close: ignored
           } else if ((f & FAnchor) != 0) {
@@ -155,20 +167,23 @@ object Extractor {
   }
 
   /** Hot path: fused scan+extract, no node array materialized. */
-  def extractBytes(html: Array[Byte]): ExtractResult = {
-    val st = new State
+  def extractBytes(html: Array[Byte],
+                   cfg: ExtractConfig = DefaultConfig): ExtractResult = {
+    val st = new State(cfg)
     HtmlScanner.scan(html)(nd => { st.accept(nd); true })
     st.finish()
   }
 
-  def extractString(html: String): ExtractResult =
-    extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def extractString(html: String,
+                    cfg: ExtractConfig = DefaultConfig): ExtractResult =
+    extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8), cfg)
 
   /** Array path (analytical view / tests) — identical result to
     * [[extractBytes]] by construction (shared State).
     */
-  def extract(nodes: Array[HNode]): ExtractResult = {
-    val st = new State
+  def extract(nodes: Array[HNode],
+              cfg: ExtractConfig = DefaultConfig): ExtractResult = {
+    val st = new State(cfg)
     var i = 0
     while (i < nodes.length) { st.accept(nodes(i)); i += 1 }
     st.finish()

@@ -47,6 +47,19 @@ class ExtractorSpec extends AnyFunSuite {
     assert(text("<p>a &lt; b &#65;</p>") === "a < b A")
   }
 
+  test("ExtractConfig tunes the policy (keep nav, stricter link gate)") {
+    val html = "<body><nav><p>menu item words here</p></nav>" +
+      "<p>body text with <a href=x>link word</a> plus words</p></body>"
+    val default = Extractor.extractString(html)
+    assert(!default.text.contains("menu"), "default drops nav")
+    val keepNav = Extractor.extractString(html,
+      Extractor.ExtractConfig(dropTags = Extractor.DropTags - "nav"))
+    assert(keepNav.text.contains("menu item words here"))
+    val strict = Extractor.extractString(html,
+      Extractor.ExtractConfig(maxLinkDensity = 0.05))
+    assert(!strict.text.contains("body text"), "strict gate drops linky block")
+  }
+
   test("spans point at raw content bytes of kept nodes") {
     val html = "<p>Hello</p><script>x</script><p>World</p>"
     val r = Extractor.extractString(html)
