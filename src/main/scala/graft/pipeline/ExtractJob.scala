@@ -58,7 +58,11 @@ object ExtractJob {
       maxDocBytes: Long = 512L * 1024 * 1024)
 
   final case class Result(batchesRun: Int, partsCommitted: Seq[Int],
-      oversizedSkipped: Long = 0L)
+      oversizedSkipped: Long = 0L,
+      /** rows observed entering the write (df.observe), summed over batches —
+        * cross-checked against the read-back manifest docs as a write audit
+        */
+      docsObserved: Long = 0L)
 
   def extractedPath(outDir: String) = s"$outDir/extracted"
 
@@ -85,6 +89,7 @@ object ExtractJob {
       if (cfg.repartitionSlices > 0) cfg.repartitionSlices
       else spark.sparkContext.defaultParallelism * 3
     var batchesRun = 0
+    var totalObserved = 0L
     val committed = Seq.newBuilder[Int]
 
     pending.grouped(cfg.batchSize).takeWhile(_ => batchesRun < cfg.maxBatches)
@@ -108,10 +113,17 @@ object ExtractJob {
             } else ExtractPipeline.extractOne(p)
           })
 
+        // streamside metrics (SURVEY.md §2.B.d): observe counts rows as they
+        // flow into the write — no extra pass; compared below against the
+        // committed files as a write audit
+        val obs = org.apache.spark.sql.Observation(s"extract-batch$batchesRun")
         extracted.toDF()
           .filter(col("node_count") >= 0) // drop quarantine markers
+          .observe(obs, count(lit(1)).as("docs"),
+            coalesce(sum(length(col("text"))), lit(0L)).as("text_bytes"))
           .write.mode("overwrite").partitionBy("part_id")
           .parquet(extractedPath(outDir))
+        val observedDocs = obs.get("docs").asInstanceOf[Long]
 
         // exact docs/nodes from the committed files (reads 2 small columns);
         // out_sha = order-independent digest of per-doc text hashes
@@ -124,6 +136,14 @@ object ExtractJob {
           .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getString(3))))
           .toMap
 
+        // write audit: rows that flowed into the write must equal rows read
+        // back from the committed files — a mismatch means lost/duplicated
+        // output (e.g. a partial overwrite) and must not be silently committed
+        val readBack = stats.valuesIterator.map(_._1).sum
+        require(observedDocs == readBack,
+          s"write audit failed for batch $batchesRun: observed $observedDocs rows, read back $readBack")
+        totalObserved += observedDocs
+
         val wallMs = (System.nanoTime() - t0) / 1000000L
         val bytes = bytesAcc.value
         val rows = batch.map { pid =>
@@ -135,6 +155,6 @@ object ExtractJob {
         committed ++= batch
         batchesRun += 1
       }
-    Result(batchesRun, committed.result(), oversized.value)
+    Result(batchesRun, committed.result(), oversized.value, totalObserved)
   }
 }

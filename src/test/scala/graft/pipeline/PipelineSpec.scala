@@ -128,6 +128,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = ExtractJob.run(spark, pages, out,
       ExtractJob.Config(numParts = 4, batchSize = 4, maxDocBytes = 100000L))
     assert(res.oversizedSkipped === 2)
+    assert(res.docsObserved === 298) // observe-based write audit agrees
     val got = spark.read.parquet(ExtractJob.extractedPath(out))
     assert(got.count() === 298)
     assert(got.filter(col("node_count") < 0).count() === 0)
