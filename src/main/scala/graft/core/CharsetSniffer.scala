@@ -36,8 +36,11 @@ object CharsetSniffer {
         case -1 => head.length
         case e  => e
       }
-      val i = head.indexOf("charset", m)
-      if (i >= 0 && i < tagEnd) {
+      // try EVERY "charset" occurrence inside this tag: an earlier attribute
+      // value may contain the word without being a declaration (e.g.
+      // <meta content="charset info" charset=gbk>)
+      var i = head.indexOf("charset", m)
+      while (i >= 0 && i < tagEnd) {
         var j = i + 7
         while (j < tagEnd && head.charAt(j) == ' ') j += 1
         if (j < tagEnd && head.charAt(j) == '=') {
@@ -50,6 +53,7 @@ object CharsetSniffer {
           val name = head.substring(s, j)
           if (name.nonEmpty) return Some(name)
         }
+        i = head.indexOf("charset", i + 7)
       }
       m = head.indexOf("<meta", m + 5)
     }
@@ -62,7 +66,18 @@ object CharsetSniffer {
     */
   def toUtf8(b: Array[Byte]): Array[Byte] =
     sniff(b) match {
-      case Some(name) if !name.equalsIgnoreCase("utf-8") && !name.equalsIgnoreCase("utf8") =>
+      case Some(name) if name.equalsIgnoreCase("utf-16be") || name.equalsIgnoreCase("utf-16le") =>
+        // BOM-detected UTF-16: "UTF-16" (not the BE/LE variants) consumes the
+        // BOM — otherwise U+FEFF re-encodes as EF BB BF and pollutes the
+        // first extracted content block with a ZWNBSP.
+        try new String(b, Charset.forName("UTF-16")).getBytes(StandardCharsets.UTF_8)
+        catch { case _: Exception => b }
+      case Some(name) if name.equalsIgnoreCase("utf-8") || name.equalsIgnoreCase("utf8") =>
+        // strip a UTF-8 BOM on passthrough (same ZWNBSP hazard)
+        if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&
+            (b(2) & 0xFF) == 0xBF) java.util.Arrays.copyOfRange(b, 3, b.length)
+        else b
+      case Some(name) =>
         try {
           val cs = Charset.forName(name)
           new String(b, cs).getBytes(StandardCharsets.UTF_8)

@@ -65,7 +65,8 @@ object Extractor {
   final case class ExtractConfig(
       dropTags: Set[String] = DropTags,
       blockTags: Set[String] = BlockTags,
-      maxLinkDensity: Double = MaxLinkDensity) {
+      maxLinkDensity: Double = MaxLinkDensity,
+      extendedEntities: Boolean = false) {
     private[Extractor] val tagFlags: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       dropTags.foreach(t => m.merge(t.toLowerCase, FDrop, (a, b) => a | b))
@@ -114,8 +115,12 @@ object Extractor {
       if (blockNonWs > 0 &&
           blockAnchorNonWs.toDouble / blockNonWs <= cfg.maxLinkDensity) {
         // keep: block bytes are already in place
-      } else if (out.length > blockStartLen) {
-        // reject: truncate the block (and its '\n' separator) back out
+      } else {
+        // reject: truncate the block (and its '\n' separator) back out.
+        // Unconditional — a block whose pieces decode to empty (e.g. an
+        // empty CDATA before any kept text) adds spans without adding
+        // chars, and those must be rolled back too (spans-compose-text
+        // invariant).
         out.setLength(blockStartLen)
         spans.takeInPlace(spansStart)
       }
@@ -147,7 +152,9 @@ object Extractor {
         case NodeType.Content =>
           if (dropDepth == 0) {
             // nd.text decodes lazily — dropped subtrees never materialize
-            val decoded = if (nd.isCdata) nd.text else Entities.decode(nd.text)
+            val decoded =
+              if (nd.isCdata) nd.text
+              else Entities.decode(nd.text, cfg.extendedEntities)
             val nw = countNonWs(decoded)
             if (out.length == blockStartLen && blockStartLen > 0)
               out.append('\n') // first piece of a non-first block

@@ -49,9 +49,12 @@ case class HtmlNodes(child: Expression) extends Generator
         if (nd.nodeType == NodeType.StartTag) nd.attrs else graft.core.Attrs.Empty
       val keys = new GenericArrayData(
         attrs.map(a => UTF8String.fromString(a.name)).asInstanceOf[Array[Any]])
+      // bare attributes (no `=value`) surface as NULL map values — matching
+      // the typed API (HNode.attr → None) and the reference's NULL-valued
+      // props; `attrs['checked'] IS NULL` distinguishes bare from `=""`
       val vals = new GenericArrayData(
-        attrs.map(a => UTF8String.fromString(if (a.value == null) "" else a.value))
-          .asInstanceOf[Array[Any]])
+        attrs.map(a =>
+          (if (a.value == null) null else UTF8String.fromString(a.value)): Any))
       InternalRow(
         nd.idx,
         UTF8String.fromString(NodeType.name(nd.nodeType)),

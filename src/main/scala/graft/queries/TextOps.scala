@@ -102,20 +102,22 @@ object TextOps {
     * 100×; the production path is q21's LSH banding.
     */
   def q20NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    // |shingles| rides along each exploded row (one extra int through the
+    // shuffle) — round 1 re-joined a broadcast per-doc sizes table, which
+    // is an OOM at any real corpus size and cost 26% of the whole bench.
+    // max(n) per pair group is exact: n is constant within a doc's rows.
+    val ex = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), bigrams(col("text")).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint() // one shingle pass; both self-join sides read it
+    ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .select(col("a_id"), col("b_id"), col("inter"),
         round(lit(1000.0) * col("inter") /
-          (col("sa.n") + col("sb.n") - col("inter"))).cast("long").as("jac_x1000"))
+          (col("na") + col("nb") - col("inter"))).cast("long").as("jac_x1000"))
       .filter(col("jac_x1000") >= 60)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -149,10 +151,13 @@ object TextOps {
 
   /** MinHash LSH candidate pairs: 2 bands × 4 rows; a pair is a candidate if
     * any band matches. Bands are melted to (doc_id, band_idx, digest) rows so
-    * ONE self equi-join on (band_idx, digest) covers all bands — the two join
-    * sides are identical subplans, so Catalyst's ReuseExchange computes the
-    * signatures once. This is the scale path: only same-bucket pairs ever
-    * materialize, never the O(n²) cross product.
+    * ONE self equi-join on (band_idx, digest) covers all bands, and the band
+    * table is MATERIALIZED (localCheckpoint — temp table / checkpoint in
+    * prod) before the self-join: Spark does not reuse a subtree across
+    * build/probe of a self-join, so without this the whole
+    * explode→groupBy signature computation runs twice. This is the scale
+    * path: only same-bucket pairs ever materialize, never the O(n²) cross
+    * product.
     */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = signature(s, dir).select(col("doc_id"),
@@ -160,6 +165,7 @@ object TextOps {
           md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
           md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
       .toDF("doc_id", "band_idx", "digest")
+      .localCheckpoint() // one signature pass
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.digest") === col("b.digest") &&
@@ -189,6 +195,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** 64-bit SimHash production variant with banded hamming pairing: the
+    * 64 md5-derived bits are built directly as [[SimBands]] band values of
+    * [[SimBandBits]] bits each (melted form: doc_id, band_idx, bv — one
+    * explode→groupBy, no 64-bit sign issues in either engine). A pair whose
+    * hamming distance ≤ SimBands-1 must match at least one band exactly
+    * (pigeonhole), so the band equi-join finds every near pair without the
+    * O(n²) cross product — same LSH trick as q22. Candidates then re-join
+    * the (materialized) signature to compute the exact hamming distance via
+    * bit_count(xor); `is_near` flags ham ≤ 3.
+    */
+  def q41SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), md5s(col("tok")).as("h"))
+    // per-(doc, bit) majority vote over token hashes, 64 bits from the
+    // first 16 md5 nibbles
+    val sw = toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, (b div 4)+1, 1)) - 1"))
+      .withColumn("w", expr("2 * (shiftright(v, b % 4) & 1) - 1"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("w")).as("sw"))
+    val bands = sw
+      .groupBy(col("doc_id"), expr(s"cast(b div $SimBandBits as int)").as("band_idx"))
+      .agg(expr(s"sum(case when sw > 0 then cast(shiftleft(1, cast(b % $SimBandBits as int)) as bigint) else 0L end)").as("bv"))
+      .localCheckpoint() // one signature pass feeds join sides AND scoring
+    val sigAggs = (0 until SimBands).map(k =>
+      sum(when(col("band_idx") === k, col("bv")).otherwise(0L)).as(s"s$k"))
+    val sig = bands.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val hamExpr = (0 until SimBands)
+      .map(k => s"bit_count(sa$k ^ sb$k)").mkString(" + ")
+    pairs
+      .join(sig.select(col("doc_id").as("said") +:
+        (0 until SimBands).map(k => col(s"s$k").as(s"sa$k")): _*),
+        col("a_id") === col("said"))
+      .join(sig.select(col("doc_id").as("sbid") +:
+        (0 until SimBands).map(k => col(s"s$k").as(s"sb$k")): _*),
+        col("b_id") === col("sbid"))
+      .select(col("a_id"), col("b_id"),
+        expr(s"cast($hamExpr as bigint)").as("ham"),
+        expr(s"cast($hamExpr as bigint) <= 3").as("is_near"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val SimBits = 64
+  private val SimBandBits = 16
+  private val SimBands = SimBits / SimBandBits
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_dedup_exact" -> q15DedupExact _,
     "q16_token_stats" -> q16TokenStats _,
@@ -199,6 +260,7 @@ object TextOps {
     "q21_minhash_sig" -> q21MinhashSig _,
     "q22_minhash_lsh" -> q22MinhashLsh _,
     "q23_simhash" -> q23Simhash _,
+    "q41_simhash_pairs" -> q41SimhashPairs _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -271,6 +333,30 @@ object TextOps {
          |  UNION ALL
          |  SELECT a.doc_id, b.doc_id FROM bands a
          |   JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q41_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
+         |sw AS (
+         |  SELECT doc_id, b,
+         |   SUM(2 * ((strpos('0123456789abcdef', substr(h, b//4+1, 1))-1 >> (b%4)) & 1) - 1) AS sw
+         |  FROM toks, generate_series(0,${SimBits - 1}) t(b) GROUP BY doc_id, b),
+         |bands AS (
+         |  SELECT doc_id, b//$SimBandBits AS band_idx,
+         |   CAST(SUM(CASE WHEN sw > 0 THEN 1<<(b%$SimBandBits) ELSE 0 END) AS BIGINT) AS bv
+         |  FROM sw GROUP BY doc_id, b//$SimBandBits),
+         |sig AS (
+         |  SELECT doc_id,
+         |   ${(0 until SimBands).map(k => s"CAST(SUM(CASE WHEN band_idx = $k THEN bv ELSE 0 END) AS BIGINT) AS s$k").mkString(",\n   ")}
+         |  FROM bands GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         | CAST(${(0 until SimBands).map(k => s"bit_count(xor(sa.s$k, sb.s$k))").mkString(" + ")} AS BIGINT) AS ham,
+         | CAST(${(0 until SimBands).map(k => s"bit_count(xor(sa.s$k, sb.s$k))").mkString(" + ")} AS BIGINT) <= 3 AS is_near
+         |FROM pairs JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (

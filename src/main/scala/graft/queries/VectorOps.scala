@@ -31,10 +31,22 @@ object VectorOps {
   private def x1000(c: Column): Column = round(lit(1000) * c).cast("long")
 
   /** Sign-LSH bucket from the first `bits` dimensions. */
-  private def bucket(e: Column, bits: Int): Column =
+  private def bucket(e: Column, bits: Int): Column = bucketAt(e, 0, bits)
+
+  /** Sign-LSH band value from dims [offset, offset+bits). */
+  private def bucketAt(e: Column, offset: Int, bits: Int): Column =
     (0 until bits).map(i =>
-      when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      when(element_at(e, offset + i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** Near-dup LSH parameters. At corpus size n the band width should be
+    * chosen so expected bucket occupancy n / 2^bits stays O(1–100) (bucket
+    * count ≫ task count, pairs-per-bucket bounded): 16 bits ⇒ 65 536
+    * buckets/band, fine through ~10M vectors; at 10^9+ widen to 24–32 bits.
+    * More OR-ed bands buy recall at linear candidate cost.
+    */
+  private val NeardupBits = 16
+  private val NeardupBands = 2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings").select(col("vec_id"), embD(), col("label"))
@@ -69,18 +81,38 @@ object VectorOps {
       .limit(5)
   }
 
-  /** Embedding near-dup candidate pairs: 4-bit sign-LSH bucket equi-join,
-    * cosine ≥ 0.25 (the harness vectors are near-random; real near-dups
-    * raise the threshold, not the plan).
+  /** Embedding near-dup candidate pairs, multi-band sign-LSH:
+    * [[NeardupBands]] bands of [[NeardupBits]] hyperplane bits each (dims
+    * 1–16 and 17–32); a pair is a candidate if ANY band matches (OR-ing
+    * buys recall). Plan shape is the 100 TB one: (1) melt per-vector band
+    * values to (vec_id, band_idx, bk) rows — only ids + two ints, never
+    * the vector, cross the pair-join shuffle; (2) one self equi-join on
+    * (band_idx, bk) with 2^16 = 65 536 distinct keys per band ≫ task
+    * count, so no bucket becomes a straggler partition; (3) distinct
+    * candidate pairs re-join the embeddings table twice to score cosine.
+    * `is_neardup` is a flag, not a filter — candidates stay visible.
     */
   def q26EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val b = emb(s, dir).withColumn("bk", bucket(col("e"), 4))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    b.as("a").join(b.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        x1000(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos_x1000"))
-      .filter(col("cos_x1000") >= 250)
+    val e = emb(s, dir)
+    val bands = e.select(col("vec_id"),
+        posexplode(array((0 until NeardupBands).map(k =>
+          bucketAt(col("e"), k * NeardupBits, NeardupBits)): _*)))
+      .toDF("vec_id", "band_idx", "bk")
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val scored = e.select(col("vec_id"), col("e"),
+      sqrt(dot(col("e"), col("e"))).as("nrm"))
+    pairs
+      .join(scored.as("sa"), col("a_id") === col("sa.vec_id"))
+      .join(scored.as("sb"), col("b_id") === col("sb.vec_id"))
+      .select(col("a_id"), col("b_id"),
+        x1000(dot(col("sa.e"), col("sb.e")) /
+          (col("sa.nrm") * col("sb.nrm"))).as("cos_x1000"))
+      .withColumn("is_neardup", col("cos_x1000") >= 250)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -101,8 +133,11 @@ object VectorOps {
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =
+    dkBucketAt(0, bits, e)
+
+  private def dkBucketAt(offset: Int, bits: Int, e: String = "emb"): String =
     (0 until bits).map(i =>
-      s"(CASE WHEN $e[${i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q24_ann_brute" ->
@@ -122,14 +157,21 @@ object VectorOps {
          |   (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv)))) AS BIGINT) AS cos_x1000
          |FROM e, q WHERE bk = qbk ORDER BY cos_x1000 DESC, vec_id LIMIT 5""".stripMargin,
     "q26_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |  ${dkBucket(4)} AS bk FROM embeddings)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         | CAST(round(1000*list_dot_product(a.emb, b.emb) /
-         |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS BIGINT) AS cos_x1000
-         |FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id
-         |WHERE CAST(round(1000*list_dot_product(a.emb, b.emb) /
-         |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))) AS BIGINT) >= 250
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bands AS (
+         |  ${(0 until NeardupBands).map(k =>
+              s"SELECT vec_id, $k AS band_idx, ${dkBucketAt(k * NeardupBits, NeardupBits)} AS bk FROM e")
+              .mkString("\n  UNION ALL\n  ")}),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id,
+         | CAST(round(1000*list_dot_product(ea.emb, eb.emb) /
+         |   (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) AS BIGINT) AS cos_x1000,
+         | CAST(round(1000*list_dot_product(ea.emb, eb.emb) /
+         |   (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)))) AS BIGINT) >= 250 AS is_neardup
+         |FROM pairs JOIN e ea ON a_id = ea.vec_id JOIN e eb ON b_id = eb.vec_id
          |ORDER BY a_id, b_id""".stripMargin,
     "q27_vector_stats" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -48,6 +48,34 @@ class CharsetSpec extends AnyFunSuite {
       "<meta charset=bogus-enc-9>x".getBytes)
   }
 
+  test("charset word in an earlier attribute value does not mask the real declaration") {
+    // the first "charset" occurrence inside the tag is not followed by '=',
+    // but the real declaration later in the SAME tag must still win
+    assert(CharsetSniffer.sniff(
+      "<meta content=\"charset info\" charset=gbk>".getBytes) === Some("gbk"))
+    assert(CharsetSniffer.sniff(
+      "<meta name=\"charset-hint\" content=\"text/html; charset=ISO-8859-1\">".getBytes)
+      === Some("iso-8859-1"))
+  }
+
+  test("UTF-16 BOM is consumed on transcode; UTF-8 BOM stripped on passthrough") {
+    val html = "<p>hi</p>"
+    // UTF-16 with BOM (String.getBytes("UTF-16") emits a BE BOM)
+    val be = html.getBytes("UTF-16")
+    val outBe = CharsetSniffer.toUtf8(be)
+    assert(new String(outBe, StandardCharsets.UTF_8) === html,
+      "no U+FEFF may survive the transcode")
+    assert(Extractor.extractBytes(outBe).text === "hi")
+    // explicit LE BOM
+    val leBody = html.getBytes(StandardCharsets.UTF_16LE)
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ leBody
+    assert(new String(CharsetSniffer.toUtf8(le), StandardCharsets.UTF_8) === html)
+    // UTF-8 BOM: passthrough must drop the 3 BOM bytes
+    val u8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      html.getBytes(StandardCharsets.UTF_8)
+    assert(new String(CharsetSniffer.toUtf8(u8), StandardCharsets.UTF_8) === html)
+  }
+
   test("never throws on garbage") {
     val r = new scala.util.Random(11)
     (0 until 2000).foreach { _ =>

@@ -74,6 +74,29 @@ class ExtractorSpec extends AnyFunSuite {
     assert(text(html) === "one\ntwo")
   }
 
+  test("rejected block with empty-decoding pieces leaks no spans") {
+    // an empty CDATA before any kept text: the block is rejected (zero
+    // non-ws chars) and its span must be rolled back — text=="" AND
+    // spans==empty (the spans-compose-text invariant)
+    val r = Extractor.extractString("<![CDATA[]]>")
+    assert(r.text === "")
+    assert(r.spans.isEmpty)
+    // same inside a page with later kept content
+    val r2 = Extractor.extractString("<p><![CDATA[]]></p><p>keep</p>")
+    assert(r2.text === "keep")
+    val composed = "<p><![CDATA[]]></p><p>keep</p>"
+    assert(r2.spans.map(s => composed.substring(s.start, s.end)).mkString === "keep")
+  }
+
+  test("extended entities: opt-in decodes WHATWG-core names, default verbatim") {
+    val html = "<p>&copy; 2024 &mdash; caf&eacute;&hellip; &bogus; &amp;</p>"
+    // pinned default: only the 5-entity set decodes
+    assert(text(html) === "&copy; 2024 &mdash; caf&eacute;&hellip; &bogus; &")
+    val ext = Extractor.extractString(html,
+      Extractor.ExtractConfig(extendedEntities = true))
+    assert(ext.text === "© 2024 — café… &bogus; &")
+  }
+
   test("E-05 giant page extracts correctly") {
     val paraText = "Some real sentence with enough words to keep. "
     val para = s"<p>$paraText</p>"

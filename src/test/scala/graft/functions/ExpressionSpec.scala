@@ -125,9 +125,25 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getBoolean(4) === nd.selfClosing)
       assert(row.getInt(5) === nd.start && row.getInt(6) === nd.end)
       if (nd.nodeType == graft.core.NodeType.StartTag)
-        assert(Option(row.getString(7)) === nd.attr("href").orElse(
-          if (nd.attrs.exists(_.name.equalsIgnoreCase("href"))) Some("") else None))
+        // bare attributes are NULL map values — identical to the typed API
+        assert(Option(row.getString(7)) === nd.attr("href"))
     }
+  }
+
+  test("bare attribute surfaces as NULL map value, empty-valued as ''") {
+    val s = spark
+    import s.implicits._
+    Seq(("u", "<input checked disabled=\"\" name=x>".getBytes("UTF-8")))
+      .toDF("url", "html").createOrReplaceTempView("pages_bare")
+    val row = spark.sql(
+      """SELECT n.attrs['checked'] AS c, n.attrs['disabled'] AS d,
+        |       n.attrs['name'] AS nm, n.attrs['nope'] AS missing
+        |FROM pages_bare LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START'""".stripMargin).collect()(0)
+    assert(row.isNullAt(0), "bare attr must be NULL, not ''")
+    assert(row.getString(1) === "", "explicit empty value stays ''")
+    assert(row.getString(2) === "x")
+    assert(row.isNullAt(3))
   }
 
   test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
