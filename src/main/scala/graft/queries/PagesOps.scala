@@ -74,7 +74,12 @@ object PagesOps {
       .orderBy(col("url"), col("idx"))
   }
 
-  /** Corpus tag histogram from the node table — explode + hash agg. */
+  /** Corpus tag histogram from the node table — explode + hash agg.
+    * Composes on q31 (Catalyst eliminates q31's global sort under the
+    * aggregate); the pages are re-parsed here, which is the point of the
+    * query — at production scale the node table would be a materialized
+    * intermediate, not a re-parse.
+    */
   def q32TagHistogram(s: SparkSession, dir: String): DataFrame =
     q31NodeTable(s, dir)
       .filter(col("ntype") === "START")

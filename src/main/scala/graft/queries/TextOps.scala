@@ -210,17 +210,23 @@ object TextOps {
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), md5s(col("tok")).as("h"))
-    // per-(doc, bit) majority vote over token hashes, 64 bits from the
-    // first 16 md5 nibbles
+    // per-(doc, nibble-position) majority vote: explode only the 16 nibble
+    // positions and compute the nibble's 4 bit-sums as parallel aggregates
+    // (4× fewer exploded rows than one-row-per-bit; bit b = 4p+k, so the
+    // cheap post-aggregation melt below restores per-bit granularity)
+    val swAggs = (0 until 4).map(k =>
+      sum(expr(s"2 * (shiftright(v, $k) & 1) - 1")).as(s"sw$k"))
     val sw = toks
       .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
-      .withColumn("v", expr("instr('0123456789abcdef', substring(h, (b div 4)+1, 1)) - 1"))
-      .withColumn("w", expr("2 * (shiftright(v, b % 4) & 1) - 1"))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("w")).as("sw"))
+        explode(sequence(lit(0), lit(SimBits / 4 - 1))).as("p"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, p+1, 1)) - 1"))
+      .groupBy(col("doc_id"), col("p")).agg(swAggs.head, swAggs.tail: _*)
     val bands = sw
-      .groupBy(col("doc_id"), expr(s"cast(b div $SimBandBits as int)").as("band_idx"))
-      .agg(expr(s"sum(case when sw > 0 then cast(shiftleft(1, cast(b % $SimBandBits as int)) as bigint) else 0L end)").as("bv"))
+      .select(col("doc_id"), col("p"),
+        posexplode(array((0 until 4).map(k => col(s"sw$k")): _*)))
+      .toDF("doc_id", "p", "k", "sw")
+      .groupBy(col("doc_id"), expr(s"cast((4*p+k) div $SimBandBits as int)").as("band_idx"))
+      .agg(expr(s"sum(case when sw > 0 then cast(shiftleft(1, cast((4*p+k) % $SimBandBits as int)) as bigint) else 0L end)").as("bv"))
       .localCheckpoint() // one signature pass feeds join sides AND scoring
     val sigAggs = (0 until SimBands).map(k =>
       sum(when(col("band_idx") === k, col("bv")).otherwise(0L)).as(s"s$k"))

@@ -33,7 +33,14 @@ object ExtractStream {
     val deduped = pages
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("url")
+    // per-micro-batch metrics surface through StreamingQueryProgress
+    // .observedMetrics (same counters the batch job records per partition
+    // in its manifest) — zero extra pass, computed inside the sink stage
     ExtractPipeline.extractDS(deduped, numParts)
+      .observe("extract_metrics",
+        count(lit(1)).as("docs"),
+        sum(col("node_count")).as("nodes"),
+        sum(length(col("text"))).as("text_chars"))
   }
 
   /** Start the stream from a directory of pages-parquet files (the sandbox

@@ -49,5 +49,15 @@ class ExtractStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(streamed.size === 120, "dedup must drop re-delivered captures")
     assert(streamed === batch)
+
+    // observe-based stream metrics: summed across micro-batches they must
+    // account for every extracted (post-dedup) document
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("extract_metrics")))
+    assert(observed.nonEmpty, "extract_metrics missing from stream progress")
+    val docs = observed.map(_.getAs[Long]("docs")).sum
+    val nodes = observed.map(_.getAs[Long]("nodes")).sum
+    assert(docs === 120L, s"observed docs=$docs")
+    assert(nodes > 0L)
   }
 }
