@@ -67,11 +67,20 @@ object CharsetSniffer {
   def toUtf8(b: Array[Byte]): Array[Byte] =
     sniff(b) match {
       case Some(name) if name.equalsIgnoreCase("utf-16be") || name.equalsIgnoreCase("utf-16le") =>
-        // BOM-detected UTF-16: "UTF-16" (not the BE/LE variants) consumes the
-        // BOM — otherwise U+FEFF re-encodes as EF BB BF and pollutes the
-        // first extracted content block with a ZWNBSP.
-        try new String(b, Charset.forName("UTF-16")).getBytes(StandardCharsets.UTF_8)
-        catch { case _: Exception => b }
+        // Only an ACTUAL BOM justifies a UTF-16 decode; a meta-DECLARED
+        // utf-16 on BOM-less bytes is by construction wrong (the ASCII
+        // prescan found the tag, so the bytes aren't UTF-16) — WHATWG maps
+        // such declarations to UTF-8, i.e. pass through unchanged.
+        val hasBom = b.length >= 2 &&
+          (((b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF) ||
+           ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE))
+        if (!hasBom) b
+        else
+          // "UTF-16" (not the BE/LE variants) consumes the BOM — otherwise
+          // U+FEFF re-encodes as EF BB BF and pollutes the first extracted
+          // content block with a ZWNBSP.
+          try new String(b, Charset.forName("UTF-16")).getBytes(StandardCharsets.UTF_8)
+          catch { case _: Exception => b }
       case Some(name) if name.equalsIgnoreCase("utf-8") || name.equalsIgnoreCase("utf8") =>
         // strip a UTF-8 BOM on passthrough (same ZWNBSP hazard)
         if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&

@@ -62,8 +62,9 @@ object PagesOps {
       .withColumn("part_id", lit(0))
       .as[PageSlice]
       .flatMap { p =>
-        val len = if (p.html == null) 0 else p.html.length
-        HtmlScanner.parse(p.html).iterator.map { nd =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        val len = bytes.length
+        HtmlScanner.parse(bytes).iterator.map { nd =>
           NodeRow(p.url, nd.idx, NodeType.name(nd.nodeType), nd.tagName,
             nd.selfClosing, nd.isCdata, nd.start, nd.end,
             if (nd.nodeType == NodeType.StartTag) nd.attrs.length else 0,

@@ -98,6 +98,7 @@ object VectorOps {
         posexplode(array((0 until NeardupBands).map(k =>
           bucketAt(col("e"), k * NeardupBits, NeardupBits)): _*)))
       .toDF("vec_id", "band_idx", "bk")
+      .localCheckpoint() // one embeddings scan + band melt for both join sides
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bk") === col("b.bk") &&

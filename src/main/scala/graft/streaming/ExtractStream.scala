@@ -39,8 +39,10 @@ object ExtractStream {
     ExtractPipeline.extractDS(deduped, numParts)
       .observe("extract_metrics",
         count(lit(1)).as("docs"),
-        sum(col("node_count")).as("nodes"),
-        sum(length(col("text"))).as("text_chars"))
+        // coalesce: an all-dropped micro-batch (every row deduped away)
+        // must report 0, not null — same guard as the batch job's observe
+        coalesce(sum(col("node_count")), lit(0L)).as("nodes"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("text_chars"))
   }
 
   /** Start the stream from a directory of pages-parquet files (the sandbox

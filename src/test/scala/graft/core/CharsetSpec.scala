@@ -76,6 +76,16 @@ class CharsetSpec extends AnyFunSuite {
     assert(new String(CharsetSniffer.toUtf8(u8), StandardCharsets.UTF_8) === html)
   }
 
+  test("meta-declared utf-16 on BOM-less bytes passes through (WHATWG rule)") {
+    // mislabeled page: ASCII bytes declaring utf-16le — a UTF-16 decode
+    // would turn every byte pair into a CJK char; WHATWG maps the
+    // declaration to UTF-8, so bytes must pass through unchanged
+    val raw = "<meta charset=utf-16le><p>plain ascii</p>"
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(CharsetSniffer.toUtf8(raw) sameElements raw)
+    assert(Extractor.extractBytes(CharsetSniffer.toUtf8(raw)).text === "plain ascii")
+  }
+
   test("never throws on garbage") {
     val r = new scala.util.Random(11)
     (0 until 2000).foreach { _ =>
