@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed `Aggregator` UDAF (SURVEY.md §2.C / §4.3): approximate
+  * quantiles via a fixed-width histogram sketch — `$100`-wide bins of a
+  * price-like double, quantile = lower-bound bin of the smallest bin whose
+  * cumulative count reaches the target rank (integer rank arithmetic:
+  * `100*cum >= pct*total`, so Spark and a SQL oracle agree exactly with no
+  * float-rounding hazard).
+  *
+  * Scale properties (why a sketch, not `percentile_approx`-style sorting):
+  * state is one (bin → count) map whose size is bounded by the value range,
+  * independent of row count; `merge` is additive, so partial aggregation
+  * (map-side combine) applies and a 100 TB quantile costs one hash
+  * aggregation pass — no global sort, no per-group value buffering.
+  */
+object HistQuantile extends Aggregator[Double, Map[Long, Long], Seq[Long]] {
+
+  final val BinWidth = 100.0
+  final val Pcts: Seq[Long] = Seq(50L, 90L, 99L)
+
+  def binOf(x: Double): Long = math.floor(x / BinWidth).toLong
+
+  override def zero: Map[Long, Long] = Map.empty
+
+  override def reduce(m: Map[Long, Long], x: Double): Map[Long, Long] = {
+    val b = binOf(x)
+    m.updated(b, m.getOrElse(b, 0L) + 1L)
+  }
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    if (a.size < b.size) merge(b, a)
+    else b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+
+  /** Lower-bound bin per requested percentile (Pcts order); empty input →
+    * all -1 (never happens under a groupBy with ≥1 row per group).
+    */
+  override def finish(m: Map[Long, Long]): Seq[Long] = {
+    if (m.isEmpty) return Pcts.map(_ => -1L)
+    val total = m.valuesIterator.sum
+    val sorted = m.toSeq.sortBy(_._1)
+    Pcts.map { pct =>
+      var cum = 0L
+      var ans = sorted.last._1
+      val it = sorted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (bin, cnt) = it.next()
+        cum += cnt
+        if (100L * cum >= pct * total) { ans = bin; found = true }
+      }
+      ans
+    }
+  }
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+
+  /** Untyped-DataFrame form: `df.agg(HistQuantile.udafColumn(col("x")))`. */
+  def udafColumn(c: Column): Column = udaf(this, Encoders.scalaDouble)(c)
+}

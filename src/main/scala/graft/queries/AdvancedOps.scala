@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.HistQuantile
+
+/** SURVEY.md §2.C gap-closers: the operator classes the reference has no
+  * counterpart for but a production engine needs — temporal theta joins
+  * (as-of, range) expressed as shuffle-safe compositions of built-ins, and
+  * a custom typed `Aggregator` UDAF. Every query keeps the repo's oracle
+  * determinism rules (integer outputs, unique-key ORDER BY).
+  *
+  * Scale notes:
+  *  - q42 as-of: the classic union+window formulation — ONE shuffle on the
+  *    user key, no range-join explosion, no per-row subquery. State per key
+  *    is O(1) (carry-forward of the latest order), so a 10^12-row event
+  *    table is fine as long as single keys fit a partition (salt hot users
+  *    upstream if not).
+  *  - q43 range: interval-bucketed equi-join — each 1-hour window covers
+  *    ≤2 hour-buckets, so the join key is (user, bucket) with cardinality
+  *    ≈ users × hours, and the residual timestamp filter runs only on
+  *    same-bucket candidates. Never the O(n·m) theta product a naive
+  *    `ts BETWEEN` join would plan (Spark turns a pure range predicate
+  *    into BroadcastNestedLoopJoin — fine for a broadcast-able side, fatal
+  *    for two big ones).
+  *  - q44 UDAF: fixed-width histogram sketch — constant-size state per
+  *    group, partial-mergeable (map-side combine works), so quantiles at
+  *    100 TB cost one hash aggregation, not a global sort.
+  */
+object AdvancedOps {
+  import Q._
+
+  /** As-of join: each event is matched to the user's most recent order at
+    * or before the event time (`o_orderdate <= ts`, latest wins; orderkey
+    * ties at the winning date resolve to max — deterministic).
+    */
+  def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    // orders pre-aggregated per (user, date): makes the carry-forward value
+    // unique per event regardless of orderkey ties at the same date
+    val byDate = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("t"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    val left = byDate.select(col("uid"), col("t"), lit(0).as("side"),
+      col("okey"), lit(null).cast("long").as("event_id"))
+    val right = tbl(s, dir, "events").select(col("user_id").as("uid"),
+      col("ts").as("t"), lit(1).as("side"),
+      lit(null).cast("long").as("okey"), col("event_id"))
+    // side=0 sorts before side=1 at equal time, so an order dated exactly
+    // at the event timestamp is visible to that event (<= semantics)
+    val w = Window.partitionBy(col("uid")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("asof_date",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("asof_date"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val BucketSec = 3600L
+
+  /** Range join: per purchase event, the count and value of the same user's
+    * OTHER events inside the following hour `(ts, ts + 1 hour)`. Only
+    * purchases with ≥1 follow-up event appear.
+    */
+  def q43RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    // a 1-hour window spans at most 2 hour-buckets — explode those on the
+    // interval (purchase) side; the point (event) side keys on its bucket
+    val purchases = tbl(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"),
+        explode(array_distinct(array(
+          floor(unix_timestamp(col("ts")) / BucketSec),
+          floor((unix_timestamp(col("ts")) + BucketSec - 1) / BucketSec)
+        ))).as("bk"))
+    val events = tbl(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("v_cents"),
+        floor(unix_timestamp(col("ts")) / BucketSec).as("bk"))
+    purchases.join(events,
+        col("p_uid") === col("user_id") && purchases("bk") === events("bk") &&
+          col("ts") > col("p_ts") &&
+          col("ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_follow"), sum(col("v_cents")).as("val_cents"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Custom typed Aggregator UDAF: histogram-sketch quantiles (p50/p90/p99
+    * lower-bound bins, $100-wide) of order value per priority class.
+    */
+  def q44QuantileUdaf(s: SparkSession, dir: String): DataFrame = {
+    val hq = HistQuantile.udafColumn(col("o_totalprice"))
+    tbl(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("cnt"), hq.as("q"))
+      .select(col("pri"), col("cnt"),
+        col("q").getItem(0).as("p50_bin"),
+        col("q").getItem(1).as("p90_bin"),
+        col("q").getItem(2).as("p99_bin"))
+      .orderBy(col("pri"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_asof_join" -> q42AsofJoin _,
+    "q43_range_join" -> q43RangeJoin _,
+    "q44_quantile_udaf" -> q44QuantileUdaf _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q42_asof_join" ->
+      """WITH lastd AS (
+        |  SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_date
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  GROUP BY e.event_id, e.user_id)
+        |SELECT l.event_id, l.asof_date, max(o2.o_orderkey) AS asof_orderkey
+        |FROM lastd l LEFT JOIN orders o2
+        |  ON o2.o_custkey = l.user_id AND o2.o_orderdate = l.asof_date
+        |GROUP BY l.event_id, l.asof_date
+        |ORDER BY l.event_id""".stripMargin,
+    "q43_range_join" ->
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_follow,
+        | CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND e.user_id = p.user_id
+        | AND e.ts > p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q44_quantile_udaf" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS pri,
+        |         CAST(floor(o_totalprice/100) AS BIGINT) AS bin
+        |  FROM orders),
+        |c AS (SELECT pri, bin, COUNT(*) AS cnt FROM b GROUP BY pri, bin),
+        |t AS (SELECT pri, bin,
+        |        SUM(cnt) OVER (PARTITION BY pri ORDER BY bin) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY pri) AS tot
+        |      FROM c)
+        |SELECT pri, CAST(max(tot) AS BIGINT) AS cnt,
+        |  min(CASE WHEN cum*100 >= 50*tot THEN bin END) AS p50_bin,
+        |  min(CASE WHEN cum*100 >= 90*tot THEN bin END) AS p90_bin,
+        |  min(CASE WHEN cum*100 >= 99*tot THEN bin END) AS p99_bin
+        |FROM t GROUP BY pri ORDER BY pri""".stripMargin,
+  )
+}

@@ -146,6 +146,21 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(3))
   }
 
+  test("q42 as-of join plans as union+window, never a nested-loop theta join") {
+    val plan = graft.queries.AdvancedOps.q42AsofJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q43 range join plans as a bucketed equi-join, not a theta product") {
+    val plan = graft.queries.AdvancedOps.q43RangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.q09TopkOrders(spark, sfDir)
       .queryExecution.executedPlan.toString
