@@ -100,7 +100,7 @@ object Extractor {
   // NOTE (measured): pre-sizing `out` from html.length/2 is ~20% SLOWER —
   // boilerplate-heavy pages keep far less text than half the bytes, so the
   // up-front char[] zeroing costs more than the few doubling copies. 256 it is.
-  private final class State(cfg: ExtractConfig) {
+  private final class State(cfg: ExtractConfig, forceExactCount: Boolean = false) {
     private val out = new java.lang.StringBuilder(256)
     private val spans = new ArrayBuffer[Span](32)
 
@@ -118,7 +118,7 @@ object Extractor {
     private var blockHasText = false
     // a negative maxLinkDensity (reject-everything config) breaks the
     // "anchor-free ⇒ ratio 0 ⇒ keep" shortcut; fall back to exact counting
-    private val fastGate = cfg.maxLinkDensity >= 0
+    private val fastGate = !forceExactCount && cfg.maxLinkDensity >= 0
 
     private var dropDepth = 0
     private var anchorDepth = 0
@@ -216,6 +216,18 @@ object Extractor {
   def extractString(html: String,
                     cfg: ExtractConfig = DefaultConfig): ExtractResult =
     extractBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8), cfg)
+
+  /** Test-only reference path: always-exact per-piece counting (the
+    * pre-optimization semantics); the fast-path equivalence property pins
+    * extract == extractExact on arbitrary input.
+    */
+  private[core] def extractStringExact(html: String,
+                                       cfg: ExtractConfig = DefaultConfig): ExtractResult = {
+    val st = new State(cfg, forceExactCount = true)
+    HtmlScanner.scan(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))(
+      nd => { st.accept(nd); true })
+    st.finish()
+  }
 
   /** Array path (analytical view / tests) — identical result to
     * [[extractBytes]] by construction (shared State).

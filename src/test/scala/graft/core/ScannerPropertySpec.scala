@@ -28,7 +28,7 @@ class ScannerPropertySpec extends AnyFunSuite {
       Gen.oneOf("<", ">", "</", "<!--", "-->", "<![CDATA[", "]]>", "<!",
         "<?", "\"", "'", "=", "/", " ", "\n", "&amp;", "&#65;", "&",
         "<p>", "</p>", "<script>", "</script>", "<br/>",
-        "<a href=\"x\">", "你", "🙂"))
+        "<a href=\"x\">", "</a>", "<div>", "</div>", "你", "🙂"))
     Gen.listOf(frag).map(_.mkString)
   }
 
@@ -93,6 +93,15 @@ class ScannerPropertySpec extends AnyFunSuite {
       fused.text == array.text &&
         fused.spans.toList == array.spans.toList &&
         fused.nodeCount == array.nodeCount
+    })
+  }
+
+  test("lazy-count fast path equals always-exact counting") {
+    check("fast == exact", Prop.forAll(htmlish) { s =>
+      val fast = Extractor.extractString(s)
+      val exact = Extractor.extractStringExact(s)
+      fast.text == exact.text && fast.spans.toList == exact.spans.toList &&
+        fast.nodeCount == exact.nodeCount
     })
   }
 
