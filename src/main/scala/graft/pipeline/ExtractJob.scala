@@ -55,7 +55,15 @@ object ExtractJob {
         * executors (and byte offsets are Int-bounded) — route them to a
         * quarantine pass instead of the main job.
         */
-      maxDocBytes: Long = 512L * 1024 * 1024)
+      maxDocBytes: Long = 512L * 1024 * 1024,
+      /** boilerplate-strip policy for this job (tag sets, link gate,
+        * entity set) — defaults to the fixture-pinned policy
+        */
+      extract: graft.core.Extractor.ExtractConfig = graft.core.Extractor.DefaultConfig,
+      /** opt-in: sniff + transcode non-UTF-8 pages before scanning; span
+        * offsets then index the transcoded bytes (ExtractPipeline note)
+        */
+      transcodeNonUtf8: Boolean = false)
 
   final case class Result(batchesRun: Int, partsCommitted: Seq[Int],
       oversizedSkipped: Long = 0L,
@@ -110,7 +118,7 @@ object ExtractJob {
               // pathological-page guard: quarantine marker, dropped below
               oversized.add(1L)
               ExtractedRow(p.url, "", "", Array.empty, -1, p.part_id)
-            } else ExtractPipeline.extractOne(p)
+            } else ExtractPipeline.extractOne(p, cfg.extract, cfg.transcodeNonUtf8)
           })
 
         // streamside metrics (SURVEY.md §2.B.d): observe counts rows as they

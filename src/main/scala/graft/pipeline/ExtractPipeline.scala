@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Extractor
+import graft.core.{CharsetSniffer, Extractor}
 
 final case class SpanRow(start: Int, end: Int)
 
@@ -59,10 +59,20 @@ object ExtractPipeline {
     new String(out)
   }
 
-  def extractOne(p: PageSlice): ExtractedRow = {
+  def extractOne(p: PageSlice): ExtractedRow =
+    extractOne(p, Extractor.DefaultConfig, transcodeNonUtf8 = false)
+
+  /** `extractCfg` tunes the boilerplate-strip policy (tag sets, link gate,
+    * entity set); `transcodeNonUtf8` opt-in runs [[CharsetSniffer.toUtf8]]
+    * first — NOTE: span offsets then index the TRANSCODED bytes, not the
+    * raw crawl bytes (the pinned default keeps raw-byte offsets).
+    */
+  def extractOne(p: PageSlice, extractCfg: Extractor.ExtractConfig,
+                 transcodeNonUtf8: Boolean): ExtractedRow = {
     // null html (allowed by the schema) → empty extraction, never an NPE
-    val r = Extractor.extractBytes(
-      if (p.html == null) Array.emptyByteArray else p.html)
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    val bytes = if (transcodeNonUtf8) CharsetSniffer.toUtf8(raw) else raw
+    val r = Extractor.extractBytes(bytes, extractCfg)
     ExtractedRow(p.url, r.text, sha256Hex(r.text),
       r.spans.map(s => SpanRow(s.start, s.end)), r.nodeCount, p.part_id)
   }
@@ -72,7 +82,9 @@ object ExtractPipeline {
     * <= 0 skips the explicit exchange (callers that already partitioned).
     */
   def extractDS(pages: DataFrame, numParts: Int,
-                repartitionSlices: Int = 0): Dataset[ExtractedRow] = {
+                repartitionSlices: Int = 0,
+                extractCfg: Extractor.ExtractConfig = Extractor.DefaultConfig,
+                transcodeNonUtf8: Boolean = false): Dataset[ExtractedRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
     // NOTE: no isNotNull filter here — a Filter between Project and
@@ -84,10 +96,13 @@ object ExtractPipeline {
     val spread =
       if (repartitionSlices > 0) sliced.repartition(repartitionSlices, col("url"))
       else sliced
-    spread.as[PageSlice].mapPartitions(_.map(extractOne))
+    spread.as[PageSlice]
+      .mapPartitions(_.map(extractOne(_, extractCfg, transcodeNonUtf8)))
   }
 
   def extractDF(pages: DataFrame, numParts: Int,
-                repartitionSlices: Int = 0): DataFrame =
-    extractDS(pages, numParts, repartitionSlices).toDF()
+                repartitionSlices: Int = 0,
+                extractCfg: Extractor.ExtractConfig = Extractor.DefaultConfig,
+                transcodeNonUtf8: Boolean = false): DataFrame =
+    extractDS(pages, numParts, repartitionSlices, extractCfg, transcodeNonUtf8).toDF()
 }

@@ -25,7 +25,9 @@ object ExtractStream {
     * typed extraction map.
     */
   def transform(pages: DataFrame, numParts: Int,
-                watermark: String = "1 hour"): Dataset[ExtractedRow] = {
+                watermark: String = "1 hour",
+                extractCfg: graft.core.Extractor.ExtractConfig =
+                  graft.core.Extractor.DefaultConfig): Dataset[ExtractedRow] = {
     // dropDuplicatesWithinWatermark: plain dropDuplicates("url") would keep
     // every url ever seen in the state store forever (the watermark only
     // evicts when the event-time column is part of the dedup key) — state
@@ -36,7 +38,7 @@ object ExtractStream {
     // per-micro-batch metrics surface through StreamingQueryProgress
     // .observedMetrics (same counters the batch job records per partition
     // in its manifest) — zero extra pass, computed inside the sink stage
-    ExtractPipeline.extractDS(deduped, numParts)
+    ExtractPipeline.extractDS(deduped, numParts, extractCfg = extractCfg)
       .observe("extract_metrics",
         count(lit(1)).as("docs"),
         // coalesce: an all-dropped micro-batch (every row deduped away)

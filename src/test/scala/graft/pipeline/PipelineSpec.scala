@@ -122,6 +122,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.find(_.url == "u1").get.text === "hello world text")
   }
 
+  test("extraction policy and transcode opt-in flow through the pipeline") {
+    import spark.implicits._
+    import graft.core.Extractor
+    val html = "<nav><p>menu words here now</p></nav><p>&copy; body text words</p>"
+    val latin1 = ("<meta charset=iso-8859-1>" + html)
+      .replace("body", "café").getBytes("ISO-8859-1")
+    val df = Seq(("u1", html.getBytes(UTF_8)), ("u2", latin1)).toDF("url", "html")
+    // default policy: nav dropped, &copy; verbatim, no transcode
+    val d = ExtractPipeline.extractDS(df, 2).collect().map(r => r.url -> r.text).toMap
+    assert(d("u1") === "&copy; body text words")
+    assert(!d("u2").contains("café"), "no transcode by default")
+    // custom policy: keep nav, extended entities, transcode Latin-1
+    val cfg = Extractor.ExtractConfig(
+      dropTags = Extractor.DropTags - "nav", extendedEntities = true)
+    val c = ExtractPipeline
+      .extractDS(df, 2, extractCfg = cfg, transcodeNonUtf8 = true)
+      .collect().map(r => r.url -> r.text).toMap
+    assert(c("u1") === "menu words here now\n© body text words")
+    assert(c("u2").contains("café"), s"transcode failed: ${c("u2")}")
+  }
+
   test("maxDocBytes guard quarantines oversized pages, keeps the rest") {
     val out = Files.createTempDirectory("guard").toString
     val pages = PagesSynth.pagesDF(spark, 300L) // giants at ids 0 and 211
