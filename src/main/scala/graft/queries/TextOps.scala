@@ -195,6 +195,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Production MinHash candidate-pair entry point (not a driver query —
+    * q22 keeps fixed 2×4 banding for its static oracle): the banding is
+    * derived from the TARGET JACCARD THRESHOLD via [[LshParams.minhashBands]]
+    * (S-curve inversion, b ≈ t^-r), so recall is a parameter instead of a
+    * constant. Same scale-safe shape as q22: melted bands, materialized
+    * once, one self equi-join — candidates only, never all-pairs.
+    */
+  def minhashCandidates(docs: org.apache.spark.sql.DataFrame,
+                        threshold: Double,
+                        rowsPerBand: Int = 4): org.apache.spark.sql.DataFrame = {
+    val bands = LshParams.minhashBands(threshold, rowsPerBand)
+    val numHashes = bands * rowsPerBand
+    val ex = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
+    val aggs = (0 until numHashes).map(i => min(seededHash(i, col("s"))).as(s"h$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      md5s(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)))
+    val melted = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_idx", "digest")
+      .localCheckpoint()
+    melted.as("a").join(melted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** 64-bit SimHash production variant with banded hamming pairing: the
     * 64 md5-derived bits are built directly as [[SimBands]] band values of
     * [[SimBandBits]] bits each (melted form: doc_id, band_idx, bv — one

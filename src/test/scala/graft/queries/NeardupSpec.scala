@@ -47,4 +47,26 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = VectorOps.neardupPairs(df, dims).count()
     assert(all < 220L * 219L / 2 / 4, s"candidate set too dense: $all")
   }
+
+  test("threshold-derived MinHash banding finds planted duplicate docs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lumen", "metric", "nova", "orbit")
+    def doc(): String =
+      Seq.fill(60)(words(rnd.nextInt(words.length))).mkString(" ")
+    val base = (0L until 100L).map(i => (i, doc()))
+    // planted near-dups: same doc with one word changed (Jaccard >> 0.8)
+    val dups = (0L until 10L).map { i =>
+      val src = base(i.toInt * 9 % 100)._2
+      (100L + i, src.replaceFirst("\\w+", "changed"))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val got = TextOps.minhashCandidates(df, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i * 9 % 100, 100L + i)).toSet
+    assert(planted.subsetOf(got), s"missing: ${planted -- got}")
+    assert(got.size < 110 * 109 / 2 / 4, s"candidate set too dense: ${got.size}")
+  }
 }
