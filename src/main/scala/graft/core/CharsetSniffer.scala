@@ -66,11 +66,15 @@ object CharsetSniffer {
     */
   def toUtf8(b: Array[Byte]): Array[Byte] =
     sniff(b) match {
-      case Some(name) if name.equalsIgnoreCase("utf-16be") || name.equalsIgnoreCase("utf-16le") =>
+      case Some(name) if {
+            val n = name.toLowerCase
+            n.startsWith("utf-16") || n == "utf16" || n == "unicode"
+          } =>
         // Only an ACTUAL BOM justifies a UTF-16 decode; a meta-DECLARED
-        // utf-16 on BOM-less bytes is by construction wrong (the ASCII
-        // prescan found the tag, so the bytes aren't UTF-16) — WHATWG maps
-        // such declarations to UTF-8, i.e. pass through unchanged.
+        // utf-16 (any spelling: utf-16, utf-16le/be, utf16, unicode) on
+        // BOM-less bytes is by construction wrong (the ASCII prescan found
+        // the tag, so the bytes aren't UTF-16) — WHATWG maps such
+        // declarations to UTF-8, i.e. pass through unchanged.
         val hasBom = b.length >= 2 &&
           (((b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF) ||
            ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE))

@@ -18,28 +18,38 @@ import org.apache.spark.sql.functions.udaf
   * (map-side combine) applies and a 100 TB quantile costs one hash
   * aggregation pass — no global sort, no per-group value buffering.
   */
-object HistQuantile extends Aggregator[Double, Map[Long, Long], Seq[Long]] {
+object HistQuantile
+    extends Aggregator[Double, scala.collection.mutable.HashMap[Long, Long], Seq[Long]] {
+
+  private type Buf = scala.collection.mutable.HashMap[Long, Long]
 
   final val BinWidth = 100.0
   final val Pcts: Seq[Long] = Seq(50L, 90L, 99L)
 
   def binOf(x: Double): Long = math.floor(x / BinWidth).toLong
 
-  override def zero: Map[Long, Long] = Map.empty
+  // mutable buffer: the aggregator holds the buffer as a live object
+  // between rows (ObjectHashAggregate), so per-row immutable-map copies
+  // would be pure heap churn on the hot path; zero() returns a FRESH map
+  // per group and reduce/merge mutate in place
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-  override def reduce(m: Map[Long, Long], x: Double): Map[Long, Long] = {
+  override def reduce(m: Buf, x: Double): Buf = {
     val b = binOf(x)
-    m.updated(b, m.getOrElse(b, 0L) + 1L)
+    m.update(b, m.getOrElse(b, 0L) + 1L)
+    m
   }
 
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
-    if (a.size < b.size) merge(b, a)
-    else b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+  override def merge(a: Buf, b: Buf): Buf = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.foreach { case (k, v) => big.update(k, big.getOrElse(k, 0L) + v) }
+    big
+  }
 
   /** Lower-bound bin per requested percentile (Pcts order); empty input →
     * all -1 (never happens under a groupBy with ≥1 row per group).
     */
-  override def finish(m: Map[Long, Long]): Seq[Long] = {
+  override def finish(m: Buf): Seq[Long] = {
     if (m.isEmpty) return Pcts.map(_ => -1L)
     val total = m.valuesIterator.sum
     val sorted = m.toSeq.sortBy(_._1)
@@ -57,7 +67,9 @@ object HistQuantile extends Aggregator[Double, Map[Long, Long], Seq[Long]] {
     }
   }
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+  // kryo: in-memory the buffer stays a live object; serialization only
+  // happens at the partial/final exchange boundary
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 
   /** Untyped-DataFrame form: `df.agg(HistQuantile.udafColumn(col("x")))`. */

@@ -66,16 +66,20 @@ object AdvancedOps {
     * purchases with ≥1 follow-up event appear.
     */
   def q43RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    // a 1-hour window spans at most 2 hour-buckets — explode those on the
-    // interval (purchase) side; the point (event) side keys on its bucket
+    // a 1-hour window spans bucket k and k+1 — explode BOTH on the
+    // interval (purchase) side; the point (event) side keys on its bucket.
+    // (k, k+1 unconditionally: unix_timestamp truncates sub-second
+    // fractions, so with a fractional purchase ts the window's end can
+    // reach into bucket k+1 even when the truncated start sits exactly on
+    // a boundary — a `(u+B-1)/B` upper bucket would miss those events.)
     val purchases = tbl(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
         col("ts").as("p_ts"),
-        explode(array_distinct(array(
+        explode(array(
           floor(unix_timestamp(col("ts")) / BucketSec),
-          floor((unix_timestamp(col("ts")) + BucketSec - 1) / BucketSec)
-        ))).as("bk"))
+          floor(unix_timestamp(col("ts")) / BucketSec) + 1
+        )).as("bk"))
     val events = tbl(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"),
         cents(col("value")).as("v_cents"),

@@ -58,4 +58,27 @@ object LshParams {
     */
   def bandThreshold(bands: Int, rowsPerBand: Int): Double =
     math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /** The shared LSH pairing step: a melted band table with columns
+    * `(id, band_idx, key)` (exactly three, in that order, any names/types)
+    * → distinct candidate pairs `(a_id, b_id)` with `a_id < b_id`.
+    *
+    * The input is MATERIALIZED (`localCheckpoint`; a checkpoint/temp table
+    * in prod) before the self equi-join — Spark does not reuse a subtree
+    * across a self-join's build/probe, so without this the band
+    * computation runs once per side. Used by q22/q26/q41 and the
+    * production entry points (minhashCandidates, neardupPairs).
+    */
+  def bandedPairs(melted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(melted.columns.length == 3,
+      s"bandedPairs expects (id, band_idx, key), got ${melted.columns.mkString(",")}")
+    val m = melted.toDF("id", "band_idx", "k").localCheckpoint()
+    m.as("a").join(m.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.k") === col("b.k") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
 }

@@ -165,13 +165,7 @@ object TextOps {
           md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
           md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
       .toDF("doc_id", "band_idx", "digest")
-      .localCheckpoint() // one signature pass
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.digest") === col("b.digest") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    LshParams.bandedPairs(bands) // materializes one signature pass
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -213,15 +207,8 @@ object TextOps {
     val bandCols = (0 until bands).map(b =>
       md5s(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)))
-    val melted = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band_idx", "digest")
-      .localCheckpoint()
-    melted.as("a").join(melted.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.digest") === col("b.digest") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    LshParams.bandedPairs(
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*))))
   }
 
   /** 64-bit SimHash production variant with banded hamming pairing: the
@@ -260,12 +247,9 @@ object TextOps {
     val sigAggs = (0 until SimBands).map(k =>
       sum(when(col("band_idx") === k, col("bv")).otherwise(0L)).as(s"s$k"))
     val sig = bands.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    // bands is already checkpointed above (sig reuses it); the helper's own
+    // materialization of the tiny 4-rows-per-doc table is negligible
+    val pairs = LshParams.bandedPairs(bands)
     val hamExpr = (0 until SimBands)
       .map(k => s"bit_count(sa$k ^ sb$k)").mkString(" + ")
     pairs

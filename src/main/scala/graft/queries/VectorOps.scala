@@ -94,17 +94,10 @@ object VectorOps {
     */
   def q26EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val bands = e.select(col("vec_id"),
+    val pairs = LshParams.bandedPairs( // one embeddings scan + band melt
+      e.select(col("vec_id"),
         posexplode(array((0 until NeardupBands).map(k =>
-          bucketAt(col("e"), k * NeardupBits, NeardupBits)): _*)))
-      .toDF("vec_id", "band_idx", "bk")
-      .localCheckpoint() // one embeddings scan + band melt for both join sides
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
+          bucketAt(col("e"), k * NeardupBits, NeardupBits)): _*))))
     val scored = e.select(col("vec_id"), col("e"),
       sqrt(dot(col("e"), col("e"))).as("nrm"))
     pairs
@@ -134,17 +127,10 @@ object VectorOps {
     val bits = math.min(LshParams.signBits(math.max(n, 1), targetOccupancy),
       dims / bands)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val bandsDf = e.select(col("vec_id"),
+    val pairs = LshParams.bandedPairs(
+      e.select(col("vec_id"),
         posexplode(array((0 until bands).map(k =>
-          bucketAt(col("e"), k * bits, bits)): _*)))
-      .toDF("vec_id", "band_idx", "bk")
-      .localCheckpoint()
-    val pairs = bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
+          bucketAt(col("e"), k * bits, bits)): _*))))
     val scored = e.select(col("vec_id"), col("e"),
       sqrt(dot(col("e"), col("e"))).as("nrm"))
     pairs

@@ -27,7 +27,8 @@ object ExtractStream {
   def transform(pages: DataFrame, numParts: Int,
                 watermark: String = "1 hour",
                 extractCfg: graft.core.Extractor.ExtractConfig =
-                  graft.core.Extractor.DefaultConfig): Dataset[ExtractedRow] = {
+                  graft.core.Extractor.DefaultConfig,
+                transcodeNonUtf8: Boolean = false): Dataset[ExtractedRow] = {
     // dropDuplicatesWithinWatermark: plain dropDuplicates("url") would keep
     // every url ever seen in the state store forever (the watermark only
     // evicts when the event-time column is part of the dedup key) — state
@@ -38,7 +39,8 @@ object ExtractStream {
     // per-micro-batch metrics surface through StreamingQueryProgress
     // .observedMetrics (same counters the batch job records per partition
     // in its manifest) — zero extra pass, computed inside the sink stage
-    ExtractPipeline.extractDS(deduped, numParts, extractCfg = extractCfg)
+    ExtractPipeline.extractDS(deduped, numParts, extractCfg = extractCfg,
+        transcodeNonUtf8 = transcodeNonUtf8)
       .observe("extract_metrics",
         count(lit(1)).as("docs"),
         // coalesce: an all-dropped micro-batch (every row deduped away)
@@ -52,12 +54,15 @@ object ExtractStream {
     */
   def start(spark: SparkSession, inputDir: String, outDir: String,
             numParts: Int = 32, watermark: String = "1 hour",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            extractCfg: graft.core.Extractor.ExtractConfig =
+              graft.core.Extractor.DefaultConfig,
+            transcodeNonUtf8: Boolean = false): StreamingQuery = {
     val pages = spark.readStream
       .schema("url string, warc_ts timestamp, html binary, text string, lang string")
       .option("maxFilesPerTrigger", "8")
       .parquet(inputDir)
-    transform(pages, numParts).writeStream
+    transform(pages, numParts, watermark, extractCfg, transcodeNonUtf8).writeStream
       .option("checkpointLocation", s"$outDir/_stream_checkpoint")
       .partitionBy("part_id")
       .format("parquet")

@@ -80,10 +80,12 @@ class CharsetSpec extends AnyFunSuite {
     // mislabeled page: ASCII bytes declaring utf-16le — a UTF-16 decode
     // would turn every byte pair into a CJK char; WHATWG maps the
     // declaration to UTF-8, so bytes must pass through unchanged
-    val raw = "<meta charset=utf-16le><p>plain ascii</p>"
-      .getBytes(StandardCharsets.US_ASCII)
-    assert(CharsetSniffer.toUtf8(raw) sameElements raw)
-    assert(Extractor.extractBytes(CharsetSniffer.toUtf8(raw)).text === "plain ascii")
+    for (decl <- Seq("utf-16le", "utf-16be", "utf-16", "utf16", "unicode")) {
+      val raw = s"<meta charset=$decl><p>plain ascii</p>"
+        .getBytes(StandardCharsets.US_ASCII)
+      assert(CharsetSniffer.toUtf8(raw) sameElements raw, s"decl=$decl")
+      assert(Extractor.extractBytes(CharsetSniffer.toUtf8(raw)).text === "plain ascii")
+    }
   }
 
   test("never throws on garbage") {
