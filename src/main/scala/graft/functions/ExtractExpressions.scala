@@ -25,6 +25,10 @@ object ExtractOps {
 
   def decodeEntities(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Entities.decode(s.toString))
+
+  def decodeEntitiesExt(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.core.Entities.decode(s.toString, extended = true))
 }
 
 /** `extract_text(html binary) → string` as a native Catalyst expression with
@@ -75,20 +79,26 @@ case class HtmlNodeCount(child: Expression) extends UnaryExpression with Expects
   * (A13: lt/gt/amp/quot/nbsp + numeric, unknown left verbatim) as a
   * codegen'd scalar function, for SQL users post-processing node text from
   * `html_nodes` (the tokenizer keeps raw bytes so spans stay exact).
+  * `decode_entities_ext` additionally decodes the WHATWG-core extended
+  * names (Entities extended set) — the SQL twin of
+  * `ExtractConfig(extendedEntities = true)`.
   */
-case class DecodeEntities(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
+case class DecodeEntities(child: Expression, extended: Boolean = false)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "decode_entities"
+  override def prettyName: String =
+    if (extended) "decode_entities_ext" else "decode_entities"
 
   override protected def nullSafeEval(input: Any): Any =
-    ExtractOps.decodeEntities(input.asInstanceOf[UTF8String])
+    if (extended) ExtractOps.decodeEntitiesExt(input.asInstanceOf[UTF8String])
+    else ExtractOps.decodeEntities(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.ExtractOps.decodeEntities($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (extended) "decodeEntitiesExt" else "decodeEntities"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.$m($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): DecodeEntities =
     copy(child = newChild)
@@ -113,7 +123,8 @@ object GraftExtensions {
     "extract_text" -> (args => ExtractText(args.head)),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
     "html_nodes" -> (args => HtmlNodes(args.head)),
-    "decode_entities" -> (args => DecodeEntities(args.head)))
+    "decode_entities" -> (args => DecodeEntities(args.head)),
+    "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

@@ -154,6 +154,15 @@ object Relational {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** CUBE over (lang, source) — the full grouping-sets lattice (rollup's
+    * sibling; q11 covers the hierarchical prefix sets).
+    */
+  def q45CubeDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
   /** Distinct (dropDuplicates) — exact distinct on a composite key. */
   def q12DistinctPairs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -252,6 +261,7 @@ object Relational {
     "q09_topk_orders" -> q09TopkOrders _,
     "q10_except_users" -> q10ExceptUsers _,
     "q11_rollup_docs" -> q11RollupDocs _,
+    "q45_cube_docs" -> q45CubeDocs _,
     "q12_distinct_pairs" -> q12DistinctPairs _,
     "q13_scalar_fns" -> q13ScalarFns _,
     "q14_json_extract" -> q14JsonExtract _,
@@ -348,6 +358,10 @@ object Relational {
     "q11_rollup_docs" ->
       """SELECT lang, source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q45_cube_docs" ->
+      """SELECT lang, source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q12_distinct_pairs" ->
       """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""".stripMargin,

@@ -72,6 +72,14 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decode_entities_ext decodes the extended set; base stays pinned") {
+    val row = spark.sql(
+      "SELECT decode_entities('&copy; a &mdash; b &bogus;'), " +
+      "decode_entities_ext('&copy; a &mdash; b &bogus;')").collect()(0)
+    assert(row.getString(0) === "&copy; a &mdash; b &bogus;")
+    assert(row.getString(1) === "© a — b &bogus;")
+  }
+
   test("extract_text handles null and empty html") {
     val rows = spark.sql(
       "SELECT extract_text(CAST(NULL AS BINARY)), extract_text(CAST('' AS BINARY))")
