@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PagesSynth
+
+/** Multimodal plumbing unit coverage (previously only exercised through
+  * q33's rows-only driver check): stub determinism, null/empty safety,
+  * histogram/entropy invariants, and the no-shuffle narrow-plan property.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("decodeStub: deterministic, histogram sums to length, entropy bounded") {
+    val rnd = new scala.util.Random(3)
+    (0 until 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(5000))
+      rnd.nextBytes(b)
+      val f1 = Multimodal.decodeStub(s"u$i", b)
+      val f2 = Multimodal.decodeStub(s"u$i", b.clone())
+      assert(f1.copy(histogram = null) === f2.copy(histogram = null) &&
+        f1.histogram.sameElements(f2.histogram),
+        "stub must be a pure function of the bytes")
+      assert(f1.histogram.sum === b.length)
+      // 16-bin entropy is in [0, ln 16] nats
+      assert(f1.entropy_x1000 >= 0 && f1.entropy_x1000 <= math.round(math.log(16) * 1000))
+      assert(f1.byte_len === b.length)
+      assert(f1.width >= 1 && f1.height >= 1)
+    }
+    val empty = Multimodal.decodeStub("e", Array.emptyByteArray)
+    assert(empty.kind === "empty" && empty.entropy_x1000 === 0L)
+    assert(Multimodal.decodeStub("m", "<html>".getBytes).kind === "markup")
+  }
+
+  test("features: null-safe, and the plan is narrow (blob never shuffled)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u1", "<p>x</p>".getBytes("UTF-8")), ("u2", null: Array[Byte]))
+      .toDF("url", "html")
+    val feats = Multimodal.features(df)
+    val out = feats.collect().map(f => f.url -> f).toMap
+    assert(out("u2").kind === "empty")
+    assert(out("u1").kind === "markup")
+    // no Exchange anywhere in the feature plan: single narrow pass
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("features match the driver query row-for-row on synthetic pages") {
+    val pages = PagesSynth.pagesDF(spark, 50L)
+    val got = Multimodal.features(pages)
+      .select(col("url"), col("byte_len"), col("entropy_x1000"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = (0L until 50L).map(PagesSynth.pageFor).map { p =>
+      val f = Multimodal.decodeStub(p.url, p.html)
+      (p.url, f.byte_len, f.entropy_x1000)
+    }.toSet
+    assert(got === expected)
+  }
+}
