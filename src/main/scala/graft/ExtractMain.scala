@@ -8,7 +8,7 @@ import graft.sources.PagesSynth
   * spark-submit on multi-executor clusters").
   *
   *   spark-submit --class graft.ExtractMain <jar> \
-  *     --out /path/out [--input /path/pages_parquet | --synth N] \
+  *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K]
   *
   * With `--input`, reads a parquet pages table with the BASELINE.json:15
@@ -38,9 +38,10 @@ object ExtractMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = opts.get("--input") match {
-      case Some(path) => spark.read.parquet(path)
-      case None => PagesSynth.pagesDF(spark, opts.getOrElse("--synth", "1000").toLong)
+    val pages = (opts.get("--input"), opts.get("--warc")) match {
+      case (Some(path), _) => spark.read.parquet(path)
+      case (None, Some(dir)) => graft.sources.WarcReader.pages(spark, dir)
+      case _ => PagesSynth.pagesDF(spark, opts.getOrElse("--synth", "1000").toLong)
     }
     val cfg = ExtractJob.Config(
       numParts = numParts, batchSize = batchSize,

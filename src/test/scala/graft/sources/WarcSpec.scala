@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC reader: spec-shaped synthetic archives (warcinfo + request +
+  * response records, HTTP envelopes, gzip member-per-record variant,
+  * truncation) round-trip into the pages schema and feed the pipeline.
+  */
+class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def record(wtype: String, uri: String, date: String,
+                     payload: Array[Byte]): Array[Byte] = {
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"WARC-Date: $date\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
+    hdr ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpResponse(html: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html).getBytes(UTF_8)
+
+  private def archive(n: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record("warcinfo", null, "2024-01-01T00:00:00Z",
+      "software: test\r\n".getBytes(UTF_8)))
+    (0 until n).foreach { i =>
+      out.write(record("request", s"http://ex.com/p$i", "2024-01-01T00:00:00Z",
+        "GET /p HTTP/1.1\r\n\r\n".getBytes(UTF_8)))
+      out.write(record("response", s"http://ex.com/p$i",
+        f"2024-01-01T00:${i % 60}%02d:00Z",
+        httpResponse(s"<html><body><p>page $i body words</p></body></html>")))
+    }
+    out.toByteArray
+  }
+
+  test("plain archive: only http response records become pages; envelope stripped") {
+    val pages = WarcReader.records(archive(5)).toSeq
+    assert(pages.length === 5)
+    assert(pages.map(_.url) === (0 until 5).map(i => s"http://ex.com/p$i"))
+    assert(new String(pages.head.html, UTF_8)
+      === "<html><body><p>page 0 body words</p></body></html>")
+    assert(pages(1).warc_ts.toInstant.toString === "2024-01-01T00:01:00Z")
+  }
+
+  test("gzip member-per-record archive parses identically") {
+    // build one gzip member per record (the Common Crawl layout)
+    val out = new ByteArrayOutputStream()
+    def gz(b: Array[Byte]): Unit = {
+      val g = new GZIPOutputStream(out); g.write(b); g.finish()
+    }
+    gz(record("warcinfo", null, "2024-01-01T00:00:00Z",
+      "software: test\r\n".getBytes(UTF_8)))
+    (0 until 3).foreach { i =>
+      gz(record("response", s"https://ex.com/g$i", "2024-01-02T00:00:00Z",
+        httpResponse(s"<p>gz page $i</p>")))
+    }
+    val pages = WarcReader.records(out.toByteArray).toSeq
+    assert(pages.map(_.url) === (0 until 3).map(i => s"https://ex.com/g$i"))
+    assert(new String(pages(2).html, UTF_8) === "<p>gz page 2</p>")
+  }
+
+  test("truncated and garbage archives never throw; yield whole records only") {
+    val full = archive(3)
+    // cut mid-body of the last record
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 30)
+    val pages = WarcReader.records(cut).toSeq
+    assert(pages.length >= 1 && pages.length <= 3)
+    assert(WarcReader.records("not a warc at all".getBytes(UTF_8)).isEmpty)
+    assert(WarcReader.records(Array.emptyByteArray).isEmpty)
+    val rnd = new scala.util.Random(5)
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(2000))
+      rnd.nextBytes(b)
+      WarcReader.records(b).size // must not throw
+    }
+  }
+
+  test("raw-body response (no HTTP envelope) passes through unchanged") {
+    val raw = record("response", "http://ex.com/raw", "2024-01-01T00:00:00Z",
+      "<p>no envelope</p>".getBytes(UTF_8))
+    val pages = WarcReader.records(raw).toSeq
+    assert(new String(pages.head.html, UTF_8) === "<p>no envelope</p>")
+  }
+
+  test("warc directory → pages DataFrame → extraction pipeline end-to-end") {
+    val dir = Files.createTempDirectory("warc")
+    Files.write(dir.resolve("a.warc"), archive(4))
+    val out = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    g.write(record("response", "http://ex.com/z", "2024-01-03T00:00:00Z",
+      httpResponse("<body><p>gzip file page words</p></body>")))
+    g.finish()
+    Files.write(dir.resolve("b.warc.gz"), out.toByteArray)
+
+    val pages = WarcReader.pages(spark, dir.toString)
+    assert(pages.columns.toSeq ===
+      Seq("url", "warc_ts", "html", "text", "lang"))
+    val extracted = graft.pipeline.ExtractPipeline
+      .extractDS(pages, numParts = 4).collect()
+    assert(extracted.length === 5)
+    assert(extracted.find(_.url == "http://ex.com/z").get.text
+      === "gzip file page words")
+    assert(extracted.find(_.url == "http://ex.com/p2").get.text
+      === "page 2 body words")
+  }
+}
