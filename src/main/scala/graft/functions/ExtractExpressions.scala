@@ -29,6 +29,53 @@ object ExtractOps {
   def decodeEntitiesExt(s: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.core.Entities.decode(s.toString, extended = true))
+
+  /** First `<title>` content, entity-decoded, whitespace-collapsed; ""
+    * when absent. Early-stops the scan at the title content (A14), so on
+    * typical pages only the first few hundred bytes are tokenized.
+    */
+  def extractTitle(html: Array[Byte]): UTF8String = {
+    import graft.core.NodeType
+    var inTitle = false
+    var title: String = null
+    graft.core.HtmlScanner.scan(html) { nd =>
+      nd.nodeType match {
+        case NodeType.StartTag if nd.tagName.equalsIgnoreCase("title") =>
+          if (!nd.selfClosing) inTitle = true
+          true
+        case NodeType.Content if inTitle =>
+          title = nd.text; false // early stop: first title content wins
+        case NodeType.CloseTag if inTitle =>
+          false // first <title> was empty: pinned result "" (first wins)
+        case _ => true
+      }
+    }
+    val t =
+      if (title == null) ""
+      else graft.core.Entities.decode(title).trim.replaceAll("\\s+", " ")
+    UTF8String.fromString(t)
+  }
+}
+
+/** `extract_title(html binary) → string` — first title content (decoded,
+  * whitespace-collapsed, "" when absent) with the scanner's early-stop, as
+  * a codegen'd scalar.
+  */
+case class ExtractTitle(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_title"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.extractTitle(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.extractTitle($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractTitle =
+    copy(child = newChild)
 }
 
 /** `extract_text(html binary) → string` as a native Catalyst expression with
@@ -121,6 +168,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
+    "extract_title" -> (args => ExtractTitle(args.head)),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
     "html_nodes" -> (args => HtmlNodes(args.head)),
     "decode_entities" -> (args => DecodeEntities(args.head)),

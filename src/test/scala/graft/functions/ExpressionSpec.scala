@@ -72,6 +72,22 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extract_title: first title wins, decoded+collapsed, '' when absent") {
+    val cases = Seq(
+      "<html><head><title>My   Page &amp; More</title></head><body>x</body></html>"
+        -> "My Page & More",
+      "<title>first</title><title>second</title>" -> "first",
+      "<title></title><title>later</title>" -> "", // first (empty) wins, pinned
+      "<p>no title here</p>" -> "",
+      "<title>  padded \n lines  </title>" -> "padded lines")
+    cases.foreach { case (html, want) =>
+      val got = spark.sql(
+        s"SELECT extract_title(CAST('${html.replace("'", "''")}' AS BINARY))")
+        .collect()(0).getString(0)
+      assert(got === want, s"html: $html")
+    }
+  }
+
   test("decode_entities_ext decodes the extended set; base stays pinned") {
     val row = spark.sql(
       "SELECT decode_entities('&copy; a &mdash; b &bogus;'), " +
