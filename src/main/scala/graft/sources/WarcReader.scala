@@ -31,7 +31,13 @@ object WarcReader {
                             text: String, lang: String)
 
   /** All response records of one WARC payload (plain or gzip). */
-  def records(bytes: Array[Byte]): Iterator[WarcPage] = {
+  def records(bytes: Array[Byte]): Iterator[WarcPage] =
+    records(bytes, Set("response"))
+
+  /** Records of the given WARC-Types ("response" for crawls, "conversion"
+    * for WET extracted-text archives).
+    */
+  def records(bytes: Array[Byte], acceptTypes: Set[String]): Iterator[WarcPage] = {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
@@ -43,7 +49,7 @@ object WarcReader {
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
-          readRecord(in) match {
+          readRecord(in, acceptTypes) match {
             case None => done = true
             case Some(p) => nextRec = p.orNull
           }
@@ -60,7 +66,8 @@ object WarcReader {
   /** One record: None = clean EOF/truncation (stop); Some(None) = a whole
     * record that is not an http(s) response (skip); Some(Some(page)) = row.
     */
-  private def readRecord(in: InputStream): Option[Option[WarcPage]] = {
+  private def readRecord(in: InputStream,
+                         acceptTypes: Set[String]): Option[Option[WarcPage]] = {
     try {
       // skip blank lines between records
       var line = readLine(in)
@@ -91,10 +98,12 @@ object WarcReader {
       if (h == null || len < 0) return None // truncated header block
       val body = readFully(in, len)
       if (body == null) return None // truncated body
-      if (warcType != "response" ||
+      if (!acceptTypes.contains(warcType) ||
           !(uri.startsWith("http://") || uri.startsWith("https://")))
         return Some(None)
-      val html = stripHttpEnvelope(body)
+      val html =
+        if (warcType == "response") stripHttpEnvelope(body)
+        else body // conversion (WET) records carry the bare text payload
       val ts = parseTs(date)
       Some(Some(WarcPage(uri, ts, html, null, null)))
     } catch { case _: EOFException => None }

@@ -105,6 +105,21 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(pages.head.html, UTF_8) === "<p>no envelope</p>")
   }
 
+  test("WET writer round-trips: extract → .warc.wet.gz → WarcReader conversion records") {
+    val dir = Files.createTempDirectory("wet").toString
+    val pages = PagesSynth.pagesDF(spark, 40L)
+    val extracted = graft.pipeline.ExtractPipeline.extractDS(pages, numParts = 4)
+    WetWriter.write(extracted, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(files.nonEmpty)
+    val got = files.flatMap(f =>
+        WarcReader.records(Files.readAllBytes(f.toPath), Set("conversion")))
+      .map(p => p.url -> new String(p.html, UTF_8)).toMap
+    val want = extracted.collect().map(r => r.url -> r.text).toMap
+    assert(got === want, "WET round-trip must preserve every url's exact text")
+  }
+
   test("warc directory → pages DataFrame → extraction pipeline end-to-end") {
     val dir = Files.createTempDirectory("warc")
     Files.write(dir.resolve("a.warc"), archive(4))
