@@ -40,13 +40,21 @@ object ExtractMain {
 
     val pages = (opts.get("--input"), opts.get("--warc")) match {
       case (Some(path), _) => spark.read.parquet(path)
-      case (None, Some(dir)) => graft.sources.WarcReader.pages(spark, dir)
+      case (None, Some(dir)) =>
+        // WARC rows carry no lang metadata: a --lang filter would match
+        // nothing (null === l is never true) and silently commit empty
+        // partitions — refuse rather than "succeed" with zero docs
+        require(!opts.contains("--lang"),
+          "--lang requires an input with language metadata (--input); WARC rows have lang = null")
+        graft.sources.WarcReader.pages(spark, dir)
       case _ => PagesSynth.pagesDF(spark, opts.getOrElse("--synth", "1000").toLong)
     }
     val cfg = ExtractJob.Config(
       numParts = numParts, batchSize = batchSize,
       langFilter = opts.get("--lang"),
-      inputSnapshot = opts.getOrElse("--input", s"synth-${opts.getOrElse("--synth", "1000")}"),
+      inputSnapshot = opts.get("--input")
+        .orElse(opts.get("--warc").map(d => s"warc:$d"))
+        .getOrElse(s"synth-${opts.getOrElse("--synth", "1000")}"),
       maxBatches = maxBatches)
 
     val t0 = System.nanoTime()

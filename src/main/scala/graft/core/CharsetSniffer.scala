@@ -26,7 +26,8 @@ object CharsetSniffer {
     if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
       return Some("UTF-16LE")
     val n = math.min(b.length, SniffWindow)
-    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
     // only declarations INSIDE a <meta …> tag count — a bare "charset"
     // in a comment, script or accept-charset attribute must not trigger a
     // (corpus-corrupting) transcode
@@ -67,7 +68,7 @@ object CharsetSniffer {
   def toUtf8(b: Array[Byte]): Array[Byte] =
     sniff(b) match {
       case Some(name) if {
-            val n = name.toLowerCase
+            val n = name.toLowerCase(java.util.Locale.ROOT)
             n.startsWith("utf-16") || n == "utf16" || n == "unicode"
           } =>
         // Only an ACTUAL BOM justifies a UTF-16 decode; a meta-DECLARED

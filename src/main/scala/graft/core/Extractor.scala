@@ -69,8 +69,8 @@ object Extractor {
       extendedEntities: Boolean = false) {
     private[Extractor] val tagFlags: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
-      dropTags.foreach(t => m.merge(t.toLowerCase, FDrop, (a, b) => a | b))
-      blockTags.foreach(t => m.merge(t.toLowerCase, FBlock, (a, b) => a | b))
+      dropTags.foreach(t => m.merge(t.toLowerCase(java.util.Locale.ROOT), FDrop, (a, b) => a | b))
+      blockTags.foreach(t => m.merge(t.toLowerCase(java.util.Locale.ROOT), FBlock, (a, b) => a | b))
       m.merge("a", FAnchor, (a, b) => a | b)
       m
     }
@@ -81,7 +81,7 @@ object Extractor {
       val f = tagFlags.get(name)
       if (f != null) f.intValue
       else {
-        val g = tagFlags.get(name.toLowerCase)
+        val g = tagFlags.get(name.toLowerCase(java.util.Locale.ROOT))
         if (g != null) g.intValue else 0
       }
     }

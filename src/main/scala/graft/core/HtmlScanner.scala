@@ -289,7 +289,7 @@ object HtmlScanner {
       if (eagerAttrs) node.attrs // force the lazy parse (A11 eager mode)
       emit(node)
       // raw-text mode (A9): script/style content is one Content node
-      if (!stop && !self && end < n && rawTextTags.contains(name.toLowerCase)) {
+      if (!stop && !self && end < n && rawTextTags.contains(name.toLowerCase(java.util.Locale.ROOT))) {
         val m = indexOfCloseTag(b, end, n, name)
         val contentEnd = if (m >= 0) m else n
         if (contentEnd > end)
@@ -401,7 +401,7 @@ object HtmlScanner {
     */
   private def indexOfCloseTag(b: Array[Byte], from: Int, n: Int,
                               name: String): Int = {
-    val lower = name.toLowerCase
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
     val len = lower.length
     var i = from
     val last = n - (len + 2)

@@ -51,9 +51,29 @@ object ExtractOps {
       }
     }
     val t =
-      if (title == null) ""
-      else graft.core.Entities.decode(title).trim.replaceAll("\\s+", " ")
+      if (title == null) "" else collapseWs(graft.core.Entities.decode(title))
     UTF8String.fromString(t)
+  }
+
+  /** Trim + collapse whitespace runs to one space — single char pass, no
+    * per-row regex compile; includes U+00A0 (what `&nbsp;` decodes to),
+    * which `\s` would miss.
+    */
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '\u00A0') {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
-import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.sql.Timestamp
 import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale model: one WARC file = one Spark task (Common Crawl ships ~1 GB
   * files by the tens of thousands — file-level parallelism IS the
   * partitioning; the url-hash repartition inside [[graft.pipeline]] then
-  * redistributes rows). Files are read streaming, one record in memory at
-  * a time; `.gz` inputs are member-concatenated gzip, which
-  * `GZIPInputStream` consumes natively.
+  * redistributes rows). `.gz` inputs are member-concatenated gzip, which
+  * `GZIPInputStream` consumes natively. NOTE: [[pages]] goes through the
+  * built-in `binaryFile` source, which materializes each file's bytes in
+  * memory before [[records]] streams them record-by-record — fine to ~low
+  * hundreds of MB per file; for full 1 GB Common Crawl files, call
+  * [[records]] against a real InputStream-backed source (the record parser
+  * is already streaming) or split archives.
   *
   * Only `WARC-Type: response` records with an http/https target URI become
   * rows. The HTTP response envelope (status line + headers) is stripped;
@@ -41,7 +45,10 @@ object WarcReader {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-        new BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+        // a truncated gzip HEADER throws in the constructor — treat as an
+        // empty archive, same contract as a truncated record
+        try new BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+        catch { case _: java.io.IOException => return Iterator.empty }
       else new BufferedInputStream(raw, 1 << 16)
     new Iterator[WarcPage] {
       private var nextRec: WarcPage = _
@@ -82,10 +89,10 @@ object WarcReader {
       while (h != null && h.nonEmpty) {
         val i = h.indexOf(':')
         if (i > 0) {
-          val k = h.substring(0, i).trim.toLowerCase
+          val k = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
           val v = h.substring(i + 1).trim
           k match {
-            case "warc-type" => warcType = v.toLowerCase
+            case "warc-type" => warcType = v.toLowerCase(java.util.Locale.ROOT)
             case "warc-target-uri" => uri = stripAngles(v)
             case "warc-date" => date = v
             case "content-length" =>
@@ -106,10 +113,18 @@ object WarcReader {
         else body // conversion (WET) records carry the bare text payload
       val ts = parseTs(date)
       Some(Some(WarcPage(uri, ts, html, null, null)))
-    } catch { case _: EOFException => None }
+    } catch {
+      // ZipException (corrupt DEFLATE data / member trailer), EOFException,
+      // any other stream fault: stop at the last whole record, never fail
+      // the task over a damaged archive
+      case _: java.io.IOException => None
+    }
   }
 
-  /** CRLF/LF line as ISO-8859-1 (header charset per spec); null at EOF. */
+  /** CRLF/LF line as UTF-8 (the WARC header charset — a non-ASCII
+    * WARC-Target-URI must round-trip exactly against [[WetWriter]]);
+    * null at EOF.
+    */
   private def readLine(in: InputStream): String = {
     val sb = new java.io.ByteArrayOutputStream(96)
     var c = in.read()
@@ -118,7 +133,7 @@ object WarcReader {
       if (c != '\r') sb.write(c)
       c = in.read()
     }
-    new String(sb.toByteArray, ISO_8859_1)
+    new String(sb.toByteArray, UTF_8)
   }
 
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
@@ -147,10 +162,13 @@ object WarcReader {
     if (!head.startsWith("HTTP/")) return body
     var i = 0
     val n = body.length
-    while (i + 3 < n) {
-      if (body(i) == '\r' && body(i + 1) == '\n' &&
+    while (i + 1 < n) {
+      // CRLFCRLF (conformant) or bare LFLF (real crawls capture those too)
+      if (i + 3 < n && body(i) == '\r' && body(i + 1) == '\n' &&
           body(i + 2) == '\r' && body(i + 3) == '\n')
         return java.util.Arrays.copyOfRange(body, i + 4, n)
+      if (body(i) == '\n' && body(i + 1) == '\n')
+        return java.util.Arrays.copyOfRange(body, i + 2, n)
       i += 1
     }
     body // no header terminator: treat whole payload as body

@@ -25,8 +25,12 @@ object WetWriter {
 
   def recordBytes(url: String, text: String, date: String): Array[Byte] = {
     val payload = text.getBytes(UTF_8)
+    // WARC-Record-ID is mandatory (ISO 28500); deterministic name-based
+    // UUID over (url, date) so re-runs emit identical archives
+    val rid = java.util.UUID.nameUUIDFromBytes(s"$url|$date".getBytes(UTF_8))
     val hdr = (s"WARC/1.0\r\n" +
       s"WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
       s"WARC-Target-URI: $url\r\n" +
       s"WARC-Date: $date\r\n" +
       s"Content-Type: text/plain\r\n" +
@@ -49,7 +53,10 @@ object WetWriter {
     ds.foreachPartition { (it: Iterator[ExtractedRow]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val tmp = Paths.get(dir, f".part-$pid%05d.warc.wet.gz.tmp")
+        // attempt id in the temp name: speculative/zombie attempts must not
+        // interleave writes into one tmp file; the rename stays atomic
+        val attempt = TaskContext.get().taskAttemptId()
+        val tmp = Paths.get(dir, f".part-$pid%05d-$attempt.warc.wet.gz.tmp")
         val dst = Paths.get(dir, f"part-$pid%05d.warc.wet.gz")
         val os = new GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16)
         try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))

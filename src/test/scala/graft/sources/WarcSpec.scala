@@ -98,6 +98,34 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt gzip yields records up to the damage, never throws") {
+    val out = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    g.write(archive(3)); g.finish()
+    val gz = out.toByteArray
+    // flip a byte inside the DEFLATE stream (past the 10-byte header)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x55).toByte
+    WarcReader.records(gz).size // must not throw
+    // truncated gzip header: empty, no throw
+    assert(WarcReader.records(Array[Byte](0x1F.toByte, 0x8B.toByte)).isEmpty)
+    assert(WarcReader.records(java.util.Arrays.copyOf(gz, 5)).isEmpty)
+  }
+
+  test("LF-only HTTP envelope is stripped; UTF-8 target URI round-trips") {
+    val lfBody = "HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>lf page</p>"
+      .getBytes(UTF_8)
+    val uri = "http://ex.com/café/中文"
+    val rec1 = record("response", uri, "2024-01-01T00:00:00Z", lfBody)
+    val pages = WarcReader.records(rec1).toSeq
+    assert(pages.head.url === uri, "non-ASCII URI must survive header decode")
+    assert(new String(pages.head.html, UTF_8) === "<p>lf page</p>")
+    // WET round-trip of a non-ASCII URI
+    val wet = WetWriter.recordBytes(uri, "text body", "2024-01-01T00:00:00Z")
+    val back = WarcReader.records(wet, Set("conversion")).toSeq
+    assert(back.head.url === uri)
+    assert(new String(back.head.html, UTF_8) === "text body")
+  }
+
   test("raw-body response (no HTTP envelope) passes through unchanged") {
     val raw = record("response", "http://ex.com/raw", "2024-01-01T00:00:00Z",
       "<p>no envelope</p>".getBytes(UTF_8))
