@@ -36,23 +36,49 @@ object ExtractOps {
     */
   def extractTitle(html: Array[Byte]): UTF8String = {
     import graft.core.NodeType
-    var inTitle = false
+    // pinned semantics (SQL-twin-checkable, q46): the title is the CONTENT
+    // node immediately following the first non-self-closing <title> start
+    // tag; anything else there (close tag, nested markup, EOF) pins "".
+    var armed = false
     var title: String = null
     graft.core.HtmlScanner.scan(html) { nd =>
-      nd.nodeType match {
-        case NodeType.StartTag if nd.tagName.equalsIgnoreCase("title") =>
-          if (!nd.selfClosing) inTitle = true
-          true
-        case NodeType.Content if inTitle =>
-          title = nd.text; false // early stop: first title content wins
-        case NodeType.CloseTag if inTitle =>
-          false // first <title> was empty: pinned result "" (first wins)
-        case _ => true
-      }
+      if (armed) {
+        if (nd.nodeType == NodeType.Content) title = nd.text
+        false // early stop either way: first title decides
+      } else if (nd.nodeType == NodeType.StartTag &&
+          nd.tagName.equalsIgnoreCase("title")) {
+        if (nd.selfClosing) false else { armed = true; true }
+      } else true
     }
     val t =
       if (title == null) "" else collapseWs(graft.core.Entities.decode(title))
     UTF8String.fromString(t)
+  }
+
+  /** `<meta name|property=KEY content=V>` lookup (og:title, description,
+    * robots, …), case-insensitive on the key; "" when absent. Early-stops
+    * at `</head>` / `<body>` — metadata lives in the head, so only the
+    * prologue is tokenized.
+    */
+  def extractMeta(html: Array[Byte], key: UTF8String): UTF8String = {
+    import graft.core.NodeType
+    val target = key.toString
+    var found: String = null
+    graft.core.HtmlScanner.scan(html) { nd =>
+      nd.nodeType match {
+        case NodeType.StartTag if nd.tagName.equalsIgnoreCase("meta") =>
+          val name = nd.attr("name").orElse(nd.attr("property"))
+          if (name.exists(_.equalsIgnoreCase(target))) {
+            found = nd.attr("content").getOrElse("")
+            false // early stop: first matching meta wins
+          } else true
+        case NodeType.StartTag if nd.tagName.equalsIgnoreCase("body") => false
+        case NodeType.CloseTag if nd.tagName.equalsIgnoreCase("head") => false
+        case _ => true
+      }
+    }
+    UTF8String.fromString(
+      if (found == null) "" else collapseWs(graft.core.Entities.decode(found)))
   }
 
   /** Trim + collapse whitespace runs to one space — single char pass, no
@@ -96,6 +122,31 @@ case class ExtractTitle(child: Expression) extends UnaryExpression with ExpectsI
 
   override protected def withNewChildInternal(newChild: Expression): ExtractTitle =
     copy(child = newChild)
+}
+
+/** `extract_meta(html binary, key string) → string` — first
+  * `<meta name|property=key content=…>` value (decoded, collapsed, ""
+  * when absent), early-stopping at the end of the head.
+  */
+case class ExtractMeta(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_meta"
+
+  override protected def nullSafeEval(html: Any, key: Any): Any =
+    ExtractOps.extractMeta(html.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, k) => s"graft.functions.ExtractOps.extractMeta($h, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExtractMeta =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `extract_text(html binary) → string` as a native Catalyst expression with
@@ -189,6 +240,7 @@ object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
     "extract_title" -> (args => ExtractTitle(args.head)),
+    "extract_meta" -> (args => ExtractMeta(args(0), args(1))),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
     "html_nodes" -> (args => HtmlNodes(args.head)),
     "decode_entities" -> (args => DecodeEntities(args.head)),

@@ -182,6 +182,37 @@ object PagesOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Title/metadata extraction with a twin self-certification: the
+    * early-stop `extract_title` expression must equal the SAME value
+    * derived relationally from the full `html_nodes` stream (content node
+    * immediately after the first non-self-closing title start, decoded and
+    * whitespace-collapsed) — all-true `twin_ok` is the check.
+    */
+  def q46Titles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_t")
+    s.sql(
+      """WITH tstart AS (
+        |  SELECT url, min(n.idx) AS tidx
+        |  FROM pages_t LATERAL VIEW html_nodes(html) n
+        |  WHERE n.ntype = 'START' AND lower(n.tag) = 'title'
+        |    AND NOT n.self_closing
+        |  GROUP BY url),
+        |tcontent AS (
+        |  SELECT p.url,
+        |    trim(regexp_replace(decode_entities(n.text),
+        |         '[\\s\\x{00A0}]+', ' ')) AS derived
+        |  FROM pages_t p
+        |  JOIN tstart t ON p.url = t.url
+        |  LATERAL VIEW html_nodes(p.html) n
+        |  WHERE n.idx = t.tidx + 1 AND n.ntype = 'TEXT')
+        |SELECT p.url, extract_title(p.html) AS title,
+        |  extract_meta(p.html, 'description') AS meta_desc,
+        |  extract_title(p.html) <=> coalesce(c.derived, '') AS twin_ok
+        |FROM pages_t p LEFT JOIN tcontent c ON p.url = c.url
+        |ORDER BY p.url""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
@@ -191,6 +222,7 @@ object PagesOps {
     "q36_sql_nodes" -> q36SqlNodes _,
     "q37_outlinks" -> q37Outlinks _,
     "q38_pdf_extract" -> q38PdfExtract _,
+    "q46_titles" -> q46Titles _,
   )
 
   /** No DuckDB oracles — the scanner itself is the operator under test. */

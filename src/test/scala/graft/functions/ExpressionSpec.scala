@@ -88,6 +88,29 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("extract_meta: name/property lookup, head-scoped, '' when absent") {
+    val html = """<html><head>
+      |<meta charset="utf-8">
+      |<meta name="description" content="A &amp; B   site">
+      |<meta property="og:title" content="OG Title">
+      |</head><body>
+      |<meta name="description" content="body meta must not count">
+      |</body></html>""".stripMargin
+    val q = html.replace("'", "''").replace("\n", " ")
+    val row = spark.sql(
+      s"""SELECT extract_meta(CAST('$q' AS BINARY), 'description'),
+         |  extract_meta(CAST('$q' AS BINARY), 'OG:TITLE'),
+         |  extract_meta(CAST('$q' AS BINARY), 'missing')""".stripMargin)
+      .collect()(0)
+    assert(row.getString(0) === "A & B site")
+    assert(row.getString(1) === "OG Title", "property= + case-insensitive key")
+    assert(row.getString(2) === "")
+    // body-only meta: head scan stops at <body>
+    val bodyOnly = "<body><meta name=x content=y></body>".replace("'", "''")
+    assert(spark.sql(s"SELECT extract_meta(CAST('$bodyOnly' AS BINARY), 'x')")
+      .collect()(0).getString(0) === "")
+  }
+
   test("decode_entities_ext decodes the extended set; base stays pinned") {
     val row = spark.sql(
       "SELECT decode_entities('&copy; a &mdash; b &bogus;'), " +
