@@ -46,8 +46,8 @@ object ExtractOps {
         if (nd.nodeType == NodeType.Content) title = nd.text
         false // early stop either way: first title decides
       } else if (nd.nodeType == NodeType.StartTag &&
-          nd.tagName.equalsIgnoreCase("title")) {
-        if (nd.selfClosing) false else { armed = true; true }
+          nd.tagName.equalsIgnoreCase("title") && !nd.selfClosing) {
+        armed = true; true // a self-closing <title/> is skipped, not armed
       } else true
     }
     val t =
@@ -67,8 +67,11 @@ object ExtractOps {
     graft.core.HtmlScanner.scan(html) { nd =>
       nd.nodeType match {
         case NodeType.StartTag if nd.tagName.equalsIgnoreCase("meta") =>
-          val name = nd.attr("name").orElse(nd.attr("property"))
-          if (name.exists(_.equalsIgnoreCase(target))) {
+          // check BOTH attributes: real pages merge og: and name-based
+          // metadata on one tag (name=twitter:title property=og:title)
+          val hit = nd.attr("name").exists(_.equalsIgnoreCase(target)) ||
+            nd.attr("property").exists(_.equalsIgnoreCase(target))
+          if (hit) {
             found = nd.attr("content").getOrElse("")
             false // early stop: first matching meta wins
           } else true
@@ -82,8 +85,10 @@ object ExtractOps {
   }
 
   /** Trim + collapse whitespace runs to one space — single char pass, no
-    * per-row regex compile; includes U+00A0 (what `&nbsp;` decodes to),
-    * which `\s` would miss.
+    * per-row regex compile. The whitespace set is pinned to EXACTLY what
+    * the Java regex `[\s\x{00A0}]` matches (space, \t \n \x0B \f \r,
+    * NBSP) so q46's SQL twin derives the identical value; wider Unicode
+    * spaces (U+3000 etc.) are deliberately left alone on both sides.
     */
   private def collapseWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -91,7 +96,7 @@ object ExtractOps {
     var pendingSpace = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c) || c == '\u00A0') {
+      if (c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00A0') {
         if (sb.length > 0) pendingSpace = true
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }

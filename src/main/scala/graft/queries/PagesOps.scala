@@ -191,23 +191,24 @@ object PagesOps {
   def q46Titles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     pages(s).createOrReplaceTempView("pages_t")
+    // ONE generator pass: the first-title index is distributed to every
+    // node row by a per-url window min, so marking + content lookup share
+    // the same explode (a tstart/tcontent CTE pair would tokenize twice —
+    // Spark inlines CTEs). extract_title itself early-stops, so the outer
+    // select's re-scan reads only each page's prologue.
     s.sql(
-      """WITH tstart AS (
-        |  SELECT url, min(n.idx) AS tidx
-        |  FROM pages_t LATERAL VIEW html_nodes(html) n
-        |  WHERE n.ntype = 'START' AND lower(n.tag) = 'title'
-        |    AND NOT n.self_closing
-        |  GROUP BY url),
+      """WITH marked AS (
+        |  SELECT p.url, n.idx, n.ntype, n.text,
+        |    min(CASE WHEN n.ntype = 'START' AND lower(n.tag) = 'title'
+        |             AND NOT n.self_closing THEN n.idx END)
+        |      OVER (PARTITION BY p.url) AS tidx
+        |  FROM pages_t p LATERAL VIEW html_nodes(p.html) n),
         |tcontent AS (
-        |  SELECT p.url,
-        |    trim(regexp_replace(decode_entities(n.text),
+        |  SELECT url,
+        |    trim(regexp_replace(decode_entities(text),
         |         '[\\s\\x{00A0}]+', ' ')) AS derived
-        |  FROM pages_t p
-        |  JOIN tstart t ON p.url = t.url
-        |  LATERAL VIEW html_nodes(p.html) n
-        |  WHERE n.idx = t.tidx + 1 AND n.ntype = 'TEXT')
+        |  FROM marked WHERE idx = tidx + 1 AND ntype = 'TEXT')
         |SELECT p.url, extract_title(p.html) AS title,
-        |  extract_meta(p.html, 'description') AS meta_desc,
         |  extract_title(p.html) <=> coalesce(c.derived, '') AS twin_ok
         |FROM pages_t p LEFT JOIN tcontent c ON p.url = c.url
         |ORDER BY p.url""".stripMargin)

@@ -79,7 +79,8 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<title>first</title><title>second</title>" -> "first",
       "<title></title><title>later</title>" -> "", // first (empty) wins, pinned
       "<p>no title here</p>" -> "",
-      "<title>  padded \n lines  </title>" -> "padded lines")
+      "<title>  padded \n lines  </title>" -> "padded lines",
+      "<title/><title>Real</title>" -> "Real") // self-closing title skipped
     cases.foreach { case (html, want) =>
       val got = spark.sql(
         s"SELECT extract_title(CAST('${html.replace("'", "''")}' AS BINARY))")
@@ -109,6 +110,14 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bodyOnly = "<body><meta name=x content=y></body>".replace("'", "''")
     assert(spark.sql(s"SELECT extract_meta(CAST('$bodyOnly' AS BINARY), 'x')")
       .collect()(0).getString(0) === "")
+    // a tag carrying BOTH name and property: either key must hit
+    val both = "<meta name=\"twitter:title\" property=\"og:title\" content=\"X\">"
+      .replace("'", "''")
+    val r2 = spark.sql(
+      s"""SELECT extract_meta(CAST('$both' AS BINARY), 'og:title'),
+         |  extract_meta(CAST('$both' AS BINARY), 'twitter:title')""".stripMargin)
+      .collect()(0)
+    assert(r2.getString(0) === "X" && r2.getString(1) === "X")
   }
 
   test("decode_entities_ext decodes the extended set; base stays pinned") {
