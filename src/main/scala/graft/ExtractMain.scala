@@ -25,6 +25,10 @@ object ExtractMain {
     val numParts = opts.getOrElse("--num-parts", "32").toInt
     val batchSize = opts.getOrElse("--batch-size", "8").toInt
     val maxBatches = opts.getOrElse("--max-batches", Int.MaxValue.toString).toInt
+    // two sources at once is ambiguous — without this, --warc would be
+    // silently ignored and the job would "succeed" against the wrong input
+    require(!(opts.contains("--input") && opts.contains("--warc")),
+      "--input and --warc are mutually exclusive; pass exactly one source")
 
     val builder = SparkSession.builder()
       .appName("graft-extract")

@@ -35,8 +35,13 @@ object HistQuantile
   override def zero: Buf = scala.collection.mutable.HashMap.empty
 
   override def reduce(m: Buf, x: Double): Buf = {
-    val b = binOf(x)
-    m.update(b, m.getOrElse(b, 0L) + 1L)
+    // non-finite values have no bin: math.floor(NaN).toLong == 0 would
+    // silently count NaN in bin 0 and skew every quantile (and diverge from
+    // a SQL oracle's floor/CAST); skip them like SQL aggregates skip NULL
+    if (java.lang.Double.isFinite(x)) {
+      val b = binOf(x)
+      m.update(b, m.getOrElse(b, 0L) + 1L)
+    }
     m
   }
 

@@ -16,12 +16,11 @@ import org.apache.spark.sql.functions._
   * files by the tens of thousands — file-level parallelism IS the
   * partitioning; the url-hash repartition inside [[graft.pipeline]] then
   * redistributes rows). `.gz` inputs are member-concatenated gzip, which
-  * `GZIPInputStream` consumes natively. NOTE: [[pages]] goes through the
-  * built-in `binaryFile` source, which materializes each file's bytes in
-  * memory before [[records]] streams them record-by-record — fine to ~low
-  * hundreds of MB per file; for full 1 GB Common Crawl files, call
-  * [[records]] against a real InputStream-backed source (the record parser
-  * is already streaming) or split archives.
+  * `GZIPInputStream` consumes natively. Two sources: [[pages]] goes through
+  * the built-in `binaryFile` source (whole file on heap — fine to ~low
+  * hundreds of MB per file); [[pagesStreamed]] opens each file as a Hadoop
+  * FS stream, bounding per-task heap by one record — the path for full
+  * 1 GB Common Crawl files.
   *
   * Only `WARC-Type: response` records with an http/https target URI become
   * rows. The HTTP response envelope (status line + headers) is stripped;
@@ -34,6 +33,13 @@ object WarcReader {
   final case class WarcPage(url: String, warc_ts: Timestamp, html: Array[Byte],
                             text: String, lang: String)
 
+  /** Records larger than this are skipped (stream-discarded, never
+    * materialized). Real crawl responses are a few MB; a header-declared
+    * length beyond this is either garbage or content no extraction
+    * pipeline wants in one row.
+    */
+  final val MaxRecordBytes: Long = 256L * 1024 * 1024
+
   /** All response records of one WARC payload (plain or gzip). */
   def records(bytes: Array[Byte]): Iterator[WarcPage] =
     records(bytes, Set("response"))
@@ -41,22 +47,41 @@ object WarcReader {
   /** Records of the given WARC-Types ("response" for crawls, "conversion"
     * for WET extracted-text archives).
     */
-  def records(bytes: Array[Byte], acceptTypes: Set[String]): Iterator[WarcPage] = {
-    val raw = new ByteArrayInputStream(bytes)
+  def records(bytes: Array[Byte], acceptTypes: Set[String]): Iterator[WarcPage] =
+    records(new ByteArrayInputStream(bytes), acceptTypes)
+
+  /** Streaming form: records from any InputStream (gzip sniffed from the
+    * magic bytes) — the path for full-size 1 GB Common Crawl files, where
+    * per-file heap is bounded by one record, not the archive. The caller
+    * owns closing `raw` (see [[pagesStreamed]]).
+    */
+  def records(raw: InputStream, acceptTypes: Set[String]): Iterator[WarcPage] =
+    records(raw, acceptTypes, MaxRecordBytes)
+
+  /** `maxRecordBytes` caps per-record materialization (tests shrink it;
+    * production keeps [[MaxRecordBytes]]).
+    */
+  def records(raw: InputStream, acceptTypes: Set[String],
+              maxRecordBytes: Long): Iterator[WarcPage] = {
+    val pb = new java.io.PushbackInputStream(raw, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 < 0) return Iterator.empty
     val in: InputStream =
-      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+      if (b0 == 0x1F && b1 == 0x8B)
         // a truncated gzip HEADER throws in the constructor — treat as an
         // empty archive, same contract as a truncated record
-        try new BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+        try new BufferedInputStream(new GZIPInputStream(pb), 1 << 16)
         catch { case _: java.io.IOException => return Iterator.empty }
-      else new BufferedInputStream(raw, 1 << 16)
+      else new BufferedInputStream(pb, 1 << 16)
     new Iterator[WarcPage] {
       private var nextRec: WarcPage = _
       private var done = false
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
-          readRecord(in, acceptTypes) match {
+          readRecord(in, acceptTypes, maxRecordBytes) match {
             case None => done = true
             case Some(p) => nextRec = p.orNull
           }
@@ -73,8 +98,8 @@ object WarcReader {
   /** One record: None = clean EOF/truncation (stop); Some(None) = a whole
     * record that is not an http(s) response (skip); Some(Some(page)) = row.
     */
-  private def readRecord(in: InputStream,
-                         acceptTypes: Set[String]): Option[Option[WarcPage]] = {
+  private def readRecord(in: InputStream, acceptTypes: Set[String],
+                         maxRecordBytes: Long): Option[Option[WarcPage]] = {
     try {
       // skip blank lines between records
       var line = readLine(in)
@@ -103,6 +128,11 @@ object WarcReader {
         h = readLine(in)
       }
       if (h == null || len < 0) return None // truncated header block
+      if (len > maxRecordBytes) {
+        // oversized/garbage declared length: discard the body from the
+        // stream without materializing it; EOF mid-skip = truncation
+        return if (skipFully(in, len)) Some(None) else None
+      }
       val body = readFully(in, len)
       if (body == null) return None // truncated body
       if (!acceptTypes.contains(warcType) ||
@@ -136,16 +166,52 @@ object WarcReader {
     new String(sb.toByteArray, UTF_8)
   }
 
+  /** Read exactly `n` bytes, allocating in chunks so a garbage
+    * header-declared length never triggers an up-front Array[Byte](n)
+    * (an OutOfMemoryError is an Error, not IOException — it would escape
+    * readRecord's catch and kill the task, breaking the damaged-archive
+    * contract). At most one chunk (8 MiB) is allocated beyond the bytes
+    * the stream actually has; null = truncated.
+    */
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
-    if (n > Int.MaxValue - 8) return null
-    val buf = new Array[Byte](n.toInt)
-    var off = 0
-    while (off < n) {
-      val r = in.read(buf, off, (n - off).toInt)
-      if (r < 0) return null
-      off += r
+    val Chunk = 8 * 1024 * 1024
+    if (n <= Chunk) {
+      val buf = new Array[Byte](n.toInt)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, (n - off).toInt)
+        if (r < 0) return null
+        off += r
+      }
+      buf
+    } else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var remaining = n
+      while (remaining > 0) {
+        val part = readFully(in, math.min(remaining, Chunk.toLong))
+        if (part == null) return null
+        parts += part
+        remaining -= part.length
+      }
+      val out = new Array[Byte](n.toInt)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+      out
     }
-    buf
+  }
+
+  /** Discard exactly `n` bytes; false = EOF before `n` (truncation). */
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var remaining = n
+    val sink = new Array[Byte](1 << 16)
+    while (remaining > 0) {
+      // read, not skip: skip() on a BufferedInputStream over gzip may
+      // return 0 without progress guarantees near EOF
+      val r = in.read(sink, 0, math.min(remaining, sink.length.toLong).toInt)
+      if (r < 0) return false
+      remaining -= r
+    }
+    true
   }
 
   private def stripAngles(s: String): String =
@@ -180,7 +246,9 @@ object WarcReader {
 
   /** WARC directory → pages DataFrame (BASELINE.json input schema). Uses the
     * built-in `binaryFile` source: one file per row/task — Common Crawl's
-    * natural parallelism unit — then streams records per file.
+    * natural parallelism unit — then streams records per file. Whole-file
+    * bytes live on the heap per task, so prefer [[pagesStreamed]] for
+    * full-size (~1 GB) archives.
     */
   def pages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -190,6 +258,60 @@ object WarcReader {
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions(_.flatMap(records))
+      .toDF()
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+  }
+
+  /** Streaming WARC directory source: same rows as [[pages]], but each task
+    * opens its file through the Hadoop FS API (`FileSystem.open`) and feeds
+    * the record parser an InputStream — per-task heap is bounded by ONE
+    * record (≤ [[MaxRecordBytes]]), not the file, so 1 GB Common Crawl
+    * archives run with the same memory as 1 MB test fixtures. File-level
+    * parallelism is preserved (one file = one partition element); works on
+    * any Hadoop-supported FS (local, HDFS, S3A) since both listing and open
+    * go through the scheme's FileSystem.
+    */
+  def pagesStreamed(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hconf.value)
+    val files: Seq[String] = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.contains(".warc")) b += st.getPath.toString
+      }
+      b.result().sorted // deterministic partition → file assignment
+    }
+    val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files)
+      .repartition(par)
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val hp = new HPath(p)
+          val in: InputStream = hp.getFileSystem(hconf.value).open(hp)
+          // close at exhaustion; task-completion listener covers early
+          // termination (limit/take) and task failure
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => }
+          }
+          val base = records(in, Set("response"))
+          new Iterator[WarcPage] {
+            override def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h) { try in.close() catch { case _: java.io.IOException => } }
+              h
+            }
+            override def next(): WarcPage = base.next()
+          }
+        }
+      }
       .toDF()
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
   }

@@ -23,16 +23,44 @@ import graft.pipeline.ExtractedRow
   */
 object WetWriter {
 
+  /** Percent-encode C0 control bytes (incl. CR/LF) and DEL in a header
+    * value. A url containing a raw newline — impossible from
+    * [[WarcReader]] (line-delimited) but possible from a parquet-sourced
+    * pipeline — would otherwise inject header lines and corrupt the
+    * framing of every record after it. Percent-encoding is URI-legal, so
+    * a clean url round-trips unchanged.
+    */
+  private[sources] def sanitizeHeaderValue(v: String): String = {
+    var needs = false
+    var i = 0
+    while (i < v.length && !needs) {
+      val c = v.charAt(i)
+      if (c < 0x20 || c == 0x7F) needs = true
+      i += 1
+    }
+    if (!needs) v
+    else {
+      val sb = new StringBuilder(v.length + 8)
+      v.foreach { c =>
+        if (c < 0x20 || c == 0x7F) sb.append(f"%%${c.toInt}%02X")
+        else sb.append(c)
+      }
+      sb.toString
+    }
+  }
+
   def recordBytes(url: String, text: String, date: String): Array[Byte] = {
     val payload = text.getBytes(UTF_8)
+    val u = sanitizeHeaderValue(url)
+    val d = sanitizeHeaderValue(date)
     // WARC-Record-ID is mandatory (ISO 28500); deterministic name-based
     // UUID over (url, date) so re-runs emit identical archives
-    val rid = java.util.UUID.nameUUIDFromBytes(s"$url|$date".getBytes(UTF_8))
+    val rid = java.util.UUID.nameUUIDFromBytes(s"$u|$d".getBytes(UTF_8))
     val hdr = (s"WARC/1.0\r\n" +
       s"WARC-Type: conversion\r\n" +
       s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
-      s"WARC-Target-URI: $url\r\n" +
-      s"WARC-Date: $date\r\n" +
+      s"WARC-Target-URI: $u\r\n" +
+      s"WARC-Date: $d\r\n" +
       s"Content-Type: text/plain\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8)
     val out = new Array[Byte](hdr.length + payload.length + 4)
@@ -43,28 +71,74 @@ object WetWriter {
     out
   }
 
-  /** Write `ds` as WET files under `dir` (a shared/local path reachable
-    * from every executor; on a real cluster point this at the mounted
-    * distributed FS or swap the file IO for the Hadoop FS API).
+  /** True when `dir` is a plain local path (no scheme, or file:) — those
+    * keep the java.nio fast path; any other scheme (hdfs:, s3a:, …) goes
+    * through the Hadoop FS API so the sink works on a real cluster's
+    * distributed FS.
+    */
+  private def isLocal(dir: String): Boolean = {
+    val i = dir.indexOf(':')
+    i < 0 || dir.substring(0, i) == "file" || i == 1 /* windows drive */
+  }
+
+  /** Write `ds` as WET files under `dir`. Local paths use java.nio; any
+    * Hadoop-supported scheme uses `FileSystem.create` + rename. Both keep
+    * the temp-file + atomic-rename contract, so a killed job leaves no
+    * half-written visible file.
     */
   def write(ds: Dataset[ExtractedRow], dir: String,
-            date: String = "1970-01-01T00:00:00Z"): Unit = {
-    Files.createDirectories(Paths.get(dir))
+            date: String = "1970-01-01T00:00:00Z"): Unit =
+    write(ds, dir, date, useHadoop = !isLocal(dir))
+
+  /** Branch-selectable form so the Hadoop path is testable on the local FS
+    * (Hadoop's RawLocalFileSystem serves schemeless paths).
+    */
+  private[sources] def write(ds: Dataset[ExtractedRow], dir: String,
+                             date: String, useHadoop: Boolean): Unit = {
+    val local = !useHadoop
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
+    if (local) Files.createDirectories(Paths.get(stripFileScheme(dir)))
+    else {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(hconf.value).mkdirs(root); ()
+    }
     ds.foreachPartition { (it: Iterator[ExtractedRow]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
         // attempt id in the temp name: speculative/zombie attempts must not
         // interleave writes into one tmp file; the rename stays atomic
         val attempt = TaskContext.get().taskAttemptId()
-        val tmp = Paths.get(dir, f".part-$pid%05d-$attempt.warc.wet.gz.tmp")
-        val dst = Paths.get(dir, f"part-$pid%05d.warc.wet.gz")
-        val os = new GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16)
-        try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))
-        finally os.close()
-        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        val tmpName = f".part-$pid%05d-$attempt.warc.wet.gz.tmp"
+        val dstName = f"part-$pid%05d.warc.wet.gz"
+        if (local) {
+          val base = stripFileScheme(dir)
+          val tmp = Paths.get(base, tmpName)
+          val dst = Paths.get(base, dstName)
+          val os = new GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16)
+          try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))
+          finally os.close()
+          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          import org.apache.hadoop.fs.Path
+          val tmp = new Path(dir, tmpName)
+          val dst = new Path(dir, dstName)
+          val fs = tmp.getFileSystem(hconf.value)
+          val os = new GZIPOutputStream(fs.create(tmp, true), 1 << 16)
+          try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))
+          finally os.close()
+          // rename-to-existing is FS-dependent: delete a stale dst first
+          // (re-run over a committed dir), then rename — atomic on HDFS
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"WET commit rename failed: $tmp -> $dst")
+        }
         ()
       }
     }
   }
+
+  private def stripFileScheme(dir: String): String =
+    if (dir.startsWith("file:")) new java.net.URI(dir).getPath else dir
 }

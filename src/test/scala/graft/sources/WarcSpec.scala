@@ -148,6 +148,94 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want, "WET round-trip must preserve every url's exact text")
   }
 
+  test("oversized declared length: record skipped by streaming discard, rest still read") {
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "http://ex.com/small1", "2024-01-01T00:00:00Z",
+      httpResponse("<p>one</p>")))
+    out.write(record("response", "http://ex.com/big", "2024-01-01T00:00:00Z",
+      httpResponse("x" * 5000))) // > test cap below
+    out.write(record("response", "http://ex.com/small2", "2024-01-01T00:00:00Z",
+      httpResponse("<p>two</p>")))
+    val pages = WarcReader.records(
+      new java.io.ByteArrayInputStream(out.toByteArray),
+      Set("response"), maxRecordBytes = 1000L).toSeq
+    assert(pages.map(_.url) === Seq("http://ex.com/small1", "http://ex.com/small2"),
+      "oversized record must be skipped without breaking framing")
+  }
+
+  test("garbage huge Content-Length with few bytes left: no allocation blow-up, no throw") {
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "http://ex.com/ok", "2024-01-01T00:00:00Z",
+      httpResponse("<p>ok</p>")))
+    // header declares ~2 GB; the archive ends after 10 bytes of body
+    out.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://ex.com/corrupt\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Length: 2000000000\r\n\r\nten bytes.").getBytes(UTF_8))
+    val pages = WarcReader.records(out.toByteArray).toSeq
+    assert(pages.map(_.url) === Seq("http://ex.com/ok"),
+      "parser must stop at the truncated record without materializing 2 GB")
+    // same but declared length under the cap: chunked read hits EOF, no throw
+    val out2 = new ByteArrayOutputStream()
+    out2.write(record("response", "http://ex.com/ok2", "2024-01-01T00:00:00Z",
+      httpResponse("<p>ok</p>")))
+    out2.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://ex.com/t\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Length: 20000000\r\n\r\nshort").getBytes(UTF_8))
+    assert(WarcReader.records(out2.toByteArray).toSeq.map(_.url)
+      === Seq("http://ex.com/ok2"))
+  }
+
+  test("WET header values: CR/LF in url percent-encoded; framing of later records intact") {
+    val evil = "http://ex.com/a\r\nWARC-Type: injected\r\nX: b"
+    val wet = WetWriter.recordBytes(evil, "body one", "2024-01-01T00:00:00Z") ++
+      WetWriter.recordBytes("http://ex.com/clean", "body two", "2024-01-01T00:00:00Z")
+    val back = WarcReader.records(wet, Set("conversion")).toSeq
+    assert(back.length === 2, "injected newline must not corrupt record framing")
+    assert(back.head.url === "http://ex.com/a%0D%0AWARC-Type: injected%0D%0AX: b")
+    assert(new String(back.head.html, UTF_8) === "body one")
+    assert(back(1).url === "http://ex.com/clean")
+    // a clean url is untouched
+    assert(WetWriter.sanitizeHeaderValue("http://ex.com/café?q=1")
+      === "http://ex.com/café?q=1")
+  }
+
+  test("streamed pages source matches byte-materialized source exactly") {
+    val dir = Files.createTempDirectory("warcstream")
+    Files.write(dir.resolve("a.warc"), archive(6))
+    val out = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    g.write(record("response", "http://ex.com/s", "2024-01-03T00:00:00Z",
+      httpResponse("<body><p>streamed gz page</p></body>")))
+    g.finish()
+    Files.write(dir.resolve("b.warc.gz"), out.toByteArray)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), col("warc_ts").cast("string"),
+          sha2(col("html"), 256))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    val a = rows(WarcReader.pages(spark, dir.toString))
+    val b = rows(WarcReader.pagesStreamed(spark, dir.toString))
+    assert(a.nonEmpty && (a.toSeq === b.toSeq),
+      "streamed and materialized sources must produce identical rows")
+  }
+
+  test("Hadoop-FS WET write branch round-trips and leaves no tmp files") {
+    val dir = Files.createTempDirectory("wethadoop").toString
+    val pages = PagesSynth.pagesDF(spark, 30L)
+    val extracted = graft.pipeline.ExtractPipeline.extractDS(pages, numParts = 4)
+    WetWriter.write(extracted, dir, "1970-01-01T00:00:00Z", useHadoop = true)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.exists(_.endsWith(".warc.wet.gz")))
+    assert(!names.exists(_.contains(".tmp")), s"tmp leftovers: ${names.mkString(",")}")
+    val got = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+      .flatMap(f => WarcReader.records(Files.readAllBytes(f.toPath), Set("conversion")))
+      .map(p => p.url -> new String(p.html, UTF_8)).toMap
+    val want = extracted.collect().map(r => r.url -> r.text).toMap
+    assert(got === want)
+  }
+
   test("warc directory → pages DataFrame → extraction pipeline end-to-end") {
     val dir = Files.createTempDirectory("warc")
     Files.write(dir.resolve("a.warc"), archive(4))
