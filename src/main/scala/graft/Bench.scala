@@ -125,12 +125,21 @@ object Bench {
     // ---- per-query timings at full parallelism (after the probes, so the
     // scaling measurement sees the quietest machine) ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    // One warm-up pass then min-of-2 timed runs per query: a single cold
+    // shot absorbs JIT compilation + first-touch of the codegen'd classes
+    // and manufactured ~2× false regressions round-over-round (measured:
+    // q22 8.8 s cold vs 2.6 s warm on the same plan). min, not mean — the
+    // lower envelope is the plan's cost; the tail is host noise.
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up (JIT, codegen cache, shuffle-service spin-up)
+        name -> math.min(once(), once())
       }
     spark.stop()
 

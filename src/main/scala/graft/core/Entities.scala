@@ -8,54 +8,37 @@ package graft.core
   * `&` or an unterminated entity) is left verbatim.
   *
   * EXTENDED (opt-in, `extended = true` / `ExtractConfig(extendedEntities =
-  * true)`): additionally decodes the WHATWG-core named entities real crawl
-  * text actually hits (`&copy; &mdash; &rsquo; &hellip; …`). The default
-  * stays the pinned 5-entity set so golden fixtures and byte-identity with
-  * the reference are untouched; extraction consumers opt in per job.
+  * true)`): additionally decodes the full WHATWG named-entity table. The
+  * default stays the pinned 5-entity set so golden fixtures and
+  * byte-identity with the reference are untouched; extraction consumers opt
+  * in per job.
   */
 object Entities {
 
-  /** Common named entities beyond the pinned five — a reimplemented subset
-    * of the public WHATWG named-character-references table (most-frequent
-    * names in web text; Latin-1 letters, punctuation, currency, arrows).
+  /** The FULL WHATWG named-character-references table (canonical `name;`
+    * forms only — this decoder requires the terminating semicolon per the
+    * pinned F-13 contract, so the spec's legacy semicolon-less names are
+    * out of scope by design). Loaded from a packaged resource generated
+    * off the public table (2 125 names, 93 of them multi-codepoint like
+    * `&NotEqualTilde;` → U+2242 U+0338); values are stored as hex
+    * codepoints because some entity values ARE tab/newline.
     */
-  private val ExtendedNames: java.util.HashMap[String, String] = {
-    val m = new java.util.HashMap[String, String]()
-    def p(k: String, v: String): Unit = m.put(k, v)
-    p("apos", "'"); p("copy", "©"); p("reg", "®")
-    p("trade", "™"); p("deg", "°"); p("plusmn", "±")
-    p("frac12", "½"); p("frac14", "¼"); p("frac34", "¾")
-    p("sup2", "²"); p("sup3", "³"); p("micro", "µ")
-    p("para", "¶"); p("sect", "§"); p("middot", "·")
-    p("laquo", "«"); p("raquo", "»")
-    p("ndash", "–"); p("mdash", "—")
-    p("lsquo", "‘"); p("rsquo", "’")
-    p("ldquo", "“"); p("rdquo", "”")
-    p("sbquo", "‚"); p("bdquo", "„")
-    p("hellip", "…"); p("dagger", "†"); p("Dagger", "‡")
-    p("permil", "‰"); p("prime", "′"); p("Prime", "″")
-    p("lsaquo", "‹"); p("rsaquo", "›")
-    p("bull", "•"); p("times", "×"); p("divide", "÷")
-    p("cent", "¢"); p("pound", "£"); p("yen", "¥")
-    p("euro", "€"); p("curren", "¤")
-    p("iexcl", "¡"); p("iquest", "¿")
-    p("szlig", "ß"); p("agrave", "à"); p("aacute", "á")
-    p("acirc", "â"); p("atilde", "ã"); p("auml", "ä")
-    p("aring", "å"); p("aelig", "æ"); p("ccedil", "ç")
-    p("egrave", "è"); p("eacute", "é"); p("ecirc", "ê")
-    p("euml", "ë"); p("igrave", "ì"); p("iacute", "í")
-    p("icirc", "î"); p("iuml", "ï"); p("ntilde", "ñ")
-    p("ograve", "ò"); p("oacute", "ó"); p("ocirc", "ô")
-    p("otilde", "õ"); p("ouml", "ö"); p("oslash", "ø")
-    p("ugrave", "ù"); p("uacute", "ú"); p("ucirc", "û")
-    p("uuml", "ü"); p("yacute", "ý"); p("yuml", "ÿ")
-    p("Auml", "Ä"); p("Ouml", "Ö"); p("Uuml", "Ü")
-    p("shy", "­"); p("ensp", " "); p("emsp", " ")
-    p("thinsp", " "); p("zwnj", "‌"); p("zwj", "‍")
-    p("larr", "←"); p("uarr", "↑"); p("rarr", "→")
-    p("darr", "↓"); p("harr", "↔")
-    p("minus", "−"); p("infin", "∞"); p("ne", "≠")
-    p("le", "≤"); p("ge", "≥"); p("asymp", "≈")
+  private lazy val ExtendedNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](4096)
+    val in = getClass.getResourceAsStream("/graft/entities.tsv")
+    require(in != null, "graft/entities.tsv missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines().foreach { line =>
+        val tab = line.indexOf('\t')
+        if (tab > 0) {
+          val sb = new java.lang.StringBuilder(4)
+          line.substring(tab + 1).split(',')
+            .foreach(h => sb.appendCodePoint(Integer.parseInt(h, 16)))
+          m.put(line.substring(0, tab), sb.toString)
+        }
+      }
+    } finally src.close()
     m
   }
 

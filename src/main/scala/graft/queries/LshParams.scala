@@ -81,4 +81,38 @@ object LshParams {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
   }
+
+  /** Multi-probe variant of [[bandedPairs]] for INTEGER band values
+    * (SimHash-style bit bands of `bandBits` bits): one join side is
+    * expanded with every single-bit flip of its band value, so a band
+    * matches when it differs by AT MOST ONE bit instead of exactly zero.
+    * By pigeonhole this turns the exact guarantee "hamming ≤ bands-1" into
+    * "hamming ≤ 2·bands-1" (4×16-bit bands: every pair at ham ≤ 7 is
+    * found — measured in NeardupSpec: recall 1.0 at ham 4–6, where plain
+    * banding measures ≈0.90/0.74/0.58).
+    *
+    * Cost model: probe-side rows × (bandBits+1) — a (1+16)× one-side blow
+    * of a table that is already only bands-per-doc rows, and the expansion
+    * happens AFTER the checkpoint, so the signature computation still runs
+    * once. Buckets stay uniform (a bit flip maps buckets 1:1), so the
+    * skew analysis of the plain path carries over.
+    */
+  def bandedPairsProbed(melted: org.apache.spark.sql.DataFrame,
+                        bandBits: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(melted.columns.length == 3,
+      s"bandedPairsProbed expects (id, band_idx, key), got ${melted.columns.mkString(",")}")
+    require(bandBits >= 1 && bandBits <= 62)
+    val m = melted.toDF("id", "band_idx", "k").localCheckpoint()
+    val probes = array(col("k") +: (0 until bandBits).map(j =>
+      col("k").bitwiseXOR(lit(1L << j))): _*)
+    val probed = m.select(col("id"), col("band_idx"),
+      explode(probes).as("k"))
+    probed.as("a").join(m.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.k") === col("b.k") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
 }

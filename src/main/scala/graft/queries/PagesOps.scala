@@ -81,21 +81,53 @@ object PagesOps {
     * query — at production scale the node table would be a materialized
     * intermediate, not a re-parse.
     */
-  def q32TagHistogram(s: SparkSession, dir: String): DataFrame =
+  def q32TagHistogram(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_hist")
+    // twin self-certification: the same histogram from the native Generator
+    // path (size() on the attrs map counts duplicates too — ArrayBasedMapData
+    // keeps them — so it equals the typed n_attrs sum exactly)
+    val gen = s.sql(
+      """SELECT lower(n.tag) AS g_tag, count(1) AS g_cnt,
+        |  sum(size(n.attrs)) AS g_attrs
+        |FROM pages_hist LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' GROUP BY lower(n.tag)""".stripMargin)
     q31NodeTable(s, dir)
       .filter(col("ntype") === "START")
       .groupBy(lower(col("tag")).as("tag"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_attrs")).as("attrs"))
+      .join(gen, col("tag") === col("g_tag"), "full_outer")
+      .select(coalesce(col("tag"), col("g_tag")).as("tag"),
+        col("cnt"), col("attrs"),
+        (col("tag").isNotNull && col("g_tag").isNotNull &&
+          col("cnt") === col("g_cnt") && col("attrs") === col("g_attrs"))
+          .as("twin_ok"))
       .orderBy(col("tag"))
+  }
 
-  /** Multimodal plumbing: deterministic stub feature extraction over the
-    * opaque binary column (graft.functions.Multimodal).
+  /** Multimodal plumbing over the opaque binary column: REAL PNG/JPEG/GIF
+    * header parse (dims from the container's own header fields) for a
+    * synthesized media set with known ground truth, stub features for
+    * non-image bytes. `decode_ok` self-certifies: media rows must report
+    * the exact synthesized kind/width/height; page rows must not be
+    * classified as an image.
     */
-  def q33BinaryFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.features(pages(s)).toDF()
+  def q33BinaryFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.sources.MediaSynth.mediaDF(s, 60)
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName(media.select(col("url"), col("html")))
+    val truth = media.select(col("url").as("m_url"),
+      col("exp_kind"), col("exp_w"), col("exp_h"))
+    Multimodal.features(input).toDF()
+      .join(truth, col("url") === col("m_url"), "left")
       .select(col("url"), col("byte_len"), col("kind"), col("width"),
-        col("height"), col("entropy_x1000"), col("head_hex"))
+        col("height"), col("entropy_x1000"), col("head_hex"),
+        when(col("m_url").isNull, !col("kind").isin("png", "jpeg", "gif"))
+          .otherwise(col("kind") === col("exp_kind") &&
+            col("width") === col("exp_w") && col("height") === col("exp_h"))
+          .as("decode_ok"))
       .orderBy(col("url"))
+  }
 
   /** SQL surface: the same extraction through the registered native
     * Catalyst expressions (graft.functions.GraftExtensions) — what a
@@ -153,14 +185,38 @@ object PagesOps {
     * as one SQL statement over the Generator + lazy attrs.
     */
   def q37Outlinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     graft.functions.GraftExtensions.register(s)
     pages(s).createOrReplaceTempView("pages_lnk")
-    s.sql(
+    val gen = s.sql(
       """SELECT url, n.idx, n.attrs['href'] AS href
         |FROM pages_lnk LATERAL VIEW html_nodes(html) n
         |WHERE n.ntype = 'START' AND lower(n.tag) = 'a'
-        |  AND n.attrs['href'] IS NOT NULL
-        |ORDER BY url, n.idx""".stripMargin)
+        |  AND n.attrs['href'] IS NOT NULL""".stripMargin)
+    // twin self-certification: href via the typed HNode.attrs path (first
+    // name-exact match, bare attrs excluded — the same semantics as the map
+    // lookup, which also returns the first duplicate key)
+    val typed = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        HtmlScanner.parse(bytes).iterator
+          .filter(nd => nd.nodeType == NodeType.StartTag &&
+            nd.tagName.toLowerCase(java.util.Locale.ROOT) == "a")
+          .map(nd => (p.url, nd.idx,
+            nd.attrs.find(_.name == "href").map(_.value).orNull))
+          .filter(_._3 != null)
+      }.toDF("t_url", "t_idx", "t_href")
+    gen.join(typed,
+        col("url") === col("t_url") && col("idx") === col("t_idx"), "full_outer")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("idx"), col("t_idx")).as("idx"),
+        col("href"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("href") === col("t_href")).as("twin_ok"))
+      .orderBy(col("url"), col("idx"))
   }
 
   /** PDF text extraction (the north_rule's "PDF/layout parse" leg):
@@ -208,10 +264,11 @@ object PagesOps {
         |    trim(regexp_replace(decode_entities(text),
         |         '[\\s\\x{00A0}]+', ' ')) AS derived
         |  FROM marked WHERE idx = tidx + 1 AND ntype = 'TEXT')
-        |SELECT p.url, extract_title(p.html) AS title,
-        |  extract_title(p.html) <=> coalesce(c.derived, '') AS twin_ok
-        |FROM pages_t p LEFT JOIN tcontent c ON p.url = c.url
-        |ORDER BY p.url""".stripMargin)
+        |SELECT url, title, title <=> derived AS twin_ok FROM (
+        |  SELECT p.url, extract_title(p.html) AS title,
+        |    coalesce(c.derived, '') AS derived
+        |  FROM pages_t p LEFT JOIN tcontent c ON p.url = c.url)
+        |ORDER BY url""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -60,6 +60,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("imageHeader: real dims for spec-valid PNG/JPEG/GIF; independent ImageIO cross-check") {
+    import graft.sources.MediaSynth
+    val cases = Seq(
+      ("png", MediaSynth.pngBytes(640, 480), 640, 480),
+      ("jpeg", MediaSynth.jpegBytes(1024, 7), 1024, 7),
+      ("gif", MediaSynth.gifBytes(3, 65535), 3, 65535),
+      ("png", MediaSynth.pngBytes(1, 1), 1, 1))
+    cases.foreach { case (kind, bytes, w, h) =>
+      assert(Multimodal.imageHeader(bytes) === Some((kind, w, h)), kind)
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === kind && f.width === w && f.height === h)
+    }
+    // independent decoder: the JDK's ImageIO readers parse the same headers
+    // without needing pixel data — dims must agree exactly
+    cases.filter(_._4 <= 480).foreach { case (kind, bytes, w, h) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, s"JDK has no reader for $kind fixture — fixture invalid?")
+      val r = readers.next()
+      r.setInput(iis)
+      assert((r.getWidth(0), r.getHeight(0)) === ((w, h)), s"ImageIO disagrees on $kind")
+      r.dispose()
+    }
+  }
+
+  test("imageHeader: truncated and garbage image bytes never throw") {
+    import graft.sources.MediaSynth
+    val blobs = Seq(MediaSynth.pngBytes(9, 9), MediaSynth.jpegBytes(9, 9),
+      MediaSynth.gifBytes(9, 9))
+    blobs.foreach { b =>
+      (0 to b.length).foreach { k =>
+        Multimodal.imageHeader(java.util.Arrays.copyOf(b, k)) // no throw
+        Multimodal.decodeStub("u", java.util.Arrays.copyOf(b, k))
+      }
+    }
+    // JPEG with garbage after SOI: kind detected, dims unknown → (0,0)
+    val damaged = Array(0xFF, 0xD8, 0x00, 0x11, 0x22, 0x33).map(_.toByte)
+    assert(Multimodal.imageHeader(damaged) === Some(("jpeg", 0, 0)))
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Multimodal.imageHeader(b) // no throw on anything
+    }
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)

@@ -32,6 +32,38 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  /** The extraction queries certify themselves with a boolean flag column
+    * (typed path == SQL path, sha path == native sha2, spans in bounds, …).
+    * The driver only records row counts for these no-oracle queries, so
+    * without this test a flag silently flipping to false would go unseen —
+    * this is the correctness gate for the non-SQL-expressible operators.
+    */
+  test("every self-certifying flag column is all-true") {
+    import org.apache.spark.sql.functions.col
+    val flags = Seq(
+      "q30_extract_pages" -> "sha_ok",
+      "q31_node_table" -> "span_ok",
+      "q32_tag_histogram" -> "twin_ok",
+      "q33_binary_features" -> "decode_ok",
+      "q34_sql_extract" -> "twin_sha_ok",
+      "q36_sql_nodes" -> "twin_ok",
+      "q37_outlinks" -> "twin_ok",
+      "q38_pdf_extract" -> "roundtrip_ok",
+      "q46_titles" -> "twin_ok")
+    flags.foreach { case (name, flag) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.columns.contains(flag), s"$name lost its $flag column")
+      val bad = df.filter(!col(flag)).count()
+      assert(bad === 0L, s"$name: $bad rows with $flag = false")
+    }
+    // every rows-only (no-oracle) query must carry a flag — a new query
+    // without one would silently weaken the gate
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unflagged = rowsOnly -- flags.map(_._1).toSet
+    assert(unflagged.isEmpty,
+      s"rows-only queries without a self-certifying flag: $unflagged")
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
