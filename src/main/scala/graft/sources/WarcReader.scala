@@ -63,6 +63,11 @@ object WarcReader {
     */
   def records(raw: InputStream, acceptTypes: Set[String],
               maxRecordBytes: Long): Iterator[WarcPage] = {
+    // a JVM byte array cannot exceed ~Int.MaxValue: clamp a caller-raised
+    // cap so the oversized-skip path (not an allocation) handles anything
+    // bigger — new Array[Byte](n.toInt) on a wrapped size would throw a
+    // non-IOException that escapes the damaged-archive catch
+    val cap = math.min(maxRecordBytes, (Int.MaxValue - 8).toLong)
     val pb = new java.io.PushbackInputStream(raw, 2)
     val b0 = pb.read(); val b1 = pb.read()
     if (b1 >= 0) pb.unread(b1)
@@ -81,7 +86,7 @@ object WarcReader {
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
-          readRecord(in, acceptTypes, maxRecordBytes) match {
+          readRecord(in, acceptTypes, cap) match {
             case None => done = true
             case Some(p) => nextRec = p.orNull
           }
@@ -175,6 +180,7 @@ object WarcReader {
     */
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
     val Chunk = 8 * 1024 * 1024
+    if (n > Int.MaxValue - 8) return null // defense: callers clamp already
     if (n <= Chunk) {
       val buf = new Array[Byte](n.toInt)
       var off = 0
@@ -284,7 +290,12 @@ object WarcReader {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isFile && name.contains(".warc")) b += st.getPath.toString
+        // same visibility rules as pages()'s Spark file index: dot/underscore
+        // prefixed names are temp/sidecar files (.tmp renames, .crc
+        // checksums, _SUCCESS), not data
+        if (st.isFile && name.contains(".warc") &&
+            !name.startsWith(".") && !name.startsWith("_"))
+          b += st.getPath.toString
       }
       b.result().sorted // deterministic partition → file assignment
     }

@@ -128,11 +128,18 @@ object WetWriter {
           val os = new GZIPOutputStream(fs.create(tmp, true), 1 << 16)
           try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))
           finally os.close()
-          // rename-to-existing is FS-dependent: delete a stale dst first
-          // (re-run over a committed dir), then rename — atomic on HDFS
-          if (fs.exists(dst)) fs.delete(dst, false)
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"WET commit rename failed: $tmp -> $dst")
+          // FIRST RENAME WINS — never delete an existing dst: with
+          // speculation, a zombie attempt dying between a delete and its
+          // rename would silently lose the committed file. The writer is
+          // deterministic (same partition → identical bytes, fixed date),
+          // so a dst left by another attempt or a previous run over the
+          // same input is the same content; our tmp is then redundant.
+          if (fs.exists(dst)) fs.delete(tmp, false)
+          else if (!fs.rename(tmp, dst)) {
+            if (fs.exists(dst)) fs.delete(tmp, false) // lost the race — fine
+            else throw new java.io.IOException(
+              s"WET commit rename failed: $tmp -> $dst")
+          }
         }
         ()
       }

@@ -236,6 +236,55 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("caller-raised cap beyond Int.MaxValue: huge declared length skips, never throws") {
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "http://ex.com/ok", "2024-01-01T00:00:00Z",
+      httpResponse("<p>ok</p>")))
+    out.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://ex.com/huge\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Length: 5000000000\r\n\r\nfew bytes").getBytes(UTF_8))
+    val pages = WarcReader.records(
+      new java.io.ByteArrayInputStream(out.toByteArray),
+      Set("response"), maxRecordBytes = Long.MaxValue).toSeq
+    assert(pages.map(_.url) === Seq("http://ex.com/ok"),
+      "5 GB declared length must hit the skip path, not Array[Byte]((5e9).toInt)")
+  }
+
+  test("streamed source ignores dot/underscore temp and sidecar files like pages() does") {
+    val dir = Files.createTempDirectory("warchidden")
+    Files.write(dir.resolve("a.warc"), archive(3))
+    // half-written tmp, checksum sidecar, marker — all contain '.warc'
+    Files.write(dir.resolve(".part-00001-7.warc.wet.gz.tmp"),
+      java.util.Arrays.copyOf(archive(2), 40))
+    Files.write(dir.resolve(".a.warc.crc"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("_tmp.warc"), archive(1))
+    val streamed = WarcReader.pagesStreamed(spark, dir.toString)
+      .select(col("url")).collect().map(_.getString(0)).sorted
+    val materialized = WarcReader.pages(spark, dir.toString)
+      .select(col("url")).collect().map(_.getString(0)).sorted
+    assert(streamed.toSeq === materialized.toSeq)
+    assert(streamed.length === 3)
+  }
+
+  test("Hadoop WET commit never deletes an existing committed file (first rename wins)") {
+    val dir = Files.createTempDirectory("wetrace").toString
+    val pages = PagesSynth.pagesDF(spark, 20L)
+    val extracted = graft.pipeline.ExtractPipeline.extractDS(pages, numParts = 2)
+    WetWriter.write(extracted, dir, "1970-01-01T00:00:00Z", useHadoop = true)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).sortBy(_.getName)
+    val before = files.map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    // re-run over the committed dir: dst files must survive byte-identical
+    // (first-wins semantics) and no tmp litter
+    WetWriter.write(extracted, dir, "1970-01-01T00:00:00Z", useHadoop = true)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+      .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(after === before, "committed WET files must be untouched by a re-run")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp")))
+  }
+
   test("warc directory → pages DataFrame → extraction pipeline end-to-end") {
     val dir = Files.createTempDirectory("warc")
     Files.write(dir.resolve("a.warc"), archive(4))
