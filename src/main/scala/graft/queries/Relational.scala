@@ -244,7 +244,65 @@ object Relational {
         col("event_type"), col("cnt"), col("value_c"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Gap-based sessionization (SURVEY.md §2.B.e composed-window shape; the
+    * classic web-analytics operator): a session breaks after a >30 min gap
+    * per user; session ids are a running sum of the break flags. Scale
+    * shape: ONE exchange on user_id feeds the lag window, the running-sum
+    * window AND the final (user_id, session_id) aggregate — Spark
+    * recognizes hash(user_id) as satisfying the subset-clustered
+    * distribution, so no further shuffles. Gap/duration math is
+    * whole-second floors (`unix_timestamp`) — the exact semantics of the
+    * oracle's `datediff('second', …)` boundary count.
+    */
+  def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    tbl(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("dur_s"),
+        sum(floor(col("value")).cast("long")).as("val_sum"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** URL decomposition at scale (host / path-depth / key extraction): urls
+    * are synthesized deterministically from lineitem keys IN THE QUERY (the
+    * harness tables carry no url column), identically in the oracle, then
+    * parsed back with regexps — the operator under test is the parse, which
+    * stays inside whole-stage codegen; one aggregate exchange on host.
+    */
+  def q48UrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://sup"),
+      (col("l_suppkey") % 50).cast("string"),
+      lit(".example.com/order/"), col("l_orderkey").cast("string"),
+      lit("/item/"), col("l_linenumber").cast("string"))
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      .withColumn("url", url)
+      .select(
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^https://[^/]+/order/([0-9]+)", 1)
+          .cast("long").as("ord"),
+        (size(split(col("url"), "/")) - 3).cast("long").as("depth"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("hits"),
+        countDistinct(col("ord")).as("orders"),
+        max(col("depth")).as("max_depth"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_sessionize" -> q47Sessionize _,
+    "q48_url_parse" -> q48UrlParse _,
     "q39_tumbling_window" -> q39TumblingWindow _,
     "q40_pivot_events" -> q40PivotEvents _,
     "q28_union_shards" -> q28UnionShards _,
@@ -268,6 +326,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR datediff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  datediff('second', MIN(ts), MAX(ts)) AS dur_s,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS val_sum
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q48_url_parse" ->
+      """WITH u AS (
+        |  SELECT 'https://sup' || CAST(l_suppkey % 50 AS VARCHAR) ||
+        |    '.example.com/order/' || CAST(l_orderkey AS VARCHAR) ||
+        |    '/item/' || CAST(l_linenumber AS VARCHAR) AS url
+        |  FROM lineitem)
+        |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  COUNT(*) AS hits,
+        |  COUNT(DISTINCT CAST(regexp_extract(url, '^https://[^/]+/order/([0-9]+)', 1)
+        |    AS BIGINT)) AS orders,
+        |  CAST(MAX(len(string_split(url, '/')) - 3) AS BIGINT) AS max_depth
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
     "q40_pivot_events" ->
       """SELECT user_id,
         | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
