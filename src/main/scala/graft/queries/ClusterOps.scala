@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-cluster closure: candidate PAIRS (q22/q41 output) are not yet a
+  * dedup decision — production dedup needs pairs → connected components →
+  * one keeper per component. This implements distributed connected
+  * components with the alternating large-star / small-star algorithm
+  * (public: Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014), which converges in O(log² n) rounds on ANY graph
+  * shape — unlike plain min-label propagation, whose round count is the
+  * graph diameter (fine for clique-ish dup clusters, pathological for
+  * chain-shaped ones).
+  *
+  * Scale notes (100 TB): each round is one groupBy shuffle keyed on the
+  * node id; edges only ever point toward smaller ids, so the edge set
+  * never grows beyond the symmetrized input and monotonically contracts
+  * toward stars. Per-round results are materialized (`localCheckpoint` —
+  * a checkpoint in prod) to truncate the iterative lineage; convergence is
+  * detected from the round's aggregate change count (an O(1) driver
+  * read-back per round, not a collect of the data).
+  */
+object ClusterOps {
+  import Q._
+
+  /** One large-star round: for every node u, hang each STRICTLY LARGER
+    * neighbor v off m = min(N(u) ∪ {u}). Input/output edges are
+    * (src, dst) with dst < src (star orientation); output preserves it.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src").cast("long")).as("m"))
+    sym.join(m, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: for every node u, hang each neighbor v ≤ u
+    * (and u itself) off m = min(N≤(u) ∪ {u}).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val m = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    oriented.join(m, "src")
+      .select(explode(array(col("dst"), col("src"))).as("v"), col("m"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list (BIGINT `src`,`dst`
+    * columns, self-loops allowed and ignored): returns one row per
+    * non-isolated node, `(id, comp)` with comp = min node id reachable.
+    *
+    * Alternates large-star / small-star until a round changes nothing
+    * (checked via an O(1) count+hash aggregate, deterministic), capped at
+    * `maxRounds` with a hard failure rather than a silently-wrong result.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def stamp(d: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and cannot overflow under ANSI mode
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = stamp(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = stamp(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // e is now a star graph: (v, componentMin) for every non-root node.
+    // Roots (component minima) carry no out-edge; add them back as (m, m).
+    e.select(col("src").as("id"), col("dst").as("comp"))
+      .union(e.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+      .distinct()
+  }
+
+  /** q49: dedup clusters over the union of the exact-duplicate graph
+    * (md5 star edges: keeper → dupe) and the MinHash-LSH candidate-pair
+    * graph (q22's fixed 2×4 banding, so the oracle stays expressible).
+    * Output: every clustered doc with its cluster id (= min doc_id in the
+    * component), the cluster size, and the keeper flag — the row a
+    * production dedup job anti-joins against to drop non-keepers.
+    */
+  def q49DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val exact = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("src"), col("doc_id").as("dst"))
+    val near = TextOps.minhashPairs(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val cc = connectedComponents(exact.union(near))
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dedup_clusters" -> q49DedupClusters _,
+  )
+
+  // The oracle recomputes the same edge set in DuckDB (q22's SQL twin for
+  // the near pairs + a window for the exact-dup stars) and closes it with a
+  // recursive CTE: lbl-set of a node = every node that reaches it; min =
+  // component min. UNION (distinct) bounds the recursion.
+  val oracles: Map[String, String] = Map(
+    "q49_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))-1),
+         |    i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
+         |         regexp_split_to_array(lower(trim(text)), '\\s+')[i+1]))) AS s
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |   ${(0 until 8).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
+         |   md5(h4||'|'||h5||'|'||h6||'|'||h7) AS band1 FROM sig),
+         |near AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a
+         |     JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id FROM bands a
+         |     JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)),
+         |exact AS (
+         |  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS keeper, doc_id
+         |  FROM documents QUALIFY doc_id <> keeper),
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM near
+         |  UNION SELECT b_id, a_id FROM near
+         |  UNION SELECT keeper, doc_id FROM exact
+         |  UNION SELECT doc_id, keeper FROM exact),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |r(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.lbl FROM r JOIN edges e ON r.id = e.u),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  (id = cluster_id) AS is_keeper
+         |FROM cc ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -95,6 +95,69 @@ object TextOps {
         md5s(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("tok_fp"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition/composition filters (public: Rae et al.,
+    * "Scaling Language Models: … Gopher", 2021, Table A1): duplicate-token
+    * fraction, most-frequent-bigram fraction, mean word length, and the
+    * composed `keep` decision. All ratios are integer ‰/% so the DuckDB
+    * twin hashes identically. One explode→two-level groupBy for the bigram
+    * mode (partial aggregation keeps the shuffle at (doc, bigram) grain);
+    * everything else is per-row — embarrassingly parallel at 100 TB.
+    */
+  def q50QualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = tbl(s, dir, "documents").select(
+      col("doc_id"),
+      size(t).as("words"),
+      size(array_distinct(t)).as("uniq"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("cnw"),
+      // non-distinct bigram list: repetition is the signal here
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bg"))
+    val mode = base.select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topc"), sum(col("c")).as("totc"))
+    val dupTok = round(lit(1000.0) * (col("words") - col("uniq")) / col("words")).cast("long")
+    val topBg = round(lit(1000.0) * col("topc") / col("totc")).cast("long")
+    val meanWl = round(lit(100.0) * col("cnw") / col("words")).cast("long")
+    base.join(mode, "doc_id")
+      .select(col("doc_id"), col("words"),
+        dupTok.as("dup_tok_x1000"),
+        topBg.as("top_bigram_x1000"),
+        meanWl.as("mean_wlen_x100"),
+        (col("words") >= 30 && dupTok <= 600 && topBg <= 60).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training-set materialization: the composed end-of-pipeline decision —
+    * exact-dedup keeper (md5 window) ∧ quality (q17's predicate) — rolled
+    * up per (lang, source) with kept/dropped accounting. This is the
+    * accounting query a 100 TB curation run emits per snapshot: one window
+    * shuffle on the 128-bit digest + one partial-aggregated groupBy on two
+    * low-cardinality keys.
+    */
+  def q51CorpusKept(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val words = size(t)
+    val stopCnt = size(filter(t, x => x.isin(stopwords: _*)))
+    val d = tbl(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      (words >= 20 && words <= 5000 && stopCnt * 20 >= words).as("is_quality"),
+      md5s(col("text")).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val keep = col("doc_id") === col("keeper") && col("is_quality")
+    d.withColumn("keeper", min(col("doc_id")).over(w))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dup_dropped"),
+        sum(when(col("doc_id") === col("keeper") && !col("is_quality"), 1L)
+          .otherwise(0L)).as("n_lowq_dropped"),
+        sum(when(keep, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -159,14 +222,19 @@ object TextOps {
     * path: only same-bucket pairs ever materialize, never the O(n²) cross
     * product.
     */
-  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** q22's candidate pairs without the presentation sort — the form other
+    * operators (q49's cluster closure) consume.
+    */
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = signature(s, dir).select(col("doc_id"),
         posexplode(array(
           md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
           md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
       .toDF("doc_id", "band_idx", "digest")
     LshParams.bandedPairs(bands) // materializes one signature pass
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** 16-bit SimHash over distinct unigram tokens: md5-nibble bits, majority
@@ -287,6 +355,8 @@ object TextOps {
     "q22_minhash_lsh" -> q22MinhashLsh _,
     "q23_simhash" -> q23Simhash _,
     "q41_simhash_pairs" -> q41SimhashPairs _,
+    "q50_quality_gopher" -> q50QualityGopher _,
+    "q51_corpus_kept" -> q51CorpusKept _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -384,6 +454,32 @@ object TextOps {
          | CAST(${(0 until SimBands).map(k => s"bit_count(xor(sa.s$k, sb.s$k))").mkString(" + ")} AS BIGINT) <= 3 AS is_near
          |FROM pairs JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    "q50_quality_gopher" ->
+      s"""WITH t AS (SELECT doc_id, $dkTokens AS toks,
+         |   length(regexp_replace(text, '\\s', '', 'g')) AS cnw FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+         |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM bc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS INT) AS words,
+         | CAST(round(1000.0*(len(toks)-len(list_distinct(toks)))/len(toks)) AS BIGINT) AS dup_tok_x1000,
+         | CAST(round(1000.0*topc/totc) AS BIGINT) AS top_bigram_x1000,
+         | CAST(round(100.0*cnw/len(toks)) AS BIGINT) AS mean_wlen_x100,
+         | (len(toks) >= 30
+         |  AND round(1000.0*(len(toks)-len(list_distinct(toks)))/len(toks)) <= 600
+         |  AND round(1000.0*topc/totc) <= 60) AS keep
+         |FROM t JOIN top ON t.doc_id = top.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q51_corpus_kept" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |  (len($dkTokens) BETWEEN 20 AND 5000 AND $dkStop*20 >= len($dkTokens)) AS is_quality,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         | FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN doc_id = keeper AND is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+         | CAST(SUM(CASE WHEN doc_id = keeper AND NOT is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq_dropped,
+         | CAST(SUM(CASE WHEN doc_id = keeper AND is_quality THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
