@@ -113,7 +113,12 @@ object Bench {
     // depress one level of the efficiency ratio alone. min across rounds.
     val levels = Seq(math.max(cpus / 16, 1), loCores, cpus).distinct
     val walls = scala.collection.mutable.Map.empty[Int, Double]
-    (1 to 2).foreach { _ =>
+    // dev knob: skip the ~8-minute pinned probe phase when only the
+    // per-query timings are being compared (probe walls become NaN-free
+    // placeholders so the JSON stays well-formed)
+    val skipExtract = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_EXTRACT")
+    if (skipExtract) levels.foreach(c => walls(c) = Double.NaN)
+    else (1 to 2).foreach { _ =>
       levels.foreach { c =>
         val t = probe(c)
         walls(c) = math.min(walls.getOrElse(c, Double.MaxValue), t)
@@ -171,9 +176,10 @@ object Bench {
       if (probeFallback) "UNPINNED in-JVM fallback (taskset/child JVM unavailable) — ratio not comparable to pinned runs"
       else s"CPU-pinned child JVMs; N=$pn vs 4N=$p4n; larger pair is single-box DRAM-bandwidth-bound, see BASELINE.md"
     val extract =
-      f"""{"docs":$benchDocs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
-      f""""levels":$levelsJson,$pairsJson,""" +
-      f""""scaling_note":"$noteTxt"}"""
+      if (skipExtract) """{"skipped":true}"""
+      else f"""{"docs":$benchDocs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
+        f""""levels":$levelsJson,$pairsJson,""" +
+        f""""scaling_note":"$noteTxt"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"extract":$extract,"sf":"$sfDir"}""")
   }

@@ -249,7 +249,11 @@ object GraftExtensions {
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
     "html_nodes" -> (args => HtmlNodes(args.head)),
     "decode_entities" -> (args => DecodeEntities(args.head)),
-    "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)))
+    "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
+    "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "vec_cos" -> (args => VecCos(args(0), args(1))),
+    "vec_sqdist" -> (args => VecSqDist(args(0), args(1))),
+    "vec_norm" -> (args => VecNorm(args.head)))
 
   def inject(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>
@@ -267,4 +271,15 @@ object GraftExtensions {
         new ExpressionInfo("graft.functions.ExtractExpressions", name),
         builder)
     }
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent [[register]] — callable from every query builder without
+    * re-register log spam.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.contains(spark)) { register(spark); registered.add(spark) }
+  }
 }

@@ -24,6 +24,8 @@ object Multimodal {
       kind: String,
       width: Int,
       height: Int,
+      sample_rate: Int,
+      channels: Int,
       histogram: Array[Int],
       entropy_x1000: Long,
       head_hex: String)
@@ -76,6 +78,32 @@ object Multimodal {
     None
   }
 
+  /** REAL pure-JVM audio header parse: RIFF/WAVE chunk walk to the `fmt `
+    * chunk — (sampleRate, channels). Same contract as [[imageHeader]]:
+    * public stable container format, fixed header fields, no codec, never
+    * throws on truncated/garbage input.
+    */
+  def wavHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    while (i + 8 <= n) {
+      val size = le32(i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 8 > n || size < 16) return Some((0, 0)) // truncated fmt
+        return Some((le32(i + 12), le16(i + 10)))
+      }
+      if (size < 0) return Some((0, 0)) // damaged chunk size
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    Some((0, 0)) // valid RIFF/WAVE but no fmt chunk found
+  }
+
   /** Deterministic decode: REAL header parse for PNG/JPEG/GIF (kind +
     * width/height from the file's own header fields); for everything else
     * the declared STUB remains (this container has no pixel codecs) —
@@ -99,15 +127,20 @@ object Multimodal {
     val head = bytes.take(8).map(x => f"${x & 0xff}%02x").mkString
     imageHeader(bytes) match {
       case Some((kind, w, h)) =>
-        MediaFeatures(url, n, kind, w, h, hist, math.round(ent * 1000), head)
-      case None =>
-        val kind =
-          if (n >= 4 && bytes(0) == '<'.toByte) "markup"
-          else if (n == 0) "empty" else "binary"
-        // fake dims: deterministic function of length (stand-in for a real
-        // pixel decode)
-        MediaFeatures(url, n, kind, (n % 1024) + 1, (n % 768) + 1, hist,
-          math.round(ent * 1000), head)
+        MediaFeatures(url, n, kind, w, h, 0, 0, hist, math.round(ent * 1000), head)
+      case None => wavHeader(bytes) match {
+        case Some((rate, ch)) =>
+          MediaFeatures(url, n, "wav", 0, 0, rate, ch, hist,
+            math.round(ent * 1000), head)
+        case None =>
+          val kind =
+            if (n >= 4 && bytes(0) == '<'.toByte) "markup"
+            else if (n == 0) "empty" else "binary"
+          // fake dims: deterministic function of length (stand-in for a real
+          // pixel decode)
+          MediaFeatures(url, n, kind, (n % 1024) + 1, (n % 768) + 1, 0, 0, hist,
+            math.round(ent * 1000), head)
+      }
     }
   }
 

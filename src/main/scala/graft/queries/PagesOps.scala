@@ -106,25 +106,30 @@ object PagesOps {
   }
 
   /** Multimodal plumbing over the opaque binary column: REAL PNG/JPEG/GIF
-    * header parse (dims from the container's own header fields) for a
+    * header parse (dims from the container's own header fields) and REAL
+    * RIFF/WAVE parse (sample rate / channels from the fmt chunk) for a
     * synthesized media set with known ground truth, stub features for
-    * non-image bytes. `decode_ok` self-certifies: media rows must report
-    * the exact synthesized kind/width/height; page rows must not be
-    * classified as an image.
+    * other bytes. `decode_ok` self-certifies: media rows must report the
+    * exact synthesized kind/dims (images) or rate/channels (audio); page
+    * rows must not be classified as media.
     */
   def q33BinaryFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = graft.sources.MediaSynth.mediaDF(s, 60)
     val input = pages(s).select(col("url"), col("html"))
       .unionByName(media.select(col("url"), col("html")))
     val truth = media.select(col("url").as("m_url"),
-      col("exp_kind"), col("exp_w"), col("exp_h"))
+      col("exp_kind"), col("exp_w"), col("exp_h"), col("exp_rate"), col("exp_ch"))
     Multimodal.features(input).toDF()
       .join(truth, col("url") === col("m_url"), "left")
       .select(col("url"), col("byte_len"), col("kind"), col("width"),
-        col("height"), col("entropy_x1000"), col("head_hex"),
-        when(col("m_url").isNull, !col("kind").isin("png", "jpeg", "gif"))
+        col("height"), col("sample_rate"), col("channels"),
+        col("entropy_x1000"), col("head_hex"),
+        when(col("m_url").isNull,
+          !col("kind").isin("png", "jpeg", "gif", "wav"))
           .otherwise(col("kind") === col("exp_kind") &&
-            col("width") === col("exp_w") && col("height") === col("exp_h"))
+            col("width") === col("exp_w") && col("height") === col("exp_h") &&
+            col("sample_rate") === col("exp_rate") &&
+            col("channels") === col("exp_ch"))
           .as("decode_ok"))
       .orderBy(col("url"))
   }

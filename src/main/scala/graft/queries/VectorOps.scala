@@ -25,8 +25,20 @@ object VectorOps {
   private def embD(name: String = "e"): Column =
     col("embedding").cast("array<double>").as(name)
 
+  /** Native codegen'd kernels (graft.functions.VecOps): identical fold
+    * order and null semantics to the aggregate(zip_with(..)) composition
+    * they replaced — values cannot move, only the plan gets fused (the
+    * higher-order functions were CodegenFallback and fenced WSCG).
+    * Callers must have run GraftExtensions.ensureRegistered on the session
+    * (every VectorOps entry point does, via [[emb]]/[[assign]]).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
+
+  private def cosine(a: Column, b: Column): Column =
+    call_function("vec_cos", a, b)
+
+  private def norm(a: Column): Column = call_function("vec_norm", a)
 
   private def x1000(c: Column): Column = round(lit(1000) * c).cast("long")
 
@@ -48,8 +60,10 @@ object VectorOps {
   private val NeardupBits = 16
   private val NeardupBands = 2
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
     tbl(s, dir, "embeddings").select(col("vec_id"), embD(), col("label"))
+  }
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") === 0).select(col("e").as("q"))
@@ -61,8 +75,7 @@ object VectorOps {
     emb(s, dir).crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"),
         x1000(dot(col("e"), col("q"))).as("dot_x1000"),
-        x1000(dot(col("e"), col("q")) /
-          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q"))))).as("cos_x1000"))
+        x1000(cosine(col("e"), col("q"))).as("cos_x1000"))
       .orderBy(col("cos_x1000").desc, col("vec_id"))
       .limit(10)
 
@@ -75,8 +88,7 @@ object VectorOps {
       .select(col("e").as("q"), col("bk").as("qbk"))
     all.join(broadcast(qv), col("bk") === col("qbk"))
       .select(col("vec_id"), col("bk"),
-        x1000(dot(col("e"), col("q")) /
-          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q"))))).as("cos_x1000"))
+        x1000(cosine(col("e"), col("q"))).as("cos_x1000"))
       .orderBy(col("cos_x1000").desc, col("vec_id"))
       .limit(5)
   }
@@ -98,8 +110,7 @@ object VectorOps {
       e.select(col("vec_id"),
         posexplode(array((0 until NeardupBands).map(k =>
           bucketAt(col("e"), k * NeardupBits, NeardupBits)): _*))))
-    val scored = e.select(col("vec_id"), col("e"),
-      sqrt(dot(col("e"), col("e"))).as("nrm"))
+    val scored = e.select(col("vec_id"), col("e"), norm(col("e")).as("nrm"))
     pairs
       .join(scored.as("sa"), col("a_id") === col("sa.vec_id"))
       .join(scored.as("sb"), col("b_id") === col("sb.vec_id"))
@@ -123,6 +134,7 @@ object VectorOps {
     */
   def neardupPairs(emb: DataFrame, dims: Int, bands: Int = 2,
                    targetOccupancy: Long = 64L): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(emb.sparkSession)
     val n = emb.count()
     val bits = math.min(LshParams.signBits(math.max(n, 1), targetOccupancy),
       dims / bands)
@@ -131,14 +143,141 @@ object VectorOps {
       e.select(col("vec_id"),
         posexplode(array((0 until bands).map(k =>
           bucketAt(col("e"), k * bits, bits)): _*))))
-    val scored = e.select(col("vec_id"), col("e"),
-      sqrt(dot(col("e"), col("e"))).as("nrm"))
+    val scored = e.select(col("vec_id"), col("e"), norm(col("e")).as("nrm"))
     pairs
       .join(scored.as("sa"), col("a_id") === col("sa.vec_id"))
       .join(scored.as("sb"), col("b_id") === col("sb.vec_id"))
       .select(col("a_id"), col("b_id"),
         x1000(dot(col("sa.e"), col("sb.e")) /
           (col("sa.nrm") * col("sb.nrm"))).as("cos_x1000"))
+  }
+
+  /** Squared L2 distance between two double-array columns (native kernel). */
+  private def sqDist(a: Column, b: Column): Column =
+    call_function("vec_sqdist", a, b)
+
+  /** Round every dim of a double-array to a 1e-6 grid. Floating aggregation
+    * order varies run to run (shuffle fetch order), so raw averaged
+    * centroids differ at ~1e-15 between runs; snapping to a grid restores
+    * the run-to-run determinism the driver's hash compare requires.
+    */
+  private def snap(c: Column): Column =
+    transform(c, x => round(x * 1e6) / 1e6)
+
+  /** Lloyd's k-means as plain DataFrame iteration — the coarse quantizer an
+    * IVF index trains. Deterministic: seeds are the k smallest vec_ids,
+    * iteration count is fixed, centroid dims are snapped to a 1e-6 grid
+    * after each averaging step, and assignment ties break on cid.
+    *
+    * Scale shape per iteration: ONE shuffle total — the narrow inline
+    * assignment (see [[assign]]: centroids as expression literals, zero
+    * exchange) followed by the (cid, dim) re-average whose shuffle is
+    * map-side combined down to k×dims rows per partition. Each round's
+    * centroids are localCheckpointed (truncates the iterative lineage; a
+    * checkpoint in prod). Rounds are FIXED (no convergence read-back) — an
+    * ANN coarse quantizer needs a good partition, not the fixpoint.
+    */
+  private[queries] def kmeansCentroids(vecs: DataFrame, k: Int,
+                                       iters: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k=$k outside the cid packing range")
+    var cents = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"), snap(col("e")).as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      cents = assign(vecs, cents)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(snap(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v"))).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid — a PURE NARROW PROJECTION,
+    * no join, no aggregation, no shuffle: the k centroids are tiny
+    * (k × dims doubles), so they ride into the expression as literals and
+    * the argmin is `least` over k packed (dist·1024 + cid) BIGINTs. Earlier
+    * shapes paid dearly here: a crossJoin + min-by-struct argmin planned as
+    * SortAggregate over every n×k scored row (structs aren't
+    * hash-aggregable, and carrying the vector through ANY argmin aggregate
+    * forces sort-based fallback). Packing keeps the exact lexicographic
+    * (dist, cid) tiebreak. Pinned by the no-Exchange plan assert in
+    * VectorOpsSpec. Bounds: micro-dists ≤ ~10⁹ vs 2⁵³ packing headroom;
+    * k ≤ 64 keeps the expression tree flat (a larger k wants the join
+    * formulation instead).
+    */
+  private[queries] def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(vecs.sparkSession)
+    val cs = cents.select(col("cid"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cs.nonEmpty && cs.length <= 64,
+      s"inline assignment supports 1..64 centroids, got ${cs.length}")
+    val packed = cs.map { case (cid, c) =>
+      round(sqDist(col("e"), typedlit(c)) * 1e6).cast("long") * 1024 + cid
+    }
+    val dk = if (packed.length == 1) packed.head else least(packed: _*)
+    vecs.select(col("vec_id"), col("e"),
+      (dk % 1024).cast("int").as("cid"))
+  }
+
+  /** q52: IVF ANN with a TRAINED coarse quantizer (q25's bucketer is a
+    * static sign-LSH; this is the k-means-list variant real ANN indexes
+    * use). The driver query probes ALL k lists, which must reproduce the
+    * brute-force top-10 EXACTLY — that certifies the whole train → assign
+    * → probe → score plumbing end-to-end (the inverted lists partition the
+    * corpus; nothing is lost or double-counted). `ivf_ok` is the flag; a
+    * full-outer join against the brute result makes a missing OR extra row
+    * a false flag, not a silent disappearance. The nprobe<k speed/recall
+    * trade is measured in VectorOpsSpec (recall@10 at nprobe=2), not here —
+    * a lossy result can't be all-true-flagged.
+    */
+  def q52AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("e"))
+    val cents = kmeansCentroids(vecs, k = 8, iters = 4)
+    val assigned = assign(vecs, cents)
+    val qv = assigned.filter(col("vec_id") === 0)
+      .select(col("e").as("q"))
+    val ivf = assigned.crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("cid"),
+        x1000(cosine(col("e"), col("q"))).as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(10)
+    val brute = q24AnnBrute(s, dir)
+      .select(col("vec_id").as("b_id"), col("cos_x1000").as("b_cos"))
+    ivf.join(broadcast(brute), col("vec_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("vec_id"), col("b_id")).as("vec_id"),
+        col("cid"), col("cos_x1000"),
+        (col("vec_id").isNotNull && col("b_id").isNotNull &&
+          col("cos_x1000") === col("b_cos")).as("ivf_ok"))
+      .orderBy(col("cos_x1000").desc_nulls_last, col("vec_id"))
+  }
+
+  /** Production IVF search: probe only the `nprobe` lists nearest the
+    * query — candidates shrink ~k/nprobe-fold before any scoring. Returns
+    * (vec_id, cos_x1000) top-`topK`. Recall at nprobe<k is measured in
+    * VectorOpsSpec.
+    */
+  private[queries] def ivfSearch(assigned: DataFrame, cents: DataFrame,
+                                 queryVecId: Long, nprobe: Int,
+                                 topK: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(assigned.sparkSession)
+    val qv = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("e").as("q"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .orderBy(round(sqDist(col("q"), col("c")) * 1e6).cast("long"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    assigned.join(broadcast(probed), "cid")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        x1000(cosine(col("e"), col("q"))).as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(topK)
   }
 
   /** Per-label vector stats on exact integer norms. */
@@ -155,6 +294,7 @@ object VectorOps {
     "q25_ann_bucketed" -> q25AnnBucketed _,
     "q26_embed_neardup" -> q26EmbedNeardup _,
     "q27_vector_stats" -> q27VectorStats _,
+    "q52_ann_ivf" -> q52AnnIvf _,
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MediaSynth {
 
   final case class MediaDoc(url: String, html: Array[Byte],
-                            exp_kind: String, exp_w: Int, exp_h: Int)
+                            exp_kind: String, exp_w: Int, exp_h: Int,
+                            exp_rate: Int, exp_ch: Int)
 
   private def crc32(bs: Array[Byte]*): Array[Byte] = {
     val c = new java.util.zip.CRC32()
@@ -55,9 +56,27 @@ object MediaSynth {
     "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
       Array[Byte](0, 0, 0, 0x3B)
 
+  private def le32(v: Int) =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Spec-valid PCM WAV: RIFF header + 16-byte fmt chunk + a small silent
+    * data chunk (every field a header parser reads is real).
+    */
+  def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val bitsPerSample = 16
+    val blockAlign = channels * bitsPerSample / 8
+    val data = new Array[Byte](4 * blockAlign) // 4 silent frames
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++
+      le16(blockAlign) ++ le16(bitsPerSample)
+    val dataChunk = "data".getBytes ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ dataChunk
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
   /** `count` media docs in the pages-table binary shape `(url, html)` plus
-    * the ground-truth kind/width/height columns, round-robin across the
-    * three formats with dims varying per id.
+    * ground-truth columns (dims for images, rate/channels for audio),
+    * round-robin across the four formats with values varying per id.
     */
   def mediaDF(spark: SparkSession, count: Int): DataFrame = {
     import spark.implicits._
@@ -65,10 +84,14 @@ object MediaSynth {
       val i = id.toInt
       val w = 16 + i * 3
       val h = 9 + i * 2
-      i % 3 match {
-        case 0 => MediaDoc(f"media://img/$i%05d.png", pngBytes(w, h), "png", w, h)
-        case 1 => MediaDoc(f"media://img/$i%05d.jpg", jpegBytes(w, h), "jpeg", w, h)
-        case _ => MediaDoc(f"media://img/$i%05d.gif", gifBytes(w, h), "gif", w, h)
+      i % 4 match {
+        case 0 => MediaDoc(f"media://img/$i%05d.png", pngBytes(w, h), "png", w, h, 0, 0)
+        case 1 => MediaDoc(f"media://img/$i%05d.jpg", jpegBytes(w, h), "jpeg", w, h, 0, 0)
+        case 2 => MediaDoc(f"media://img/$i%05d.gif", gifBytes(w, h), "gif", w, h, 0, 0)
+        case _ =>
+          val rate = 8000 + i * 100
+          val ch = 1 + (i % 2)
+          MediaDoc(f"media://aud/$i%05d.wav", wavBytes(rate, ch), "wav", 0, 0, rate, ch)
       }
     }.toDF()
   }

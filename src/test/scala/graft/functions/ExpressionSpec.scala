@@ -62,6 +62,40 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("extract_text") && l.trim.startsWith("*")), plan.take(1500))
   }
 
+  test("vec kernels: values identical to the higher-order composition, and WSCG-kept") {
+    val tmp = java.nio.file.Files.createTempDirectory("vec").toString
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("emb_cg")
+    // byte-identical values: same left-fold order as aggregate(zip_with(..))
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |  vec_dot(e, e) AS d,
+        |  aggregate(zip_with(e, e, (x, y) -> x * y), 0.0D, (a, x) -> a + x) AS d0,
+        |  vec_norm(e) AS nm,
+        |  vec_cos(e, e) AS c
+        |FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM emb_cg)
+        |""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"dot differs for ${r.getLong(0)}")
+      assert(r.getDouble(3) == math.sqrt(r.getDouble(1)))
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-12) // cos(e, e) == 1
+    }
+    // null semantics match the composition: length mismatch and null element
+    val edge = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS mism,
+        |       vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS nul
+        |""".stripMargin).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    // the kernel stays inside WholeStageCodegen (the HOF composition fences)
+    val plan = spark.sql(
+      "SELECT vec_cos(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM emb_cg")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("vec_cos") && l.trim.startsWith("*")), plan.take(1500))
+  }
+
   test("decode_entities SQL function matches core Entities.decode") {
     val cases = Seq("a &lt;b&gt; &amp;&quot; &nbsp; &#65;&#x42; &unknown;",
       "no entities", "&", "&amp", "trailing &#")

@@ -107,6 +107,43 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wavHeader: real rate/channels for spec-valid WAV; independent AudioSystem cross-check") {
+    import graft.sources.MediaSynth
+    val cases = Seq((8000, 1), (44100, 2), (48000, 1), (192000, 2))
+    cases.foreach { case (rate, ch) =>
+      val bytes = MediaSynth.wavBytes(rate, ch)
+      assert(Multimodal.wavHeader(bytes) === Some((rate, ch)))
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "wav" && f.sample_rate === rate && f.channels === ch)
+      // independent decoder: the JDK's sampled-audio stack parses the same
+      // fmt chunk — values must agree exactly
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes)).getFormat
+      assert(fmt.getSampleRate.toInt === rate && fmt.getChannels === ch,
+        "AudioSystem disagrees")
+    }
+    // images must not report audio fields and vice versa
+    assert(Multimodal.decodeStub("u", MediaSynth.pngBytes(4, 4)).sample_rate === 0)
+    assert(Multimodal.decodeStub("u", MediaSynth.wavBytes(8000, 1)).width === 0)
+  }
+
+  test("wavHeader: truncated and garbage RIFF bytes never throw") {
+    import graft.sources.MediaSynth
+    val b = MediaSynth.wavBytes(44100, 2)
+    (0 to b.length).foreach { k =>
+      Multimodal.wavHeader(java.util.Arrays.copyOf(b, k)) // no throw
+      Multimodal.decodeStub("u", java.util.Arrays.copyOf(b, k))
+    }
+    // RIFF/WAVE with a lying chunk size must terminate, not loop/throw
+    val lying = b.clone()
+    lying(16) = 0xFF.toByte; lying(17) = 0xFF.toByte
+    lying(18) = 0xFF.toByte; lying(19) = 0x7F.toByte
+    Multimodal.wavHeader(lying)
+    val negative = b.clone()
+    negative(19) = 0xFF.toByte // negative LE32 size
+    assert(Multimodal.wavHeader(negative) === Some((0, 0)))
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)

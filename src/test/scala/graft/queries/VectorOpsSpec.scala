@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF/k-means unit coverage beyond q52's all-lists flag: quantizer
+  * determinism across runs (the property the grid-snap buys), and the
+  * measured recall of the lossy nprobe<k production search against
+  * brute force.
+  */
+class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("k-means centroids are identical across independent runs") {
+    def runOnce(): Map[Int, Seq[Double]] =
+      VectorOps.kmeansCentroids(vecs, k = 8, iters = 4).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val a = runOnce()
+    val b = runOnce()
+    assert(a.keySet == b.keySet && a.keySet.size == 8)
+    a.keys.foreach(k => assert(a(k) == b(k), s"centroid $k differs"))
+  }
+
+  test("q52 flag: all-lists IVF reproduces brute-force top-10 exactly") {
+    val df = VectorOps.q52AnnIvf(spark, sfDir)
+    assert(df.filter(!col("ivf_ok")).count() === 0L)
+    assert(df.count() === 10L)
+  }
+
+  test("assign is a pure narrow projection: no shuffle, no sort, no join") {
+    val cents = VectorOps.kmeansCentroids(vecs, k = 8, iters = 1)
+    val plan = VectorOps.assign(vecs, cents)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "SortAggregate", "Join", "Sort ").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in:\n${plan.take(1200)}"))
+  }
+
+  test("nprobe=2 of 8 IVF search: measured recall@10 vs brute force") {
+    val cents = VectorOps.kmeansCentroids(vecs, k = 8, iters = 4)
+    val assigned = VectorOps.assign(vecs, cents)
+    val queryIds = Seq(0L, 7L, 23L, 41L)
+    val recalls = queryIds.map { qid =>
+      val ivf = VectorOps.ivfSearch(assigned, cents, qid, nprobe = 2, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      val brute = assigned.crossJoin(
+          broadcast(assigned.filter(col("vec_id") === qid).select(col("e").as("q"))))
+        .select(col("vec_id"),
+          (aggregate(zip_with(col("e"), col("q"), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x) /
+            (sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x)) *
+             sqrt(aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+               lit(0.0), (a, x) => a + x)))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF nprobe=2/8 recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(" ")} (mean $mean%.2f)")
+    // probing 2 of 8 lists must beat the 25%-of-corpus floor by a wide
+    // margin on every query — the lists concentrate neighbors
+    assert(recalls.forall(_ >= 0.5), recalls.toString)
+  }
+}
