@@ -123,8 +123,56 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q53: PageRank over a link graph — the canonical web-corpus authority
+    * score (used as a quality prior in crawl curation). Edges are
+    * synthesized deterministically from lineitem keys IN THE QUERY
+    * (identically in the oracle — the harness tables carry no link table);
+    * 3 fixed power iterations with damping 0.85.
+    *
+    * Determinism across engines AND runs: every iteration's rank vector is
+    * snapped to a 1e-9 grid (floating SUM order differs per engine/run at
+    * ~1e-17 relative — the grid absorbs it, same trick as the k-means
+    * centroids). The oracle unrolls the same three iterations as chained
+    * CTEs.
+    *
+    * Scale shape per iteration: one equi-join of edges to the rank vector
+    * on src + one groupBy on dst (both shuffles on node ids, map-side
+    * combined), then a left join back to the node list for dangling-in
+    * nodes. Edge/node tables and each round's ranks are materialized
+    * (localCheckpoint; checkpoint/temp table in prod) so the iterative
+    * lineage stays flat — same pattern as [[connectedComponents]].
+    */
+  def q53PageRank(s: SparkSession, dir: String): DataFrame = {
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nn = nodes.count().toDouble
+    val od = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    var r = nodes.select(col("node"), round9(lit(1.0) / nn).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, col("src") === col("node")).join(od, "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
+      r = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round9(lit(0.15) / nn + lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), round(col("r") * 1e9).cast("long").as("rank_x1e9"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dedup_clusters" -> q49DedupClusters _,
+    "q53_pagerank" -> q53PageRank _,
   )
 
   // The oracle recomputes the same edge set in DuckDB (q22's SQL twin for
@@ -170,5 +218,32 @@ object ClusterOps {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  (id = cluster_id) AS is_keeper
          |FROM cc ORDER BY doc_id""".stripMargin,
+    // Three power iterations unrolled as chained CTEs, each snapped to the
+    // same 1e-9 grid as the Spark loop.
+    "q53_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    round(1e9*(0.15/(SELECT nn FROM n) +
+           |      0.85*COALESCE(SUM($prev.r/od.deg), 0)))/1e9 AS r
+           |  FROM nodes
+           |  LEFT JOIN e ON e.dst = nodes.node
+           |  LEFT JOIN $prev ON $prev.node = e.src
+           |  LEFT JOIN od ON od.src = e.src
+           |  GROUP BY nodes.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+         |  FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+         |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, round(1e9*(1.0/(SELECT nn FROM n)))/1e9 AS r FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, CAST(round(r*1e9) AS BIGINT) AS rank_x1e9
+         |FROM r3 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -158,6 +158,26 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Deterministic train/val/test split assignment — the held-out-split
+    * operator every training pipeline needs: bucket = first 16 md5 bits of
+    * the doc id mod 100, split by 80/10/10 ranges. Hash-based (not random)
+    * so the split is stable under corpus growth, re-runs, and engine
+    * changes — adding documents never moves an existing one across splits.
+    * Stateless per-row; at 100 TB this is a free projection fused into
+    * whatever scan precedes it.
+    */
+  def q54HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 100).as("bucket")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -357,6 +377,7 @@ object TextOps {
     "q41_simhash_pairs" -> q41SimhashPairs _,
     "q50_quality_gopher" -> q50QualityGopher _,
     "q51_corpus_kept" -> q51CorpusKept _,
+    "q54_hash_split" -> q54HashSplit _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -480,6 +501,13 @@ object TextOps {
          | CAST(SUM(CASE WHEN doc_id = keeper AND NOT is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq_dropped,
          | CAST(SUM(CASE WHEN doc_id = keeper AND is_quality THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q54_hash_split" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
