@@ -91,12 +91,16 @@ object Multimodal {
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    // Long cursor: a lying chunk size near Int.MaxValue must walk off the
+    // end, not wrap the index negative (b(negative) would throw and break
+    // the never-throws contract)
+    var i = 12L
     while (i + 8 <= n) {
-      val size = le32(i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val j = i.toInt
+      val size = le32(j + 4).toLong
+      if (b(j) == 'f' && b(j + 1) == 'm' && b(j + 2) == 't' && b(j + 3) == ' ') {
         if (i + 8 + 8 > n || size < 16) return Some((0, 0)) // truncated fmt
-        return Some((le32(i + 12), le16(i + 10)))
+        return Some((le32(j + 12), le16(j + 10)))
       }
       if (size < 0) return Some((0, 0)) // damaged chunk size
       i += 8 + size + (size & 1) // chunks are word-aligned

@@ -180,17 +180,27 @@ object VectorOps {
   private[queries] def kmeansCentroids(vecs: DataFrame, k: Int,
                                        iters: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"k=$k outside the cid packing range")
+    // cids are RENUMBERED 0..k-1 (row_number over the seed order) — raw
+    // vec_ids would break the dist·1024+cid packing on any table whose ids
+    // aren't dense from 0
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     var cents = vecs.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cid"), snap(col("e")).as("c"))
+      .select((row_number().over(seedW) - 1).as("cid"), snap(col("e")).as("c"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      cents = assign(vecs, cents)
+      val moved = assign(vecs, cents)
         .select(col("cid"), posexplode(col("e")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
         .groupBy(col("cid"))
         .agg(snap(transform(
           array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v"))).as("c"))
+      // a centroid whose cluster went empty keeps its previous position
+      // instead of silently vanishing (the re-average only emits cids that
+      // received vectors — dropping one would shrink the index below k)
+      cents = cents.select(col("cid"), col("c").as("prev"))
+        .join(moved, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c"), col("prev")).as("c"))
         .localCheckpoint()
     }
     cents

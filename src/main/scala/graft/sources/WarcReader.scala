@@ -135,7 +135,12 @@ object WarcReader {
       if (h == null || len < 0) return None // truncated header block
       if (len > maxRecordBytes) {
         // oversized/garbage declared length: discard the body from the
-        // stream without materializing it; EOF mid-skip = truncation
+        // stream without materializing it; EOF mid-skip = truncation.
+        // Logged (once per record, rare by construction) so a legitimate
+        // >cap record leaving the corpus is visible in executor logs
+        // rather than a silent row drop — raise maxRecordBytes to keep it.
+        System.err.println(
+          s"[WarcReader] skipping oversized record ($len bytes > cap $maxRecordBytes): ${if (uri == null) "<no uri>" else uri}")
         return if (skipFully(in, len)) Some(None) else None
       }
       val body = readFully(in, len)

@@ -118,8 +118,18 @@ object WetWriter {
           val os = new GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16)
           try it.foreach(r => os.write(recordBytes(r.url, r.text, date)))
           finally os.close()
-          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
+          // FIRST RENAME WINS on this path too — the local branch used to
+          // REPLACE_EXISTING (last-wins) while the Hadoop branch kept an
+          // existing dst, so re-run semantics silently depended on the
+          // path scheme (review finding, round 3). A dst that must be
+          // rebuilt from changed input is the manifest/resume layer's job
+          // to clear, identically on every filesystem.
+          if (Files.exists(dst)) Files.delete(tmp)
+          else try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.delete(tmp) // lost the race — same bytes, fine
+          }
         } else {
           import org.apache.hadoop.fs.Path
           val tmp = new Path(dir, tmpName)

@@ -10,12 +10,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp,
                               value: Double)
 
-/** Open-session state kept per user between micro-batches. All times are
-  * whole epoch seconds (the same `unix_timestamp` floor as the batch
-  * q47 operator, so batch and streaming sessions agree exactly).
+/** One open session interval. All times are whole epoch seconds (the same
+  * `unix_timestamp` floor as the batch q47 operator, so batch and
+  * streaming sessions agree exactly).
   */
 final case class OpenSession(startS: Long, lastS: Long, nEvents: Long,
                              valSum: Long)
+
+/** Per-user state: ALL open intervals, not just the latest. Out-of-order
+  * events (newer than the watermark but older than the open session) can
+  * open an interval BEHIND the current one or bridge two intervals — a
+  * single-interval state silently mis-starts such sessions (review
+  * finding, round 3).
+  */
+final case class SessionState(open: List[OpenSession])
 
 /** One closed session. */
 final case class SessionRow(user_id: Long, start_s: Long, end_s: Long,
@@ -23,19 +31,23 @@ final case class SessionRow(user_id: Long, start_s: Long, end_s: Long,
 
 /** Streaming counterpart of the batch gap-sessionization (q47), built on
   * `flatMapGroupsWithState` — the custom-state Structured Streaming surface
-  * (SURVEY.md §2.j): per-user open-session state, closed either by a
-  * within-batch gap or by an EVENT-TIME TIMEOUT once the watermark passes
-  * `last_event + gap` (so state is bounded by the watermark horizon, never
-  * by the corpus — a user who goes quiet costs one state row until the
-  * watermark sweeps them out).
+  * (SURVEY.md §2.j): per-user open-interval state, sealed by the EVENT-TIME
+  * WATERMARK (state bounded by the watermark horizon, never by the corpus).
+  *
+  * Correctness under disorder: an event merges into every interval within
+  * `gap` of it on EITHER side (single-linkage on the time line), so the
+  * final intervals are the connected components of the "within gap" graph —
+  * exactly the batch definition of a session — for ANY arrival order of
+  * events the watermark hasn't expired. An interval is emitted only when
+  * `last + gap < watermark`: any event that could still extend or bridge it
+  * would have to be older than the watermark, which the engine drops before
+  * this function runs. Proven equal to batch q47 (incl. shuffled delivery
+  * and checkpoint restart) in SessionStreamSpec.
   *
   * Scale notes: state is keyed on user_id (one shuffle, same key as the
-  * batch variant's single exchange); per-key state is one constant-size
-  * [[OpenSession]]. Events inside a micro-batch are sorted per user
-  * (ts, event_id) before folding — identical tie-breaks to q47's window
-  * ORDER BY. Cross-batch order is event-time order by construction:
-  * anything older than the watermark was already timed out, and Spark
-  * delivers each batch's rows for a key in one group call.
+  * batch variant's single exchange); per-key state is the list of currently
+  * open intervals — almost always length 1, bounded by the number of
+  * sessions a user can have inside one watermark horizon.
   */
 object SessionStream {
 
@@ -53,32 +65,36 @@ object SessionStream {
   }
 
   private def update(user: Long, it: Iterator[SessionEvent],
-                     state: GroupState[OpenSession]): Iterator[SessionRow] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-    if (state.hasTimedOut) {
-      // watermark passed lastS + gap: the open session can never grow again
-      state.getOption.foreach(s =>
-        out += SessionRow(user, s.startS, s.lastS, s.nEvents, s.valSum))
-      state.remove()
-    } else {
+                     state: GroupState[SessionState]): Iterator[SessionRow] = {
+    val wmS = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
+    var intervals = state.getOption.map(_.open).getOrElse(Nil)
+    if (!state.hasTimedOut) {
       val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = state.getOption.orNull
       evs.foreach { e =>
         val ts = Math.floorDiv(e.ts.getTime, 1000L) // unix_timestamp floor
         val v = math.floor(e.value).toLong
-        if (cur == null) cur = OpenSession(ts, ts, 1L, v)
-        else if (ts - cur.lastS > GapS) {
-          out += SessionRow(user, cur.startS, cur.lastS, cur.nEvents, cur.valSum)
-          cur = OpenSession(ts, ts, 1L, v)
-        } else cur = OpenSession(cur.startS, math.max(cur.lastS, ts),
-          cur.nEvents + 1L, cur.valSum + v)
-      }
-      if (cur != null) {
-        state.update(cur)
-        // fire strictly after the gap closes; ms precision
-        state.setTimeoutTimestamp((cur.lastS + GapS) * 1000L + 1L)
+        val (touching, rest) = intervals.partition(s =>
+          ts >= s.startS - GapS && ts <= s.lastS + GapS)
+        val merged = touching.foldLeft(OpenSession(ts, ts, 1L, v)) { (a, s) =>
+          OpenSession(math.min(a.startS, s.startS), math.max(a.lastS, s.lastS),
+            a.nEvents + s.nEvents, a.valSum + s.valSum)
+        }
+        intervals = merged :: rest
       }
     }
-    out.iterator
+    // seal everything the watermark has passed: no event the engine still
+    // admits (ts >= watermark) can reach an interval with last+gap < wm
+    val (closed, open) = intervals.partition(s => s.lastS + GapS < wmS)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionState(open.sortBy(_.startS)))
+      // strictly after both the earliest possible seal point and the
+      // current watermark (ms precision)
+      state.setTimeoutTimestamp(
+        (open.map(_.lastS + GapS).min) * 1000L + 1000L)
+    }
+    closed.sortBy(s => (s.startS, s.lastS))
+      .map(s => SessionRow(user, s.startS, s.lastS, s.nEvents, s.valSum))
+      .iterator
   }
 }

@@ -142,6 +142,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val negative = b.clone()
     negative(19) = 0xFF.toByte // negative LE32 size
     assert(Multimodal.wavHeader(negative) === Some((0, 0)))
+    // a POSITIVE near-Int.MaxValue size on a pre-fmt chunk must walk off
+    // the end (Long cursor), not wrap the index negative and throw
+    val bigChunk = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array(0xF0, 0xFF, 0xFF, 0x7F).map(_.toByte) ++ new Array[Byte](16)
+    assert(Multimodal.wavHeader(bigChunk) === Some((0, 0)))
   }
 
   test("features match the driver query row-for-row on synthetic pages") {

@@ -45,6 +45,30 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 10L)
   }
 
+  test("non-dense vec_ids: cids stay 0..k-1 and no centroid is lost") {
+    // raw seed vec_ids used as cids would break the dist*1024+cid packing
+    // on any table whose ids don't start at 0 (review finding)
+    val shifted = vecs.select((col("vec_id") + 5000).as("vec_id"), col("e"))
+    val cents = VectorOps.kmeansCentroids(shifted, k = 8, iters = 2)
+    val cids = cents.select("cid").collect().map(_.getInt(0)).sorted
+    assert(cids.toSeq == (0 until 8), s"got ${cids.toSeq}")
+    val assignedCids = VectorOps.assign(shifted, cents)
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(assignedCids.subsetOf((0 until 8).toSet))
+  }
+
+  test("a centroid with an empty cluster keeps its position, not dropped") {
+    // two far clusters + 3 seeds; at least one seed ends up owning no
+    // vectors after an iteration on this degenerate input — k must hold
+    val s = spark
+    import s.implicits._
+    val pts = ((0 until 10).map(i => (i.toLong, Seq(0.0, 0.0 + i * 1e-6))) ++
+      (10 until 20).map(i => (i.toLong, Seq(100.0, 100.0 + i * 1e-6))))
+      .toDF("vec_id", "e")
+    val cents = VectorOps.kmeansCentroids(pts, k = 3, iters = 3)
+    assert(cents.count() === 3L)
+  }
+
   test("assign is a pure narrow projection: no shuffle, no sort, no join") {
     val cents = VectorOps.kmeansCentroids(vecs, k = 8, iters = 1)
     val plan = VectorOps.assign(vecs, cents)
