@@ -123,6 +123,34 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Production dedup entry point (not a driver query — q49 keeps q22's
+    * fixed banding so its oracle is static): documents → one row per doc
+    * that belongs to a duplicate cluster, `(doc_id, cluster_id,
+    * cluster_size, is_keeper)`. Edges are exact-dup md5 stars ∪
+    * threshold-derived MinHash candidate pairs
+    * ([[TextOps.minhashCandidates]] — banding sized from the Jaccard
+    * threshold via the S-curve inversion, so recall is a parameter), closed
+    * with [[connectedComponents]]. A curation job drops non-keepers with
+    * one anti-join against the `is_keeper = false` rows.
+    */
+  def dedupClusters(docs: DataFrame, threshold: Double,
+                    rowsPerBand: Int = 4): DataFrame = {
+    val exact = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("src"), col("doc_id").as("dst"))
+    val near = TextOps.minhashCandidates(docs, threshold, rowsPerBand)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val cc = connectedComponents(exact.union(near))
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** q53: PageRank over a link graph — the canonical web-corpus authority
     * score (used as a quality prior in crawl curation). Edges are
     * synthesized deterministically from lineitem keys IN THE QUERY

@@ -70,6 +70,47 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size < 110 * 109 / 2 / 4, s"candidate set too dense: ${got.size}")
   }
 
+  test("production dedupClusters: planted dup groups collapse to one keeper each") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // wide vocabulary: random docs share almost no bigrams (J ≈ 0.01), so
+    // the 0.6-threshold banding cannot produce false-positive merges that
+    // would chain unrelated docs into one cluster
+    val words = Vector.tabulate(240)(i => s"w$i")
+    def doc(): String =
+      Seq.fill(60)(words(rnd.nextInt(words.length))).mkString(" ")
+    val base = (0L until 80L).map(i => (i, doc()))
+    // 5 planted groups of 4: one base doc + an EXACT copy + two near copies
+    // — the exact edge and the minhash edge must land in ONE cluster
+    // variants are single-word edits (Jaccard ≈ 0.95) and the threshold sits
+    // well below them (0.6 → 8 OR-ed bands): this test pins the CLUSTER
+    // CLOSURE semantics; recall at marginal similarity is NeardupSpec's
+    // other tests' job
+    val groups = (0L until 5L).map { g =>
+      val src = base((g * 11 % 80).toInt)._2
+      Seq((100 + g * 10, src),
+        (101 + g * 10, src.replaceFirst("\\w+", "changedone")),
+        (102 + g * 10, src.replaceFirst("(\\w+ )\\w+", "$1zzboundary")))
+    }
+    val df = (base ++ groups.flatten).toDF("doc_id", "text")
+    val out = ClusterOps.dedupClusters(df, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = out.groupBy(_._2)
+    // each planted group (base + 3 variants) forms one cluster whose
+    // keeper is the base doc (smallest id in the component)
+    (0L until 5L).foreach { g =>
+      val baseId = g * 11 % 80
+      val members = Seq(baseId, 100 + g * 10, 101 + g * 10, 102 + g * 10)
+      val cluster = out.find(_._1 == baseId)
+        .getOrElse(fail(s"base doc $baseId not clustered"))._2
+      assert(cluster === baseId, "keeper must be the smallest member")
+      val got = byCluster(cluster).map(_._1).toSet
+      assert(members.toSet.subsetOf(got), s"group $g: $got")
+      assert(byCluster(cluster).count(_._4) === 1, "exactly one keeper")
+    }
+  }
+
   /** Measured recall of 4×16-bit simhash banding at hamming 4–6, where
     * the pigeonhole bound (ham ≤ 3 ⇒ found) gives NO guarantee. Planted
     * pairs with exactly d random flipped bits; analytic expectation for
