@@ -302,9 +302,17 @@ object HtmlScanner {
     }
 
     while (i < n && !stop) {
-      // content: bytes up to the next byte that opens a real construct (A2)
+      // content: bytes up to the next byte that opens a real construct (A2).
+      // SWAR skip to the next '<' (8 bytes/step — content is most of the
+      // bytes on real pages), then the cheap opener check; a bare '<' that
+      // opens nothing stays content, exactly as the byte loop did.
       val cs = i
-      while (i < n && !isTagOpen(b, i, n)) i += 1
+      var scanning = true
+      while (scanning) {
+        i = indexOfByte(b, i, n, '<')
+        if (i >= n || isTagOpen(b, i, n)) scanning = false
+        else i += 1
+      }
       if (i > cs)
         emit(HNode.span(idx, NodeType.Content, "", b, cs, i,
           selfClosing = false, isCdata = false, cs, i))
@@ -385,12 +393,40 @@ object HtmlScanner {
     true
   }
 
+  private val Lsb = 0x0101010101010101L
+  private val Msb = 0x8080808080808080L
+
+  /** SWAR memchr: first index of `target` in b[from, n), or n. Reads the
+    * array 8 bytes at a time through a little-endian long view (HotSpot
+    * intrinsifies `ByteBuffer.getLong` to a single load); the classic
+    * zero-byte trick finds a match lane, `numberOfTrailingZeros/8` names
+    * it. Byte-exact drop-in for the per-byte loop it replaces.
+    */
+  private def indexOfByte(b: Array[Byte], from: Int, n: Int, target: Byte): Int = {
+    var i = from
+    if (i + 8 <= n) {
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val pat = (target & 0xffL) * Lsb
+      while (i + 8 <= n) {
+        val x = bb.getLong(i) ^ pat
+        val t = (x - Lsb) & ~x & Msb
+        if (t != 0L)
+          return i + (java.lang.Long.numberOfTrailingZeros(t) >> 3)
+        i += 8
+      }
+    }
+    while (i < n && b(i) != target) i += 1
+    i
+  }
+
   private def indexOf(b: Array[Byte], from: Int, n: Int, s: String): Int = {
     val first = s.charAt(0).toByte
     var i = from
     val last = n - s.length
     while (i <= last) {
-      if (b(i) == first && regionMatches(b, i, s)) return i
+      i = indexOfByte(b, i, last + 1, first)
+      if (i > last) return -1
+      if (regionMatches(b, i, s)) return i
       i += 1
     }
     -1
@@ -406,7 +442,9 @@ object HtmlScanner {
     var i = from
     val last = n - (len + 2)
     while (i <= last) {
-      if (b(i) == '<' && b(i + 1) == '/') {
+      i = indexOfByte(b, i, last + 1, '<')
+      if (i > last) return -1
+      if (b(i + 1) == '/') {
         var j = 0
         var ok = true
         while (ok && j < len) {
