@@ -33,11 +33,13 @@ object ClusterOps {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
     val m = sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src").cast("long")).as("m"))
+    // no distinct here: smallStar's min-aggregate is duplicate-insensitive
+    // and its own output dedup runs anyway — dropping the intermediate
+    // distinct removes one whole shuffle per round
     sym.join(m, "src")
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star round: for every node u, hang each neighbor v ≤ u
