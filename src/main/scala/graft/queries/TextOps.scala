@@ -178,6 +178,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram surprisal scoring — the language-model-quality proxy of a
+    * curation pipeline (docs full of corpus-rare tokens score high,
+    * boilerplate-repetitive docs score low) with an EXACT cross-engine
+    * contract: per-token surprisal is the integer log2 proxy
+    * `len(bin(N)) - len(bin(cnt))` (floor-log2 of N/cnt, exactly
+    * computable in both engines — a float `ln` would differ in the last
+    * ulp between libms). Scale shape: one token-frequency aggregate, one
+    * join keyed on the token (the frequency table broadcasts when the
+    * vocabulary is small; shuffles cleanly when it isn't), one per-doc
+    * aggregate.
+    */
+  def q55Surprisal(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tk.agg(count(lit(1)).as("total"))
+    val bits = length(bin(col("total"))) - length(bin(col("cnt")))
+    tk.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"),
+        sum(bits.cast("long")).as("surprisal_bits"))
+      .select(col("doc_id"), col("words"), col("surprisal_bits"),
+        round(lit(100.0) * col("surprisal_bits") / col("words"))
+          .cast("long").as("avg_bits_x100"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top terms per document (integer idf via the same log2 proxy as
+    * q55; ties broken on the token so the top-3 is engine-independent).
+    * Scale shape: (doc, token) aggregate → document-frequency aggregate →
+    * window top-k per doc (WindowGroupLimit prunes before the shuffle).
+    */
+  def q56TfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, dir, "documents")
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -378,6 +433,8 @@ object TextOps {
     "q50_quality_gopher" -> q50QualityGopher _,
     "q51_corpus_kept" -> q51CorpusKept _,
     "q54_hash_split" -> q54HashSplit _,
+    "q55_surprisal" -> q55Surprisal _,
+    "q56_tfidf_top" -> q56TfidfTop _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -508,6 +565,30 @@ object TextOps {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS total FROM tk)
+         |SELECT doc_id, COUNT(*) AS words,
+         | CAST(SUM(length(bin((SELECT total FROM n))) - length(bin(cnt))) AS BIGINT) AS surprisal_bits,
+         | CAST(round(100.0*SUM(length(bin((SELECT total FROM n))) - length(bin(cnt)))/COUNT(*)) AS BIGINT) AS avg_bits_x100
+         |FROM tk JOIN freq USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q56_tfidf_top" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($dkTokens) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    tf.tf * (length(bin((SELECT n_docs FROM nd))) - length(bin(df.df))) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * (length(bin((SELECT n_docs FROM nd))) - length(bin(df.df))) DESC, tf.tok) AS rank
+         |  FROM tf JOIN df USING (tok))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(score AS BIGINT) AS score
+         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
