@@ -233,6 +233,55 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BPE-ish token counting: a GPT-2-flavored pretokenizer pattern (letter
+    * runs | digit runs | single punctuation) alongside the whitespace
+    * count — the token-budget estimate a training pipeline runs before the
+    * real (vocab-bound) tokenizer. The pattern is RE2-safe and
+    * lookahead-free so Java (Spark) and RE2 (DuckDB) agree match-for-match.
+    * Stateless per-row.
+    */
+  def q57BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit(pat)).as("bpe_tokens"))
+      .withColumn("ratio_x100",
+        round(lit(100.0) * col("bpe_tokens") / col("ws_tokens")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (public: Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * scheme): rolling 8-char-gram hashes, minimum per 4-gram window,
+    * distinct minima = the document sketch. Guarantees any shared run of
+    * ≥ 11 chars contributes a shared fingerprint, position-robustly —
+    * the rolling-hash fingerprint leg of the checklist. One explode over
+    * char positions + one window min + distinct: all shuffles keyed on
+    * doc_id.
+    */
+  def q58Winnow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), norm.as("s"))
+      .where(length(col("s")) >= 8)
+    val grams = base
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - 7)).as("p"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(expr("cast(substring(s, p, 8) as binary)")), 1, 15),
+          16, 10).cast("long").as("h"),
+        (length(col("s")) - 7).as("nk"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, 3)
+    grams
+      .withColumn("fp", min(col("h")).over(w))
+      .where(col("p") <= col("nk") - 3) // complete windows only
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -435,6 +484,8 @@ object TextOps {
     "q54_hash_split" -> q54HashSplit _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
+    "q57_bpe_tokens" -> q57BpeTokens _,
+    "q58_winnow" -> q58Winnow _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -589,6 +640,30 @@ object TextOps {
          |  FROM tf JOIN df USING (tok))
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(score AS BIGINT) AS score
          |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q57_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len($dkTokens) AS INT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+         | CAST(round(100.0*len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |   / len($dkTokens)) AS BIGINT) AS ratio_x100
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_winnow" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents
+        |  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) >= 8),
+        |grams AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(s, CAST(p AS INT), 8)), 1, 15))::BIGINT AS h,
+        |    length(s) - 7 AS nk
+        |  FROM base, unnest(generate_series(1, length(s) - 7)) AS t(p)),
+        |wins AS (
+        |  SELECT doc_id, p, nk,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, fp FROM wins
+        |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
