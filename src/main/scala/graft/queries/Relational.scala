@@ -300,9 +300,59 @@ object Relational {
       .orderBy(col("host"))
   }
 
+  /** q59: robots.txt crawl-politeness filter — the url admission stage of
+    * a crawler/extraction pipeline. Per-host robots.txt BODIES are
+    * synthesized deterministically in the query and parsed by the
+    * clean-room [[graft.core.RobotsTxt]] (RFC 9309 subset) into a rules
+    * table; url admission is a longest-matching-prefix decision (Allow
+    * wins length ties) packed as `len*2 + allowBit` so the argmax is one
+    * HashAggregate-able MAX. The DuckDB oracle constructs the SAME rules
+    * directly — group selection (exact-agent group suppresses the `*`
+    * group) and every parse detail are therefore oracle-checked end to
+    * end: a parser bug changes the rules, the decisions, and the hash.
+    * Scale shape: rules are per-host tiny (broadcast); one aggregate on
+    * the url identity.
+    */
+  def q59RobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val botGroup = concat(
+      lit("# synthetic robots\nUser-agent: graftbot\nDisallow: /order/\nAllow: /order/pub\n"),
+      when(col("h") % 2 === 1, lit("Disallow: /item/\n")).otherwise(lit("")))
+    val txt = concat(
+      when(col("h") % 5 =!= 0, botGroup).otherwise(lit("")),
+      lit("User-agent: *\nDisallow: /private/\nSitemap: https://x/s.xml\n"))
+    val rules = s.range(0, 20).toDF("h")
+      .select(col("h"), txt.as("robots"))
+      .as[(Long, String)]
+      .flatMap { case (h, body) =>
+        graft.core.RobotsTxt.rulesFor(body, "graftbot")
+          .map(r => (h, r.path, r.allow))
+      }
+      .toDF("h", "rpath", "rallow")
+    val urls = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_suppkey") % 20).as("h"),
+        concat(
+          when(col("l_orderkey") % 4 === 0, lit("/order/"))
+            .when(col("l_orderkey") % 4 === 1, lit("/order/pub/"))
+            .when(col("l_orderkey") % 4 === 2, lit("/item/"))
+            .otherwise(lit("/private/")),
+          col("l_orderkey").cast("string")).as("path"))
+    val pk = when(expr("startswith(path, rpath)"),
+      length(col("rpath")).cast("long") * 2 +
+        when(col("rallow"), 1L).otherwise(0L))
+    urls.join(broadcast(rules), Seq("h"), "left")
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"))
+      .agg(max(pk).as("pk"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"),
+        coalesce(col("pk") % 2 === 1, lit(true)).as("allowed"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,
+    "q59_robots_filter" -> q59RobotsFilter _,
     "q39_tumbling_window" -> q39TumblingWindow _,
     "q40_pivot_events" -> q40PivotEvents _,
     "q28_union_shards" -> q28UnionShards _,
@@ -355,6 +405,30 @@ object Relational {
         |    AS BIGINT)) AS orders,
         |  CAST(MAX(len(string_split(url, '/')) - 3) AS BIGINT) AS max_depth
         |FROM u GROUP BY host ORDER BY host""".stripMargin,
+    // The oracle constructs the rules the robots.txt PARSE must produce:
+    // graftbot group (order/order-pub, odd hosts add /item/) on h%5<>0
+    // hosts; h%5=0 hosts have no graftbot group, so the `*` group's
+    // /private/ rule governs — RFC group selection, checked by value.
+    "q59_robots_filter" ->
+      """WITH hosts AS (SELECT h FROM range(0, 20) t(h)),
+        |rules AS (
+        |  SELECT h, '/order/' AS rpath, false AS rallow FROM hosts WHERE h % 5 <> 0
+        |  UNION ALL SELECT h, '/order/pub', true FROM hosts WHERE h % 5 <> 0
+        |  UNION ALL SELECT h, '/item/', false FROM hosts WHERE h % 5 <> 0 AND h % 2 = 1
+        |  UNION ALL SELECT h, '/private/', false FROM hosts WHERE h % 5 = 0),
+        |urls AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey % 20 AS h,
+        |    (CASE l_orderkey % 4 WHEN 0 THEN '/order/' WHEN 1 THEN '/order/pub/'
+        |          WHEN 2 THEN '/item/' ELSE '/private/' END)
+        |      || CAST(l_orderkey AS VARCHAR) AS path
+        |  FROM lineitem)
+        |SELECT u.l_orderkey, u.l_linenumber, u.h, u.path,
+        |  COALESCE(MAX(CASE WHEN starts_with(u.path, r.rpath)
+        |    THEN length(r.rpath)*2 + CASE WHEN r.rallow THEN 1 ELSE 0 END END) % 2 = 1,
+        |    true) AS allowed
+        |FROM urls u LEFT JOIN rules r ON u.h = r.h
+        |GROUP BY u.l_orderkey, u.l_linenumber, u.h, u.path
+        |ORDER BY u.l_orderkey, u.l_linenumber""".stripMargin,
     "q40_pivot_events" ->
       """SELECT user_id,
         | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
