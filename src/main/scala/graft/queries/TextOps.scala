@@ -282,6 +282,44 @@ object TextOps {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** Benchmark decontamination — the 13-gram overlap stage every serious
+    * training-data pipeline runs (public: GPT-3 appendix C / PaLM): a doc
+    * is contaminated if it shares any 13-token contiguous gram with an
+    * eval-set item. The eval set here is synthesized in-query (token
+    * windows [6, 18] of the first 10 docs with ≥ 40 tokens — deterministic
+    * and identically constructible in the oracle), so contamination is
+    * planted and the overlap join is value-checked. Scale shape: both
+    * sides explode to (gram-hash, id) rows and meet in ONE equi-join on
+    * the 128-bit gram hash — eval grams are tiny and broadcast; the
+    * corpus side is linear in corpus tokens.
+    */
+  def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = 13
+    val docs = tbl(s, dir, "documents")
+    def gramRows(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("p"),
+        col("t"))
+      .select(col(idCol),
+        md5s(array_join(slice(col("t"), col("p"), lit(n)), " ")).as("g"))
+      .distinct()
+    val evalSrc = docs
+      .where(size(tokens(col("text"))) >= 40)
+      .orderBy(col("doc_id")).limit(10)
+      .select(col("doc_id").as("eval_id"),
+        array_join(slice(tokens(col("text")), 6, 13), " ").as("text"))
+    val evalGrams = gramRows(evalSrc, "eval_id")
+      .select(col("eval_id").as("eid"), col("g").as("eg"))
+    gramRows(docs, "doc_id")
+      .join(broadcast(evalGrams), col("g") === col("eg"))
+      .groupBy(col("doc_id"), col("eid"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .select(col("doc_id"), col("eid").as("eval_id"), col("shared_grams"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -486,6 +524,7 @@ object TextOps {
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
     "q58_winnow" -> q58Winnow _,
+    "q60_decontaminate" -> q60Decontaminate _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -664,6 +703,26 @@ object TextOps {
         |  FROM grams)
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
+    "q60_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id AS eval_id,
+         |    array_to_string(($dkTokens)[6:18], ' ') AS text
+         |  FROM documents WHERE len($dkTokens) >= 40
+         |  ORDER BY doc_id LIMIT 10),
+         |evg AS (
+         |  SELECT DISTINCT eval_id,
+         |    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[p:p+12], ' ')) AS g
+         |  FROM ev, unnest(generate_series(1,
+         |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 12)) t(p)),
+         |dg AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(($dkTokens)[p:p+12], ' ')) AS g
+         |  FROM documents, unnest(generate_series(1, len($dkTokens) - 12)) t(p)
+         |  WHERE len($dkTokens) >= 13)
+         |SELECT dg.doc_id, evg.eval_id, COUNT(*) AS shared_grams
+         |FROM dg JOIN evg ON dg.g = evg.g
+         |GROUP BY dg.doc_id, evg.eval_id
+         |ORDER BY dg.doc_id, evg.eval_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),
