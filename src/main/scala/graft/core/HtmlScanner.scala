@@ -254,6 +254,7 @@ object HtmlScanner {
     var i = 0
     var idx = 0
     var stop = false
+    val bb = longView(b) // one long-view wrap for the whole scan
 
     @inline def str(from: Int, until: Int): String =
       if (until <= from) "" else new String(b, from, until - from, UTF_8)
@@ -309,7 +310,7 @@ object HtmlScanner {
       val cs = i
       var scanning = true
       while (scanning) {
-        i = indexOfByte(b, i, n, '<')
+        i = indexOfByteBB(bb, b, i, n, '<')
         if (i >= n || isTagOpen(b, i, n)) scanning = false
         else i += 1
       }
@@ -402,18 +403,23 @@ object HtmlScanner {
     * zero-byte trick finds a match lane, `numberOfTrailingZeros/8` names
     * it. Byte-exact drop-in for the per-byte loop it replaces.
     */
-  private def indexOfByte(b: Array[Byte], from: Int, n: Int, target: Byte): Int = {
+  private def longView(b: Array[Byte]): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** SWAR step over a pre-wrapped view — the wrap is hoisted to once per
+    * scan/search (a wrap per candidate byte would put an allocation back
+    * on the hot path whenever escape analysis bails).
+    */
+  private def indexOfByteBB(bb: java.nio.ByteBuffer, b: Array[Byte],
+                            from: Int, n: Int, target: Byte): Int = {
     var i = from
-    if (i + 8 <= n) {
-      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val pat = (target & 0xffL) * Lsb
-      while (i + 8 <= n) {
-        val x = bb.getLong(i) ^ pat
-        val t = (x - Lsb) & ~x & Msb
-        if (t != 0L)
-          return i + (java.lang.Long.numberOfTrailingZeros(t) >> 3)
-        i += 8
-      }
+    val pat = (target & 0xffL) * Lsb
+    while (i + 8 <= n) {
+      val x = bb.getLong(i) ^ pat
+      val t = (x - Lsb) & ~x & Msb
+      if (t != 0L)
+        return i + (java.lang.Long.numberOfTrailingZeros(t) >> 3)
+      i += 8
     }
     while (i < n && b(i) != target) i += 1
     i
@@ -421,10 +427,11 @@ object HtmlScanner {
 
   private def indexOf(b: Array[Byte], from: Int, n: Int, s: String): Int = {
     val first = s.charAt(0).toByte
+    val bb = longView(b)
     var i = from
     val last = n - s.length
     while (i <= last) {
-      i = indexOfByte(b, i, last + 1, first)
+      i = indexOfByteBB(bb, b, i, last + 1, first)
       if (i > last) return -1
       if (regionMatches(b, i, s)) return i
       i += 1
@@ -439,10 +446,11 @@ object HtmlScanner {
                               name: String): Int = {
     val lower = name.toLowerCase(java.util.Locale.ROOT)
     val len = lower.length
+    val bb = longView(b)
     var i = from
     val last = n - (len + 2)
     while (i <= last) {
-      i = indexOfByte(b, i, last + 1, '<')
+      i = indexOfByteBB(bb, b, i, last + 1, '<')
       if (i > last) return -1
       if (b(i + 1) == '/') {
         var j = 0

@@ -43,7 +43,12 @@ object RobotsTxt {
         key match {
           case "user-agent" =>
             if (groupHasRules) { agents = Nil; groupHasRules = false }
-            agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            agents = v :: agents
+            // group EXISTENCE suppresses the * fallback, even if the group
+            // ends up with zero rules (RFC 9309 group selection — an empty
+            // matching group means "everything allowed", not "use *")
+            if (v == ua) exactSeen = true
           case "allow" | "disallow" =>
             groupHasRules = true
             // empty Disallow means "allow everything" — no rule (RFC)

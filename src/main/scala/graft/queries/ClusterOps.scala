@@ -99,58 +99,78 @@ object ClusterOps {
       .distinct()
   }
 
-  /** q49: dedup clusters over the union of the exact-duplicate graph
-    * (md5 star edges: keeper → dupe) and the MinHash-LSH candidate-pair
-    * graph (q22's fixed 2×4 banding, so the oracle stays expressible).
-    * Output: every clustered doc with its cluster id (= min doc_id in the
-    * component), the cluster size, and the keeper flag — the row a
-    * production dedup job anti-joins against to drop non-keepers.
+  /** md5 exact-duplicate star edges: keeper (min id of the identical-text
+    * group) → each dupe.
     */
-  def q49DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
-    val exact = docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .withColumn("keeper",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("keeper").as("src"), col("doc_id").as("dst"))
-    val near = TextOps.minhashPairs(s, dir)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val cc = connectedComponents(exact.union(near))
+  private def exactStarEdges(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    .withColumn("keeper",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    .where(col("doc_id") =!= col("keeper"))
+    .select(col("keeper").as("src"), col("doc_id").as("dst"))
+
+  /** Close an edge set into the keeper table: component id = min doc_id,
+    * one keeper per cluster. Shared by the driver query and the production
+    * entry so the two can never diverge semantically.
+    */
+  private def clusterize(edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges)
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
-      .orderBy(col("doc_id"))
   }
+
+  /** q49: dedup clusters over the union of the exact-duplicate graph and
+    * the MinHash-LSH candidate-pair graph (q22's fixed 2×4 banding and NO
+    * candidate re-scoring, so the DuckDB oracle stays expressible — the
+    * production form below verifies candidates). Output: every clustered
+    * doc with its cluster id (= min doc_id in the component), the cluster
+    * size, and the keeper flag.
+    */
+  def q49DedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterize(exactStarEdges(tbl(s, dir, "documents")).union(
+        TextOps.minhashPairs(s, dir)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))))
+      .orderBy(col("doc_id"))
 
   /** Production dedup entry point (not a driver query — q49 keeps q22's
     * fixed banding so its oracle is static): documents → one row per doc
     * that belongs to a duplicate cluster, `(doc_id, cluster_id,
     * cluster_size, is_keeper)`. Edges are exact-dup md5 stars ∪
-    * threshold-derived MinHash candidate pairs
-    * ([[TextOps.minhashCandidates]] — banding sized from the Jaccard
-    * threshold via the S-curve inversion, so recall is a parameter), closed
-    * with [[connectedComponents]]. A curation job drops non-keepers with
-    * one anti-join against the `is_keeper = false` rows.
+    * threshold-derived MinHash candidates ([[TextOps.minhashCandidates]])
+    * that are then VERIFIED — exact bigram Jaccard ≥ threshold, computed
+    * only on candidate docs (pairs-then-score). Without the verify step,
+    * banding false positives (a sub-threshold pair still matches some band
+    * with S-curve-tail probability) become transitive through the
+    * component closure and chain unrelated docs into one cluster — fatal
+    * for a curation job that drops every non-keeper. A dropped doc here is
+    * always a genuine exact dup or a ≥-threshold near dup of its keeper's
+    * component.
     */
   def dedupClusters(docs: DataFrame, threshold: Double,
                     rowsPerBand: Int = 4): DataFrame = {
-    val exact = docs
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .withColumn("keeper",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("keeper").as("src"), col("doc_id").as("dst"))
-    val near = TextOps.minhashCandidates(docs, threshold, rowsPerBand)
+    val cand = TextOps.minhashCandidates(docs, threshold, rowsPerBand)
+    // exact Jaccard on candidates only: explode shingles of candidate docs
+    // (semi-join keeps the explode linear in candidate docs, not corpus)
+    val ids = cand.select(col("a_id").as("id"))
+      .union(cand.select(col("b_id").as("id"))).distinct()
+    val ex = docs.join(ids, docs("doc_id") === ids("id"), "left_semi")
+      .select(col("doc_id"), TextOps.bigrams(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    val verified = cand
+      .join(ex.as("x"), col("a_id") === col("x.doc_id"))
+      .join(ex.as("y"),
+        col("b_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
+      .where(col("inter") >=
+        lit(threshold) * (col("na") + col("nb") - col("inter")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val cc = connectedComponents(exact.union(near))
-    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "comp")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("comp")).as("is_keeper"))
+    clusterize(exactStarEdges(docs).union(verified))
   }
 
   /** q53: PageRank over a link graph — the canonical web-corpus authority

@@ -23,7 +23,7 @@ object TextOps {
   private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Distinct word-bigram shingles of the lowercased text. */
-  private def bigrams(c: Column): Column = {
+  private[queries] def bigrams(c: Column): Column = {
     val t = tokens(c)
     array_distinct(zip_with(
       slice(t, lit(1), size(t) - 1),
@@ -193,7 +193,9 @@ object TextOps {
     val tk = tbl(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = tk.agg(count(lit(1)).as("total"))
+    // corpus total from the vocabulary-sized frequency table — summing tk
+    // again would re-scan and re-explode every document
+    val total = freq.agg(sum(col("cnt")).as("total"))
     val bits = length(bin(col("total"))) - length(bin(col("cnt")))
     tk.join(freq, "tok")
       .crossJoin(broadcast(total))
@@ -236,12 +238,13 @@ object TextOps {
   /** BPE-ish token counting: a GPT-2-flavored pretokenizer pattern (letter
     * runs | digit runs | single punctuation) alongside the whitespace
     * count — the token-budget estimate a training pipeline runs before the
-    * real (vocab-bound) tokenizer. The pattern is RE2-safe and
-    * lookahead-free so Java (Spark) and RE2 (DuckDB) agree match-for-match.
-    * Stateless per-row.
+    * real (vocab-bound) tokenizer. The pattern is RE2-safe, lookahead-free
+    * and uses an EXPLICIT whitespace class — Java's `\s` includes \x0B,
+    * RE2's does not, so a shorthand class would silently diverge between
+    * the engines on vertical-tab input. Stateless per-row.
     */
   def q57BpeTokens(s: SparkSession, dir: String): DataFrame = {
-    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]"
     tbl(s, dir, "documents")
       .select(col("doc_id"),
         size(tokens(col("text"))).as("ws_tokens"),
@@ -682,8 +685,8 @@ object TextOps {
     "q57_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len($dkTokens) AS INT) AS ws_tokens,
-         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
-         | CAST(round(100.0*len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]')) AS INT) AS bpe_tokens,
+         | CAST(round(100.0*len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]'))
          |   / len($dkTokens)) AS BIGINT) AS ratio_x100
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q58_winnow" ->

@@ -61,6 +61,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(rulesFor(empty, "bot"), "/all/x"))
   }
 
+  test("an exact group with ZERO rules still suppresses the * group") {
+    val b = "User-agent: *\nDisallow: /\nUser-agent: graftbot\n"
+    assert(rulesFor(b, "graftbot").isEmpty)
+    assert(allowed(rulesFor(b, "graftbot"), "/anything"))
+    assert(!allowed(rulesFor(b, "someone-else"), "/anything"))
+  }
+
   test("a user-agent line after rules starts a new group") {
     val b =
       """User-agent: a
