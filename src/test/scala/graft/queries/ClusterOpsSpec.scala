@@ -85,6 +85,18 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 >= 100).values.toSet == Set(100L))
   }
 
+  test("empty edge set and dup-free corpora yield empty results, not errors") {
+    assert(ccSpark(Seq.empty[(Long, Long)]).isEmpty)
+    val s = spark
+    import s.implicits._
+    // every text unique and dissimilar: no exact edges, no surviving
+    // candidates → the production entry returns an empty keeper table
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 40).map(j => s"u${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(ClusterOps.dedupClusters(docs, threshold = 0.8).count() === 0L)
+  }
+
   test("q49 output is internally consistent on sf0.001") {
     val df = ClusterOps.q49DedupClusters(spark, "/root/testdata/sf0.001").cache()
     try {
