@@ -124,27 +124,53 @@ object Bench {
         walls(c) = math.min(walls.getOrElse(c, Double.MaxValue), t)
       }
     }
-    val tHi = walls(cpus)
-    val tLo = walls(loCores)
-
     // ---- per-query timings at full parallelism (after the probes, so the
     // scaling measurement sees the quietest machine) ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    // One warm-up pass then min-of-2 timed runs per query: a single cold
-    // shot absorbs JIT compilation + first-touch of the codegen'd classes
-    // and manufactured ~2× false regressions round-over-round (measured:
-    // q22 8.8 s cold vs 2.6 s warm on the same plan). min, not mean — the
-    // lower envelope is the plan's cost; the tail is host noise.
+    // Storm-proofing (round-3 verdict #1): a host-neighbor load storm longer
+    // than one query's back-to-back min-of-2 window recorded 10-15× phantom
+    // regressions in BENCH_r03. Two defenses:
+    //   (a) the two timed runs of each query happen in two INTERLEAVED
+    //       ROUNDS over the whole suite (run all queries once, then all
+    //       again), so they are separated by a full pass (~15-30 s) and a
+    //       storm must span the entire loop to pollute both mins;
+    //   (b) a fixed cheap SENTINEL query is re-timed every ~10 queries in
+    //       both rounds; its min/max spread in the JSON is a
+    //       machine-readable noise meter for the recording window.
+    // A warm-up pass still precedes both rounds: a single cold shot absorbs
+    // JIT + codegen first-touch and manufactured ~2× false regressions
+    // (measured: q22 8.8 s cold vs 2.6 s warm on the same plan). min, not
+    // mean — the lower envelope is the plan's cost; the tail is host noise.
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def once(): Double = {
+      else {
+        val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+        def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        once() // warm-up (JIT, codegen cache, shuffle-service spin-up)
-        name -> math.min(once(), once())
+        def sentinel(): Unit = {
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$sfDir/nation.parquet")
+            .agg(count(lit(1))).collect()
+          sentinelTimes += (System.nanoTime() - t0) / 1e9
+        }
+        qlist.foreach { case (_, fn) => time(fn) } // warm-up pass
+        sentinel() // warm the sentinel too — its spread must measure the
+                   // machine, not its own first-touch
+        sentinelTimes.clear()
+        val rounds = Array.fill(2)(scala.collection.mutable.Map.empty[String, Double])
+        for (r <- 0 until 2) {
+          qlist.zipWithIndex.foreach { case ((name, fn), i) =>
+            if (i % 10 == 0) sentinel()
+            rounds(r)(name) = time(fn)
+          }
+        }
+        qlist.map { case (name, _) =>
+          name -> math.min(rounds(0)(name), rounds(1)(name))
+        }
       }
     spark.stop()
 
@@ -154,33 +180,44 @@ object Bench {
     }
     if (!sys.env.contains("SPARK_GRAFT_BENCH_KEEP")) rmrf(new java.io.File(pagesPath))
 
-    def eff(nLo: Int, nHi: Int): Double =
-      (benchDocs / walls(nHi)) / ((nHi.toDouble / nLo) * (benchDocs / walls(nLo)))
-
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val levelsJson = levels.map { c =>
-      f""""$c":{"wall_s":${walls(c)}%.2f,"docs_per_sec":${benchDocs / walls(c)}%.0f,"mb_per_sec":${htmlBytes / 1e6 / walls(c)}%.1f}"""
-    }.mkString("{", ",", "}")
-    val fourXPairs = levels.sliding(2).collect {
-      case Seq(a, b) if b == a * 4 => (a, b)
-    }.toSeq
-    // a level set without any 4x pair (e.g. CPUS=2) still reports the
-    // lo->hi efficiency so the JSON stays well-formed and meaningful
-    val (pn, p4n) = fourXPairs.headOption.getOrElse((levels.head, levels.last))
-    val pairsJson = (fourXPairs.map { case (a, b) =>
-        f""""eff_${a}_to_$b":${eff(a, b)}%.3f"""
-      } :+ f""""scaling_efficiency":${eff(pn, p4n)}%.3f""").mkString(",")
-    val noteTxt =
-      if (probeFallback) "UNPINNED in-JVM fallback (taskset/child JVM unavailable) — ratio not comparable to pinned runs"
-      else s"CPU-pinned child JVMs; N=$pn vs 4N=$p4n; larger pair is single-box DRAM-bandwidth-bound, see BASELINE.md"
+    // noise-meter for the query loop's recording window: a quiet window has
+    // spread (max/min) near 1; a storm-polluted one shows 3-10×
+    val sentinelJson =
+      if (sentinelTimes.isEmpty) """{"skipped":true}"""
+      else {
+        val st = sentinelTimes.toSeq.sorted
+        f"""{"runs":${st.size},"min_s":${st.head}%.3f,"median_s":${st(st.size / 2)}%.3f,"max_s":${st.last}%.3f,"spread":${st.last / st.head}%.2f}"""
+      }
+    // all extract-probe derived values live behind !skipExtract — walls holds
+    // NaN when the probe phase is skipped (round-3 ADVICE)
     val extract =
       if (skipExtract) """{"skipped":true}"""
-      else f"""{"docs":$benchDocs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
-        f""""levels":$levelsJson,$pairsJson,""" +
-        f""""scaling_note":"$noteTxt"}"""
+      else {
+        def eff(nLo: Int, nHi: Int): Double =
+          (benchDocs / walls(nHi)) / ((nHi.toDouble / nLo) * (benchDocs / walls(nLo)))
+        val levelsJson = levels.map { c =>
+          f""""$c":{"wall_s":${walls(c)}%.2f,"docs_per_sec":${benchDocs / walls(c)}%.0f,"mb_per_sec":${htmlBytes / 1e6 / walls(c)}%.1f}"""
+        }.mkString("{", ",", "}")
+        val fourXPairs = levels.sliding(2).collect {
+          case Seq(a, b) if b == a * 4 => (a, b)
+        }.toSeq
+        // a level set without any 4x pair (e.g. CPUS=2) still reports the
+        // lo->hi efficiency so the JSON stays well-formed and meaningful
+        val (pn, p4n) = fourXPairs.headOption.getOrElse((levels.head, levels.last))
+        val pairsJson = (fourXPairs.map { case (a, b) =>
+            f""""eff_${a}_to_$b":${eff(a, b)}%.3f"""
+          } :+ f""""scaling_efficiency":${eff(pn, p4n)}%.3f""").mkString(",")
+        val noteTxt =
+          if (probeFallback) "UNPINNED in-JVM fallback (taskset/child JVM unavailable) — ratio not comparable to pinned runs"
+          else s"CPU-pinned child JVMs; N=$pn vs 4N=$p4n; larger pair is single-box DRAM-bandwidth-bound, see BASELINE.md"
+        f"""{"docs":$benchDocs,"html_mb":${htmlBytes / 1e6}%.1f,""" +
+          f""""levels":$levelsJson,$pairsJson,""" +
+          f""""scaling_note":"$noteTxt"}"""
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"extract":$extract,"sf":"$sfDir"}""")
+      s""""queries":$qs,"sentinel":$sentinelJson,"extract":$extract,"sf":"$sfDir"}""")
   }
 }

@@ -1,12 +1,19 @@
 package graft.core
 
-/** Clean-room robots.txt parser + matcher, RFC 9309 subset (public spec):
+/** Clean-room robots.txt parser + matcher, RFC 9309 (public spec):
   * user-agent groups, Allow/Disallow path rules, longest-match-wins with
   * Allow winning length ties, `*`-group fallback, case-insensitive
   * directive names, `#` comments, unknown directives ignored, damaged
-  * input never throws. No wildcards-in-paths (`*`/`$` patterns are a
-  * common extension, not core RFC) — a prefix match, as the RFC's
-  * baseline requires.
+  * input never throws. Path rules support the RFC 9309 §2.2.3 special
+  * characters: `*` matches any character sequence (including empty and
+  * `/`), and a FINAL `$` anchors the match at the end of the path (a `$`
+  * anywhere else is literal, matching Google's published semantics).
+  * Rules without either special character match as plain prefixes —
+  * byte-identical to the RFC-baseline behavior of earlier rounds. Rule
+  * precedence is by the as-written pattern length (wildcard and anchor
+  * characters count), Allow winning length ties — the "most specific
+  * match" rule of RFC 9309 §2.2.2 as implemented by Google's open-source
+  * matcher.
   *
   * This is the crawl-politeness leg of an extraction pipeline: the parsed
   * rules become a per-host table and url admission is a longest-prefix
@@ -64,14 +71,51 @@ object RobotsTxt {
     if (exactSeen) exact.result() else star.result()
   }
 
-  /** Is `path` allowed under `rules`? Longest matching prefix wins; Allow
-    * wins a length tie; no match ⇒ allowed (RFC 9309 §2.2.2).
+  /** Does `pattern` match `path`, anchored at the path start?
+    * `*` matches any character sequence; a final `$` requires the match to
+    * consume the whole path. Patterns with neither special character reduce
+    * exactly to `path.startsWith(pattern)`. Greedy leftmost placement of
+    * each literal segment is complete for this pattern language (the only
+    * wildcard is unbounded `*`), so no backtracking is needed.
+    */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    if (pat.indexOf('*') < 0) {
+      // fast path: plain prefix (or exact match when anchored)
+      if (anchored) path == pat else path.startsWith(pat)
+    } else {
+      val parts = pat.split("\\*", -1)
+      if (!path.startsWith(parts(0))) return false
+      var pos = parts(0).length
+      var i = 1
+      while (i < parts.length) {
+        val seg = parts(i)
+        if (i == parts.length - 1 && anchored) {
+          // last literal must sit at the very end, at or after pos
+          if (!(path.endsWith(seg) && path.length - seg.length >= pos))
+            return false
+          pos = path.length
+        } else {
+          val idx = path.indexOf(seg, pos)
+          if (idx < 0) return false
+          pos = idx + seg.length
+        }
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Is `path` allowed under `rules`? Longest matching pattern (as-written
+    * length) wins; Allow wins a length tie; no match ⇒ allowed
+    * (RFC 9309 §2.2.2-2.2.3).
     */
   def allowed(rules: Seq[Rule], path: String): Boolean = {
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (path.startsWith(r.path)) {
+      if (patternMatches(r.path, path)) {
         val l = r.path.length
         if (l > bestLen || (l == bestLen && r.allow && !bestAllow)) {
           bestLen = l
@@ -80,5 +124,26 @@ object RobotsTxt {
       }
     }
     bestAllow
+  }
+
+  /** Translate a robots path pattern into an anchored Java/RE2-compatible
+    * regex implementing [[patternMatches]]'s semantics — used by the
+    * distributed q61 twin so Spark's `regexp_like` and DuckDB's
+    * `regexp_matches` evaluate the SAME wildcard decision the in-JVM
+    * matcher makes. All regex metacharacters in the pattern are escaped;
+    * only `*` (→ `.*`, DOTALL-safe via `[\s\S]*`) and a final `$` survive
+    * as operators.
+    */
+  def patternToRegex(pattern: String): String = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '*' => sb.append("[\\s\\S]*")
+      case c if "\\^$.|?*+()[]{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
   }
 }

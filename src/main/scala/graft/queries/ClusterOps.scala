@@ -85,9 +85,17 @@ object ClusterOps {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val cur = stamp(e)
-      converged = cur == prev
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = stamp(next)
+      // stamp equality is the O(1) fast path; a bit_xor cancellation or
+      // xxhash64 collision (~2^-64) could alias two DIFFERENT edge sets,
+      // which would silently ship wrong components — so an apparent
+      // fixpoint is confirmed with an exact multiset compare before
+      // require(converged) passes. Equal counts + empty one-sided
+      // exceptAll ⇒ multiset equality; the extra pass runs once, at
+      // convergence only.
+      converged = cur == prev && next.exceptAll(e).isEmpty
+      e = next
       prev = cur
       round += 1
     }
@@ -233,9 +241,9 @@ object ClusterOps {
     "q49_dedup_clusters" ->
       s"""WITH RECURSIVE
          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))-1),
-         |    i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' ||
-         |         regexp_split_to_array(lower(trim(text)), '\\s+')[i+1]))) AS s
+         |    generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))-1),
+         |    i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i] || ' ' ||
+         |         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i+1]))) AS s
          |  FROM documents),
          |sig AS (SELECT doc_id,
          |   ${(0 until 8).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}

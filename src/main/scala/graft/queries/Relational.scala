@@ -349,10 +349,68 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q61: robots.txt admission with RFC 9309 §2.2.3 WILDCARD rules (`*`
+    * any-sequence, final-`$` end anchor — the Google-extension semantics
+    * real crawl corpora depend on). The robots bodies are synthesized with
+    * wildcard patterns, parsed by [[graft.core.RobotsTxt]], and each
+    * pattern is compiled to an anchored regex via
+    * [[graft.core.RobotsTxt.patternToRegex]] so the admission decision
+    * stays a codegen-friendly `regexp_like` + the same packed
+    * `len*2 + allowBit` argmax as q59 (precedence = as-written pattern
+    * length, Allow wins ties). The DuckDB oracle constructs the SAME rules
+    * and derives the regex with the same escaping rules in SQL, so the
+    * wildcard matcher's semantics are value-checked end to end. Scale
+    * shape: per-host rules are tiny (broadcast); one aggregate on the url
+    * identity; patternMatches itself is property-tested against a regex
+    * model in RobotsSpec.
+    */
+  def q61RobotsWildcard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txt = concat(
+      lit("# wildcard robots\nUser-agent: graftbot\n" +
+        "Disallow: /*.pdf$\nAllow: /order/*/pub\nDisallow: /order/\n"),
+      when(col("h") % 2 === 1, lit("Disallow: /item/*temp\n")).otherwise(lit("")),
+      lit("User-agent: *\nDisallow: /\n"))
+    val rules = s.range(0, 20).toDF("h")
+      .select(col("h"), txt.as("robots"))
+      .as[(Long, String)]
+      .flatMap { case (h, body) =>
+        graft.core.RobotsTxt.rulesFor(body, "graftbot")
+          .map(r => (h, r.path, r.allow, graft.core.RobotsTxt.patternToRegex(r.path)))
+      }
+      .toDF("h", "rpath", "rallow", "rregex")
+    val urls = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_suppkey") % 20).as("h"),
+        concat(
+          when(col("l_orderkey") % 6 === 0,
+            concat(lit("/order/"), col("l_orderkey").cast("string"), lit("/pub")))
+            .when(col("l_orderkey") % 6 === 1,
+              concat(lit("/order/"), col("l_orderkey").cast("string")))
+            .when(col("l_orderkey") % 6 === 2,
+              concat(lit("/docs/"), col("l_orderkey").cast("string"), lit(".pdf")))
+            .when(col("l_orderkey") % 6 === 3,
+              concat(lit("/docs/"), col("l_orderkey").cast("string"), lit(".pdfx")))
+            .when(col("l_orderkey") % 6 === 4,
+              concat(lit("/item/"), col("l_orderkey").cast("string"), lit("temp")))
+            .otherwise(concat(lit("/misc/"), col("l_orderkey").cast("string")))
+          ).as("path"))
+    val pk = when(regexp_like(col("path"), col("rregex")),
+      length(col("rpath")).cast("long") * 2 +
+        when(col("rallow"), 1L).otherwise(0L))
+    urls.join(broadcast(rules), Seq("h"), "left")
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"))
+      .agg(max(pk).as("pk"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"),
+        coalesce(col("pk") % 2 === 1, lit(true)).as("allowed"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,
     "q59_robots_filter" -> q59RobotsFilter _,
+    "q61_robots_wildcard" -> q61RobotsWildcard _,
     "q39_tumbling_window" -> q39TumblingWindow _,
     "q40_pivot_events" -> q40PivotEvents _,
     "q28_union_shards" -> q28UnionShards _,
@@ -429,6 +487,36 @@ object Relational {
         |FROM urls u LEFT JOIN rules r ON u.h = r.h
         |GROUP BY u.l_orderkey, u.l_linenumber, u.h, u.path
         |ORDER BY u.l_orderkey, u.l_linenumber""".stripMargin,
+    "q61_robots_wildcard" ->
+      s"""WITH hosts AS (SELECT h FROM range(0, 20) t(h)),
+         |rules AS (
+         |  SELECT h, '/*.pdf$$' AS rpath, false AS rallow FROM hosts
+         |  UNION ALL SELECT h, '/order/*/pub', true FROM hosts
+         |  UNION ALL SELECT h, '/order/', false FROM hosts
+         |  UNION ALL SELECT h, '/item/*temp', false FROM hosts WHERE h % 2 = 1),
+         |rx AS (
+         |  SELECT h, rpath, rallow,
+         |    CASE WHEN rpath LIKE '%$$'
+         |      THEN '^' || replace(replace(rtrim(rpath, '$$'), '.', '\\.'), '*', '[\\s\\S]*') || '$$'
+         |      ELSE '^' || replace(replace(rpath, '.', '\\.'), '*', '[\\s\\S]*') END AS rregex
+         |  FROM rules),
+         |urls AS (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey % 20 AS h,
+         |    (CASE l_orderkey % 6
+         |       WHEN 0 THEN '/order/' || CAST(l_orderkey AS VARCHAR) || '/pub'
+         |       WHEN 1 THEN '/order/' || CAST(l_orderkey AS VARCHAR)
+         |       WHEN 2 THEN '/docs/' || CAST(l_orderkey AS VARCHAR) || '.pdf'
+         |       WHEN 3 THEN '/docs/' || CAST(l_orderkey AS VARCHAR) || '.pdfx'
+         |       WHEN 4 THEN '/item/' || CAST(l_orderkey AS VARCHAR) || 'temp'
+         |       ELSE '/misc/' || CAST(l_orderkey AS VARCHAR) END) AS path
+         |  FROM lineitem)
+         |SELECT u.l_orderkey, u.l_linenumber, u.h, u.path,
+         |  COALESCE(MAX(CASE WHEN regexp_matches(u.path, r.rregex)
+         |    THEN length(r.rpath)*2 + CASE WHEN r.rallow THEN 1 ELSE 0 END END) % 2 = 1,
+         |    true) AS allowed
+         |FROM urls u LEFT JOIN rx r ON u.h = r.h
+         |GROUP BY u.l_orderkey, u.l_linenumber, u.h, u.path
+         |ORDER BY u.l_orderkey, u.l_linenumber""".stripMargin,
     "q40_pivot_events" ->
       """SELECT user_id,
         | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import Q._
 
-  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** EXPLICIT whitespace class, same byte-set in Java regex and RE2: Java's
+    * `\s` includes U+000B (vertical tab), RE2's does not, so every regex
+    * that must agree with the DuckDB oracle spells the class out (the
+    * oracle strings use the literal-backslash RE2 spelling `[ \t\n\f\r\x0B]`).
+    */
+  private[queries] val WS = "[ \\t\\n\\f\\r\\x0B]+"
+
+  private def tokens(c: Column): Column = split(lower(trim(c)), WS)
 
   /** Distinct word-bigram shingles of the lowercased text. */
   private[queries] def bigrams(c: Column): Column = {
@@ -52,7 +59,7 @@ object TextOps {
         size(tokens(col("text"))).as("n_tokens"),
         size(array_distinct(tokens(col("text")))).as("n_uniq"),
         length(col("text")).as("chars"),
-        length(regexp_replace(col("text"), "\\s+", "")).as("chars_nows"))
+        length(regexp_replace(col("text"), WS, "")).as("chars_nows"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length bounds + stopword-ratio floor, integer-only
@@ -91,7 +98,7 @@ object TextOps {
   def q19Fingerprint(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        md5s(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+        md5s(lower(regexp_replace(trim(col("text")), WS, " "))).as("fp"),
         md5s(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("tok_fp"))
       .orderBy(col("doc_id"))
 
@@ -109,7 +116,7 @@ object TextOps {
       col("doc_id"),
       size(t).as("words"),
       size(array_distinct(t)).as("uniq"),
-      length(regexp_replace(col("text"), "\\s+", "")).as("cnw"),
+      length(regexp_replace(col("text"), WS, "")).as("cnw"),
       // non-distinct bigram list: repetition is the signal here
       zip_with(
         slice(t, lit(1), size(t) - 1),
@@ -197,7 +204,14 @@ object TextOps {
     // again would re-scan and re-explode every document
     val total = freq.agg(sum(col("cnt")).as("total"))
     val bits = length(bin(col("total"))) - length(bin(col("cnt")))
-    tk.join(freq, "tok")
+    // EXPLICIT broadcast of the vocabulary side (round-3 verdict): the
+    // (doc, token) side joins on the token key, and Zipf's head ("the")
+    // carries ~5-7% of all rows — a guaranteed straggler under a shuffled
+    // equi-join at corpus scale. The vocabulary is orders of magnitude
+    // smaller than the corpus; if it ever outgrows broadcast range,
+    // salt the top-k hot tokens instead of falling back to a plain
+    // token-keyed shuffle.
+    tk.join(broadcast(freq), "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("words"),
@@ -223,7 +237,9 @@ object TextOps {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(df, "tok")
+    // document-frequency table broadcast for the same Zipf-head-skew
+    // reason as q55's frequency table (round-3 verdict)
+    tf.join(broadcast(df), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("idf_bits",
         (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
@@ -261,22 +277,53 @@ object TextOps {
     * ≥ 11 chars contributes a shared fingerprint, position-robustly —
     * the rolling-hash fingerprint leg of the checklist. One explode over
     * char positions + one window min + distinct: all shuffles keyed on
-    * doc_id.
+    * (doc_id, chunk) — see [[winnowFingerprints]] for the giant-doc
+    * chunking.
     */
-  def q58Winnow(s: SparkSession, dir: String): DataFrame = {
+  def q58Winnow(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(tbl(s, dir, "documents"), chunkChars = 4096)
+
+  /** Chunked winnowing core (k = 8-char grams, window w = 4, guarantee
+    * t = w + k - 1 = 11 chars). Giant-doc skew defense (round-3 verdict):
+    * the normalized text is split into `chunkChars`-sized chunks
+    * overlapping by t - 1 = 10 chars and window minima are computed within
+    * (doc, chunk) partitions, so the window-sort key is (doc_id, chunk)
+    * and a single giant document spreads over ~len/chunkChars tasks
+    * instead of owning one. EXACT by winnowing's locality: every complete
+    * window spans exactly 11 chars, so with step = chunkChars - 10 each
+    * global window lies wholly inside ≥ 1 chunk, chunk-local minima equal
+    * the global ones, and boundary duplicates collapse in the final
+    * distinct — chunked == unchunked fingerprint sets (property-tested in
+    * NeardupSpec across random texts and chunk sizes).
+    */
+  private[queries] def winnowFingerprints(docs: DataFrame, chunkChars: Int): DataFrame = {
+    require(chunkChars >= 11, s"chunkChars=$chunkChars cannot hold one 11-char window")
     import org.apache.spark.sql.expressions.Window
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-    val base = tbl(s, dir, "documents")
+    val step = chunkChars - 10
+    val norm = lower(regexp_replace(trim(col("text")), WS, " "))
+    // len >= 11 ⇔ at least one complete window (8..10-char docs emitted
+    // zero rows under the unchunked formulation too: grams but no window)
+    val base = docs
       .select(col("doc_id"), norm.as("s"))
-      .where(length(col("s")) >= 8)
-    val grams = base
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - 7)).as("p"))
-      .select(col("doc_id"), col("p"),
-        conv(substring(md5(expr("cast(substring(s, p, 8) as binary)")), 1, 15),
+      .where(length(col("s")) >= 11)
+    // chunk c covers global window starts (c*step, c*step + clen - 10];
+    // floor((len-11)/step)+1 = ceil((len-10)/step) chunks cover every
+    // complete window, and the last chunk always holds ≥ 11 chars
+    val chunks = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          ((length(col("s")) - lit(11)) / lit(step)).cast("int"))).as("c"),
+        col("s"))
+      .select(col("doc_id"), col("c"),
+        col("s").substr(col("c") * lit(step) + lit(1), lit(chunkChars)).as("ch"))
+    val grams = chunks
+      .select(col("doc_id"), col("c"), col("ch"),
+        explode(sequence(lit(1), length(col("ch")) - 7)).as("p"))
+      .select(col("doc_id"), col("c"), col("p"),
+        conv(substring(md5(expr("cast(substring(ch, p, 8) as binary)")), 1, 15),
           16, 10).cast("long").as("h"),
-        (length(col("s")) - 7).as("nk"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        (length(col("ch")) - 7).as("nk"))
+    val w = Window.partitionBy(col("doc_id"), col("c")).orderBy(col("p"))
       .rowsBetween(Window.currentRow, 3)
     grams
       .withColumn("fp", min(col("h")).over(w))
@@ -530,7 +577,7 @@ object TextOps {
     "q60_decontaminate" -> q60Decontaminate _,
   )
 
-  private val dkTokens = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
   private val dkBigrams =
     s"""list_distinct(list_transform(generate_series(1, len($dkTokens)-1),
        | i -> $dkTokens[i] || ' ' || $dkTokens[i+1]))""".stripMargin
@@ -546,7 +593,7 @@ object TextOps {
          | CAST(len($dkTokens) AS INT) AS n_tokens,
          | CAST(len(list_distinct($dkTokens)) AS INT) AS n_uniq,
          | CAST(length(text) AS INT) AS chars,
-         | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS chars_nows
+         | CAST(length(regexp_replace(text, '[ \\t\\n\\f\\r\\x0B]', '', 'g')) AS INT) AS chars_nows
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q17_quality_score" ->
       s"""SELECT doc_id,
@@ -563,7 +610,7 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q19_fingerprint" ->
       s"""SELECT doc_id,
-         | md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         | md5(lower(regexp_replace(trim(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS fp,
          | md5(array_to_string(list_sort(list_distinct($dkTokens)), ' ')) AS tok_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_ngram_jaccard" ->
@@ -627,7 +674,7 @@ object TextOps {
          |ORDER BY a_id, b_id""".stripMargin,
     "q50_quality_gopher" ->
       s"""WITH t AS (SELECT doc_id, $dkTokens AS toks,
-         |   length(regexp_replace(text, '\\s', '', 'g')) AS cnw FROM documents),
+         |   length(regexp_replace(text, '[ \\t\\n\\f\\r\\x0B]', '', 'g')) AS cnw FROM documents),
          |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
          |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
          |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
@@ -691,9 +738,9 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q58_winnow" ->
       """WITH base AS (
-        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g')) AS s
         |  FROM documents
-        |  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) >= 8),
+        |  WHERE length(lower(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) >= 8),
         |grams AS (
         |  SELECT doc_id, p,
         |    ('0x' || substr(md5(substr(s, CAST(p AS INT), 8)), 1, 15))::BIGINT AS h,
@@ -714,9 +761,9 @@ object TextOps {
          |  ORDER BY doc_id LIMIT 10),
          |evg AS (
          |  SELECT DISTINCT eval_id,
-         |    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[p:p+12], ' ')) AS g
+         |    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))[p:p+12], ' ')) AS g
          |  FROM ev, unnest(generate_series(1,
-         |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 12)) t(p)),
+         |    len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')) - 12)) t(p)),
          |dg AS (
          |  SELECT DISTINCT doc_id,
          |    md5(array_to_string(($dkTokens)[p:p+12], ' ')) AS g

@@ -159,10 +159,17 @@ object VectorOps {
   /** Round every dim of a double-array to a 1e-6 grid. Floating aggregation
     * order varies run to run (shuffle fetch order), so raw averaged
     * centroids differ at ~1e-15 between runs; snapping to a grid restores
-    * the run-to-run determinism the driver's hash compare requires.
+    * run-to-run determinism for the driver's hash compare. The snap goes
+    * through a widened 1e-9 intermediate (round-3 ADVICE): the first
+    * rounding collapses the ~1e-15 aggregation jitter onto an exact
+    * integer nano-grid, so the 1e-6 rounding sees bit-identical input
+    * unless the value sat within jitter of a nano-boundary that is ALSO a
+    * micro-boundary — determinism is still probabilistic in principle
+    * (residual flip chance ~1e-9 per dim per run pair, down from direct
+    * boundary exposure), which is the accepted contract here.
     */
   private def snap(c: Column): Column =
-    transform(c, x => round(x * 1e6) / 1e6)
+    transform(c, x => round(round(x * 1e9) / 1e3) / 1e6)
 
   /** Lloyd's k-means as plain DataFrame iteration — the coarse quantizer an
     * IVF index trains. Deterministic: seeds are the k smallest vec_ids,

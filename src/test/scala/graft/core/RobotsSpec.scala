@@ -79,6 +79,73 @@ class RobotsSpec extends AnyFunSuite {
     assert(rulesFor(b, "b") == Vector(Rule("/only-b/", allow = false)))
   }
 
+  test("wildcard patterns: * any-sequence, final $ anchors (RFC 9309 §2.2.3)") {
+    import RobotsTxt.patternMatches
+    // Google's published examples for /fish*, /*.php, /*.php$
+    assert(patternMatches("/fish*", "/fish"))
+    assert(patternMatches("/fish*", "/fishheads/yummy.html"))
+    assert(!patternMatches("/fish*", "/Fish.asp"))
+    assert(patternMatches("/*.php", "/index.php"))
+    assert(patternMatches("/*.php", "/folder/filename.php?parameters"))
+    assert(patternMatches("/*.php", "/filename.php5")) // unanchored
+    assert(!patternMatches("/*.php", "/windows.PHP"))
+    assert(patternMatches("/*.php$", "/filename.php"))
+    assert(patternMatches("/*.php$", "/folder/filename.php"))
+    assert(!patternMatches("/*.php$", "/filename.php5"))
+    assert(!patternMatches("/*.php$", "/filename.php/"))
+    assert(patternMatches("/fish*.php", "/fishheads/catfish.php?parameters"))
+    // $ is only special as the FINAL character; elsewhere it is literal
+    assert(patternMatches("/a$b", "/a$bc"))
+    assert(!patternMatches("/a$b", "/ab"))
+    // anchored exact match, multi-star greedy-leftmost, trailing *$
+    assert(patternMatches("/p$", "/p"))
+    assert(!patternMatches("/p$", "/page"))
+    assert(patternMatches("/a*b*c", "/aXbYbZc"))
+    assert(!patternMatches("/a*b*c", "/aXc"))
+    assert(patternMatches("/x*$", "/x/anything/at/all"))
+    // plain patterns stay byte-identical to the prefix baseline
+    assert(patternMatches("/plain/", "/plain/sub"))
+    assert(!patternMatches("/plain/", "/plai"))
+  }
+
+  test("wildcard precedence: as-written length, Allow wins ties; /$ root case") {
+    import RobotsTxt.Rule
+    // the classic "allow only the root page" robots idiom
+    val rootOnly = Vector(Rule("/$", allow = true), Rule("/", allow = false))
+    assert(allowed(rootOnly, "/"))
+    assert(!allowed(rootOnly, "/page"))
+    // longer wildcard pattern beats shorter literal
+    val r2 = Vector(Rule("/page", allow = true), Rule("/*.htm", allow = false))
+    assert(!allowed(r2, "/page.htm"))  // /*.htm len 6 > /page len 5
+    assert(allowed(r2, "/page.php"))
+    // tie between a wildcard and a literal of equal length → Allow wins
+    val r3 = Vector(Rule("/ab*", allow = true), Rule("/abc", allow = false))
+    assert(allowed(r3, "/abc"))
+    // end-to-end: wildcard rules flow through rulesFor untouched
+    val b = "User-agent: bot\nDisallow: /*.pdf$\nAllow: /pub*\n"
+    val rs = rulesFor(b, "bot")
+    assert(rs == Vector(Rule("/*.pdf$", allow = false), Rule("/pub*", allow = true)))
+    assert(!allowed(rs, "/doc/x.pdf"))
+    assert(!allowed(rs, "/pub/x.pdf")) // /*.pdf$ len 7 beats /pub* len 5
+    assert(allowed(rs, "/pub/x.html"))
+  }
+
+  test("patternMatches agrees with its own regex compilation (q61 contract)") {
+    // q61 evaluates admission via regexp_like(path, patternToRegex(pat)) in
+    // Spark and the same conversion in DuckDB SQL; this pins the in-JVM
+    // matcher to that regex semantics over random patterns and paths
+    val chars = Gen.oneOf('a', 'b', '/', '.', '*', '$')
+    val str = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val prop = Prop.forAll(str, str) { (pat, path) =>
+      val rx = java.util.regex.Pattern.compile(RobotsTxt.patternToRegex(pat))
+      RobotsTxt.patternMatches(pat, path) == rx.matcher(path).find()
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000)
+        .withInitialSeed(org.scalacheck.rng.Seed(13L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("never throws on arbitrary text (property)") {
     val prop = Prop.forAll(Gen.asciiStr) { s =>
       rulesFor(s, "bot"); allowed(rulesFor(s, "*"), "/p"); true

@@ -155,4 +155,27 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-probe: pigeonhole guarantee to ham 7 — exact, not statistical
     assert(probed.forall(_ == 1.0), s"multi-probe must be lossless to ham 7: ${probed.toSeq}")
   }
+
+  test("chunked winnowing == unchunked fingerprints (giant-doc skew split is exact)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val alpha = "ab d" // tiny alphabet with whitespace → repeated grams,
+                       // window-min ties, and normalization collapses
+    def txt(n: Int): String = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // lengths straddle every edge: < 11 (no complete window), exactly 11,
+    // one-chunk, exact multiples of step, and many-chunk giants
+    val docs = (Seq(5, 10, 11, 12, 21, 22, 23, 53, 54, 200, 1001) ++
+      Seq.fill(20)(30 + rnd.nextInt(400))).zipWithIndex
+      .map { case (n, i) => (i.toLong, txt(n)) }
+    val df = docs.toDF("doc_id", "text")
+    def fps(chunk: Int): Set[(Long, Long)] =
+      TextOps.winnowFingerprints(df, chunk).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unchunked = fps(1 << 20) // one chunk holds every doc
+    for (chunk <- Seq(11, 12, 16, 32, 64, 4096)) {
+      assert(fps(chunk) == unchunked, s"chunkChars=$chunk diverged")
+    }
+    assert(unchunked.nonEmpty)
+  }
 }

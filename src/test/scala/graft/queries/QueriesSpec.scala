@@ -65,6 +65,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rows-only queries without a self-certifying flag: $unflagged")
   }
 
+  test("q55/q56 join their vocabulary side by BROADCAST (Zipf-head skew defense)") {
+    // a shuffled token-keyed join puts ~5-7% of all (doc, token) rows on
+    // one task at corpus scale; the plan must broadcast the small side
+    for (q <- Seq("q55_surprisal", "q56_tfidf_top")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q has a shuffled join on the token key:\n$plan")
+    }
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
