@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{ExtractJob, LocalManifestCommitter}
+import graft.pipeline.{DedupStage, ExtractJob, LocalManifestCommitter}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -9,7 +9,14 @@ import graft.sources.PagesSynth
   *
   *   spark-submit --class graft.ExtractMain <jar> \
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
-  *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K]
+  *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
+  *     [--dedup 0.8]
+  *
+  * `--dedup T` runs the composed curation pipeline: after extraction
+  * commits, [[graft.pipeline.DedupStage]] closes exact + verified-MinHash
+  * duplicate clusters (Jaccard ≥ T) over the extracted text and writes the
+  * cluster table, the keepers-only corpus, and per-partition dedup
+  * accounting under `<out>/dedup/`.
   *
   * With `--input`, reads a parquet pages table with the BASELINE.json:15
   * schema (in production: an Iceberg table — the committer seam is
@@ -68,9 +75,14 @@ object ExtractMain {
     val mf = new LocalManifestCommitter(out).rows()
     val docs = mf.map(_.docs).sum
     val bytes = mf.map(_.bytes).sum
+    val dedupJson = opts.get("--dedup").map { t =>
+      val d = DedupStage.run(spark, out, t.toDouble)
+      s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
+        s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
+    }.getOrElse("")
     println(f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
       f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
-      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f}""")
+      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$dedupJson}""")
     spark.stop()
   }
 }

@@ -106,30 +106,41 @@ object PagesOps {
   }
 
   /** Multimodal plumbing over the opaque binary column: REAL PNG/JPEG/GIF
-    * header parse (dims from the container's own header fields) and REAL
-    * RIFF/WAVE parse (sample rate / channels from the fmt chunk) for a
-    * synthesized media set with known ground truth, stub features for
-    * other bytes. `decode_ok` self-certifies: media rows must report the
-    * exact synthesized kind/dims (images) or rate/channels (audio); page
-    * rows must not be classified as media.
+    * header parse (dims from the container's own header fields), REAL
+    * RIFF/WAVE parse (rate/channels from the fmt chunk), and REAL
+    * content-level decode for the uncompressed families — BMP/PPM pixels
+    * (mean/peak luma) and s16le PCM WAV samples (frames, mean/peak
+    * amplitude) — against a synthesized media set whose ground truth is
+    * computed from the raw pixels/samples BEFORE encoding. Stub features
+    * for other bytes. `decode_ok` self-certifies: media rows must report
+    * the exact synthesized kind/dims/rate/channels AND, for the decoded
+    * kinds, the exact frames/mean/peak content stats with decoded = true;
+    * page rows must not be classified as media.
     */
   def q33BinaryFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = graft.sources.MediaSynth.mediaDF(s, 60)
     val input = pages(s).select(col("url"), col("html"))
       .unionByName(media.select(col("url"), col("html")))
     val truth = media.select(col("url").as("m_url"),
-      col("exp_kind"), col("exp_w"), col("exp_h"), col("exp_rate"), col("exp_ch"))
+      col("exp_kind"), col("exp_w"), col("exp_h"), col("exp_rate"), col("exp_ch"),
+      col("exp_frames"), col("exp_mean_x1000"), col("exp_peak"), col("exp_decoded"))
     Multimodal.features(input).toDF()
       .join(truth, col("url") === col("m_url"), "left")
       .select(col("url"), col("byte_len"), col("kind"), col("width"),
         col("height"), col("sample_rate"), col("channels"),
         col("entropy_x1000"), col("head_hex"),
+        col("frames"), col("mean_x1000"), col("peak"), col("decoded"),
         when(col("m_url").isNull,
-          !col("kind").isin("png", "jpeg", "gif", "wav"))
+          !col("kind").isin("png", "jpeg", "gif", "wav", "bmp", "ppm") &&
+            !col("decoded"))
           .otherwise(col("kind") === col("exp_kind") &&
             col("width") === col("exp_w") && col("height") === col("exp_h") &&
             col("sample_rate") === col("exp_rate") &&
-            col("channels") === col("exp_ch"))
+            col("channels") === col("exp_ch") &&
+            col("frames") === col("exp_frames") &&
+            col("mean_x1000") === col("exp_mean_x1000") &&
+            col("peak") === col("exp_peak") &&
+            col("decoded") === col("exp_decoded"))
           .as("decode_ok"))
       .orderBy(col("url"))
   }

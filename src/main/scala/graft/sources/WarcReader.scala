@@ -255,13 +255,22 @@ object WarcReader {
     try Timestamp.from(java.time.Instant.parse(iso))
     catch { case _: Exception => new Timestamp(0L) }
 
-  /** WARC directory → pages DataFrame (BASELINE.json input schema). Uses the
-    * built-in `binaryFile` source: one file per row/task — Common Crawl's
-    * natural parallelism unit — then streams records per file. Whole-file
-    * bytes live on the heap per task, so prefer [[pagesStreamed]] for
-    * full-size (~1 GB) archives.
+  /** WARC directory → pages DataFrame (BASELINE.json input schema). THE
+    * default path: delegates to [[pagesStreamed]], whose per-task heap is
+    * bounded by one record rather than one file — the name a user reaches
+    * for first must be the one that survives 1 GB Common Crawl archives
+    * (round-3 verdict). The whole-file variant remains available,
+    * explicitly named, as [[pagesMaterialized]].
     */
-  def pages(spark: SparkSession, path: String): DataFrame = {
+  def pages(spark: SparkSession, path: String): DataFrame =
+    pagesStreamed(spark, path)
+
+  /** Whole-file fallback: the built-in `binaryFile` source — one file per
+    * row/task, then records parsed from the in-memory bytes. Whole-file
+    * bytes live on the heap per task, so this is ONLY for small fixtures
+    * or debugging; [[pages]]/[[pagesStreamed]] is the production path.
+    */
+  def pagesMaterialized(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")

@@ -150,6 +150,116 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.wavHeader(bigChunk) === Some((0, 0)))
   }
 
+  test("rasterPixels: REAL BMP pixel decode, cross-checked against JDK ImageIO") {
+    import graft.sources.MediaSynth
+    for ((w, h) <- Seq((1, 1), (2, 2), (5, 3), (16, 9), (33, 17), (64, 64))) {
+      val bytes = MediaSynth.bmpBytes(w, h)
+      val (expPix, expMean, expPeak) = MediaSynth.rasterTruth(w, h)
+      val got = Multimodal.rasterPixels(bytes)
+      assert(got === Some(Multimodal.RasterStats("bmp", w, h, expPix, expMean, expPeak)),
+        s"bmp $w x $h")
+      // independent decoder: the JDK ships a BMP reader — recompute the
+      // same integer luma stats from ITS pixels and require equality
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "JDK could not read the BMP fixture — fixture invalid?")
+      var sum = 0L; var peak = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val l = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000
+        sum += l; if (l > peak) peak = l
+      }
+      val pix = w.toLong * h
+      assert((pix, (sum * 1000 + pix / 2) / pix, peak) === ((expPix, expMean, expPeak)),
+        s"ImageIO disagrees on $w x $h")
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "bmp" && f.decoded && f.frames === expPix &&
+        f.mean_x1000 === expMean && f.peak === expPeak)
+    }
+  }
+
+  test("rasterPixels: REAL PPM pixel decode incl. header comments") {
+    import graft.sources.MediaSynth
+    for ((w, h) <- Seq((1, 1), (3, 7), (40, 25))) {
+      val bytes = MediaSynth.ppmBytes(w, h)
+      val (expPix, expMean, expPeak) = MediaSynth.rasterTruth(w, h)
+      assert(Multimodal.rasterPixels(bytes) ===
+        Some(Multimodal.RasterStats("ppm", w, h, expPix, expMean, expPeak)))
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "ppm" && f.decoded && f.width === w && f.height === h)
+    }
+    // PPM whose first pixel byte doubles as the header terminator trap:
+    // maxval must be followed by EXACTLY one whitespace byte
+    assert(Multimodal.rasterPixels("P6\n2 2\n255".getBytes).isEmpty)
+    // 16-bit PPM (maxval > 255) is out of scope → header-only stub path
+    val deep = "P6\n1 1\n65535\n      ".getBytes("ISO-8859-1")
+    assert(Multimodal.rasterPixels(deep).isEmpty)
+  }
+
+  test("wavPcmStats: REAL sample decode, cross-checked against JDK AudioSystem") {
+    import graft.sources.MediaSynth
+    for ((rate, ch, frames) <- Seq((8000, 1, 50), (44100, 2, 64), (16000, 2, 1), (22050, 1, 0))) {
+      val (bytes, (expFr, expMean, expPeak)) = MediaSynth.wavToneBytes(rate, ch, frames)
+      assert(Multimodal.wavPcmStats(bytes) === Some((expFr, expMean, expPeak)),
+        s"wav $rate/$ch/$frames")
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "wav" && f.decoded && f.sample_rate === rate &&
+        f.channels === ch && f.frames === expFr &&
+        f.mean_x1000 === expMean && f.peak === expPeak)
+      if (frames > 0) {
+        // independent decoder: JDK sampled-audio stream yields the same
+        // s16le samples — recompute mean/peak from ITS bytes
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val raw = ais.readAllBytes()
+        assert(raw.length === frames * ch * 2)
+        var sumAbs = 0L; var peak = 0
+        var k = 0
+        while (k + 1 < raw.length) {
+          val v = ((raw(k) & 0xff) | ((raw(k + 1) & 0xff) << 8)).toShort.toInt
+          val a = math.abs(v); sumAbs += a; if (a > peak) peak = a
+          k += 2
+        }
+        val samples = frames.toLong * ch
+        val scale = 32768L * samples
+        assert(((sumAbs * 1000 + scale / 2) / scale, peak) === ((expMean, expPeak)),
+          "AudioSystem disagrees")
+      }
+    }
+    // the silent legacy fixture decodes to zeros, not a stub
+    val silent = MediaSynth.wavBytes(8000, 1)
+    assert(Multimodal.wavPcmStats(silent) === Some((4L, 0L, 0)))
+    assert(Multimodal.decodeStub("u", silent).decoded)
+  }
+
+  test("rasterPixels/wavPcmStats: truncated and garbage bytes never throw") {
+    import graft.sources.MediaSynth
+    val blobs = Seq(MediaSynth.bmpBytes(7, 5), MediaSynth.ppmBytes(7, 5),
+      MediaSynth.wavToneBytes(8000, 2, 9)._1)
+    blobs.foreach { b =>
+      (0 to b.length).foreach { k =>
+        val cut = java.util.Arrays.copyOf(b, k)
+        Multimodal.rasterPixels(cut) // no throw
+        Multimodal.wavPcmStats(cut)  // no throw
+        val f = Multimodal.decodeStub("u", cut)
+        // a truncated payload must NEVER claim a content decode
+        if (k < b.length) assert(!f.decoded, s"truncated at $k claimed decoded")
+      }
+    }
+    // lying BMP dims (huge w/h) must not allocate or overflow
+    val lying = MediaSynth.bmpBytes(4, 4)
+    lying(18) = 0xFF.toByte; lying(19) = 0xFF.toByte
+    lying(20) = 0xFF.toByte; lying(21) = 0x7F.toByte
+    assert(Multimodal.rasterPixels(lying).isEmpty)
+    val rnd = new scala.util.Random(23)
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(80))
+      rnd.nextBytes(b)
+      Multimodal.rasterPixels(b)
+      Multimodal.wavPcmStats(b)
+    }
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)

@@ -161,4 +161,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 300)
     assert(df.filter(length(col("text")) > 0).count() === 300)
   }
+
+  test("composed extract → dedup → accounting stage (ExtractMain --dedup path)") {
+    val out = Files.createTempDirectory("dedupstage").toString
+    // plant duplicates: every page appears again under a different url, so
+    // the pair crosses url-hash partitions and the closure must join them
+    val base = PagesSynth.pagesDF(spark, 60L)
+    val pages = base.unionByName(
+      base.withColumn("url", concat(col("url"), lit("#dup"))))
+    ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(numParts = 8, batchSize = 8))
+    val summary = DedupStage.run(spark, out, threshold = 0.8)
+    val extracted = spark.read.parquet(ExtractJob.extractedPath(out))
+    val nDocs = extracted.count()
+    assert(summary.docs === nDocs && nDocs === 120L)
+    // every planted (url, url#dup) pair must share a cluster
+    val clusters = spark.read.parquet(DedupStage.clustersPath(out))
+    val byUrl = clusters.select("url", "cluster_id", "is_keeper").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    base.select("url").collect().map(_.getString(0)).foreach { u =>
+      val (ca, _) = byUrl(u)
+      val (cb, _) = byUrl(u + "#dup")
+      assert(ca.isDefined && ca === cb, s"planted dup pair split for $u")
+    }
+    // exactly one keeper per cluster; planted dups collapse
+    val keeperPerCluster = clusters.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"))
+      .collect().map(_.getLong(1))
+    assert(keeperPerCluster.nonEmpty && keeperPerCluster.forall(_ == 1L))
+    assert(summary.dupsDropped >= 60L)
+    assert(summary.kept === nDocs - summary.dupsDropped)
+    // the kept corpus view is exactly the keeper urls
+    val kept = spark.read.parquet(DedupStage.keptPath(out))
+    val keeperUrls = clusters.filter(col("is_keeper"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept.select("url").collect().map(_.getString(0)).toSet === keeperUrls)
+    // accounting rows (per part_id) sum to the summary
+    val acct = spark.read.parquet(DedupStage.accountingPath(out))
+      .agg(sum(col("docs")), sum(col("dups_dropped")), sum(col("kept"))).head()
+    assert(acct.getLong(0) === nDocs)
+    assert(acct.getLong(1) === summary.dupsDropped)
+    assert(acct.getLong(2) === summary.kept)
+  }
 }

@@ -103,4 +103,63 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // margin on every query — the lists concentrate neighbors
     assert(recalls.forall(_ >= 0.5), recalls.toString)
   }
+
+  test("IVF recall curve holds at a 10x corpus (3000 synthesized vectors, k=16)") {
+    // round-3 verdict #10: the recall measurement existed at one n only.
+    // Second scale: a deterministic 16-component Gaussian-mixture corpus,
+    // ~10x the sf0.001 embeddings table, k=16 lists, nprobe 2/4/8 curve +
+    // the all-lists==brute exactness invariant.
+    val s = spark
+    import s.implicits._
+    val dims = 16
+    val centers = (0 until 16).map { c =>
+      val r = new scala.util.Random(1000 + c)
+      Array.fill(dims)(r.nextGaussian() * 2.0)
+    }
+    val data = (0L until 3000L).map { id =>
+      val r = new scala.util.Random(id)
+      val c = (id % 16).toInt
+      // noise comparable to the center spread: clusters OVERLAP, so true
+      // neighbors spill across lists and the nprobe curve is informative
+      (id, centers(c).map(x => x * 0.4 + r.nextGaussian() * 1.2).toSeq)
+    }
+    val vecs10 = data.toDF("vec_id", "e").localCheckpoint()
+    val cents = VectorOps.kmeansCentroids(vecs10, k = 16, iters = 3)
+    val assigned = VectorOps.assign(vecs10, cents).localCheckpoint()
+    val queryIds = Seq(1L, 500L, 1777L, 2903L)
+    // brute force under the SAME ranking contract as ivfSearch (cos
+    // rounded to x1000, ties on vec_id) — full-precision ordering would
+    // disagree on x1000 ties, which is a ranking-grain choice, not a loss
+    def brute(qid: Long): Set[Long] = assigned.crossJoin(
+        broadcast(assigned.filter(col("vec_id") === qid).select(col("e").as("q"))))
+      .select(col("vec_id"),
+        round(lit(1000) *
+          (aggregate(zip_with(col("e"), col("q"), (x, y) => x * y),
+            lit(0.0), (a, x) => a + x) /
+           (sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+             lit(0.0), (a, x) => a + x)) *
+            sqrt(aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x))))).cast("long").as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val curve = queryIds.map { qid =>
+      val b = brute(qid)
+      val byProbe = Seq(2, 4, 8, 16).map { np =>
+        val got = VectorOps.ivfSearch(assigned, cents, qid, nprobe = np, topK = 10)
+          .collect().map(_.getLong(0)).toSet
+        np -> got.intersect(b).size.toDouble / b.size
+      }.toMap
+      info(f"q$qid: recall@10 nprobe2=${byProbe(2)}%.2f nprobe4=${byProbe(4)}%.2f " +
+        f"nprobe8=${byProbe(8)}%.2f all=${byProbe(16)}%.2f")
+      byProbe
+    }
+    curve.foreach { r =>
+      // candidate sets nest with nprobe, so recall is provably monotone
+      assert(r(2) <= r(4) && r(4) <= r(8) && r(8) <= r(16),
+        s"recall not monotone in nprobe: $r")
+      assert(r(16) == 1.0, "all-lists probe must equal brute force exactly")
+    }
+    val mean8 = curve.map(_(8)).sum / curve.size
+    assert(mean8 >= 0.7, s"nprobe=8/16 mean recall $mean8 below floor")
+  }
 }

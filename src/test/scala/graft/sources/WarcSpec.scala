@@ -214,7 +214,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.select(col("url"), col("warc_ts").cast("string"),
           sha2(col("html"), 256))
         .collect().map(_.toSeq).sortBy(_.head.toString)
-    val a = rows(WarcReader.pages(spark, dir.toString))
+    val a = rows(WarcReader.pagesMaterialized(spark, dir.toString))
     val b = rows(WarcReader.pagesStreamed(spark, dir.toString))
     assert(a.nonEmpty && (a.toSeq === b.toSeq),
       "streamed and materialized sources must produce identical rows")
@@ -261,7 +261,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.write(dir.resolve("_tmp.warc"), archive(1))
     val streamed = WarcReader.pagesStreamed(spark, dir.toString)
       .select(col("url")).collect().map(_.getString(0)).sorted
-    val materialized = WarcReader.pages(spark, dir.toString)
+    val materialized = WarcReader.pagesMaterialized(spark, dir.toString)
       .select(col("url")).collect().map(_.getString(0)).sorted
     assert(streamed.toSeq === materialized.toSeq)
     assert(streamed.length === 3)
