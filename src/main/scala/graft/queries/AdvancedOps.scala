@@ -108,13 +108,76 @@ object AdvancedOps {
       .orderBy(col("pri"))
   }
 
+  /** Skew-defused inner equi-join for a hot-keyed fact table against a
+    * dimension that is too big to broadcast but far smaller than the fact:
+    * the dimension is replicated `salts` ways and each fact row picks a
+    * deterministic salt (hash of the whole fact row), so a hot key's rows
+    * spread over `salts` reducers instead of pinning one. Returns exactly
+    * the plain inner-join rows for ANY key distribution (null keys drop on
+    * both formulations; identical duplicate fact rows share a salt, which
+    * only matters if one physical row is itself a hot spot).
+    *
+    * This is the third leg of the skew toolkit next to `broadcast()` (dim
+    * fits memory) and AQE skew-join (optimizer-detected, post-shuffle
+    * split): explicit, deterministic, and independent of runtime
+    * statistics — the form you reach for when the hot key is KNOWN (Zipf
+    * token heads, null-bucket surrogate keys, the "guest" user). Cost: dim
+    * is shuffled `salts`×; pick salts ≈ hot-key share × shuffle
+    * parallelism.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts >= 1, s"salts=$salts")
+    val salt = pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int")
+    fact.withColumn("__salt", salt)
+      .join(dim.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1)))), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** q62: the salted join, value-checked — a planted hot key (half of all
+    * events collapse onto key 0) joins its per-key dimension through
+    * [[saltedJoin]]; the oracle runs the PLAIN join, so the rewrite's
+    * row-preservation contract is what the hash compare certifies. The
+    * n == k_rows column is a structural self-check (each key's join output
+    * must equal its dimension count). Skew mechanics (join key includes
+    * the salt, hot rows spread across partitions) are plan/distribution-
+    * asserted in AdvancedOpsSpec with broadcast disabled.
+    */
+  def q62SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").select(
+      when(col("user_id") % 10 < 5, 0L).otherwise(col("user_id")).as("k"),
+      col("event_id"), col("value"))
+    val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("k_rows"))
+    saltedJoin(ev, dim, "k", salts = 8)
+      .groupBy(col("k"), col("k_rows"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value")).cast("long")).as("val_sum"))
+      .select(col("k"), col("k_rows"), col("n"), col("val_sum"),
+        (col("n") === col("k_rows")).as("salt_ok"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_asof_join" -> q42AsofJoin _,
     "q43_range_join" -> q43RangeJoin _,
     "q44_quantile_udaf" -> q44QuantileUdaf _,
+    "q62_salted_join" -> q62SaltedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_salted_join" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS k,
+        |         event_id, value
+        |  FROM events),
+        |d AS (SELECT k, COUNT(*) AS k_rows FROM ev GROUP BY k)
+        |SELECT ev.k, d.k_rows, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(ev.value) AS BIGINT)) AS BIGINT) AS val_sum,
+        |  COUNT(*) = MAX(d.k_rows) AS salt_ok
+        |FROM ev JOIN d ON ev.k = d.k
+        |GROUP BY ev.k, d.k_rows
+        |ORDER BY ev.k""".stripMargin,
     "q42_asof_join" ->
       """WITH lastd AS (
         |  SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_date

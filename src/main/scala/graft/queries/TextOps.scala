@@ -332,6 +332,33 @@ object TextOps {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** q63: cross-document shared-fingerprint pairs — the substring-overlap
+    * near-dup detector built on the winnowing sketch (public: the MOSS
+    * comparison step, Schleimer et al. SIGMOD'03; the sketch-level analog
+    * of Lee et al. 2021's substring dedup): two docs sharing ≥ `minShared`
+    * winnow fingerprints share that many ≥ 11-char runs. The ubiquity cap
+    * is the scale guard: a fingerprint present in more than `maxDf` docs is
+    * boilerplate (headers, licence text, "the of the") and is DROPPED
+    * before the self-join — without it the hot fingerprint creates a
+    * quadratic bucket exactly like an unsalted hot key. Scale shape:
+    * fingerprint df aggregate → capped fingerprint self-join (each bucket
+    * ≤ maxDf²/2 pairs) → pair count. All shuffles keyed on the 60-bit
+    * fingerprint or the pair.
+    */
+  def q63WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(tbl(s, dir, "documents"), chunkChars = 4096)
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 20)
+      .select(col("fp"))
+    val kept = fps.join(ok, "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Benchmark decontamination — the 13-gram overlap stage every serious
     * training-data pipeline runs (public: GPT-3 appendix C / PaLM): a doc
     * is contaminated if it shares any 13-token contiguous gram with an
@@ -575,6 +602,7 @@ object TextOps {
     "q57_bpe_tokens" -> q57BpeTokens _,
     "q58_winnow" -> q58Winnow _,
     "q60_decontaminate" -> q60Decontaminate _,
+    "q63_winnow_pairs" -> q63WinnowPairs _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -736,6 +764,29 @@ object TextOps {
          | CAST(round(100.0*len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]'))
          |   / len($dkTokens)) AS BIGINT) AS ratio_x100
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q63_winnow_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g')) AS s
+        |  FROM documents
+        |  WHERE length(lower(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) >= 8),
+        |grams AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(s, CAST(p AS INT), 8)), 1, 15))::BIGINT AS h,
+        |    length(s) - 7 AS nk
+        |  FROM base, unnest(generate_series(1, length(s) - 7)) AS t(p)),
+        |wins AS (
+        |  SELECT doc_id, p, nk,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM grams),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= nk - 3),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     "q58_winnow" ->
       """WITH base AS (
         |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\f\r\x0B]+', ' ', 'g')) AS s
