@@ -30,6 +30,13 @@ object ExtractOps {
     UTF8String.fromString(
       graft.core.Entities.decode(s.toString, extended = true))
 
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** First `<title>` content, entity-decoded, whitespace-collapsed; ""
     * when absent. Early-stops the scan at the title content (A14), so on
     * typical pages only the first few hundred bytes are tokenized.
@@ -227,6 +234,32 @@ case class DecodeEntities(child: Expression, extended: Boolean = false)
     copy(child = newChild)
 }
 
+/** `nfc_normalize(s string) → string` — Unicode NFC normalization (canonical
+  * composition), the standard text-curation step that collapses
+  * `e + U+0301` and `é` into one byte sequence so hashing/dedup/token
+  * counting don't split on encoding accidents. Codegen'd via the JDK's
+  * `java.text.Normalizer` (the same Unicode tables DuckDB's
+  * `nfc_normalize` implements — q65 value-checks the two against each
+  * other); the already-NFC fast path (`Normalizer.isNormalized`) returns
+  * the input UTF8String unchanged, no allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Registers the extraction functions into a session's FunctionRegistry —
   * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
   * SQL-first users of the engine.
@@ -250,6 +283,8 @@ object GraftExtensions {
     "html_nodes" -> (args => HtmlNodes(args.head)),
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
+    "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cos" -> (args => VecCos(args(0), args(1))),
     "vec_sqdist" -> (args => VecSqDist(args(0), args(1))),

@@ -281,7 +281,11 @@ object TextOps {
     * chunking.
     */
   def q58Winnow(s: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(tbl(s, dir, "documents"), chunkChars = 4096)
+    winnowFingerprints(tbl(s, dir, "documents"),
+      // tuning surface: larger chunks trade skew protection for less
+      // per-chunk overhead (results identical at ANY value — exactness
+      // property); default 4096 bounds a task at ~4 KB of grams
+      chunkChars = sys.env.getOrElse("GRAFT_WINNOW_CHUNK", "4096").toInt)
 
   /** Chunked winnowing core (k = 8-char grams, window w = 4, guarantee
     * t = w + k - 1 = 11 chars). Giant-doc skew defense (round-3 verdict):
@@ -371,30 +375,86 @@ object TextOps {
     * corpus side is linear in corpus tokens.
     */
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val n = 13
     val docs = tbl(s, dir, "documents")
-    def gramRows(df: DataFrame, idCol: String): DataFrame = df
-      .select(col(idCol), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col(idCol),
-        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("p"),
-        col("t"))
-      .select(col(idCol),
-        md5s(array_join(slice(col("t"), col("p"), lit(n)), " ")).as("g"))
-      .distinct()
-    val evalSrc = docs
-      .where(size(tokens(col("text"))) >= 40)
-      .orderBy(col("doc_id")).limit(10)
-      .select(col("doc_id").as("eval_id"),
-        array_join(slice(tokens(col("text")), 6, 13), " ").as("text"))
-    val evalGrams = gramRows(evalSrc, "eval_id")
-      .select(col("eval_id").as("eid"), col("g").as("eg"))
-    gramRows(docs, "doc_id")
+    val evalGrams = decontamEvalGrams(docs)
+    tokenGrams(docs, "doc_id", 13)
       .join(broadcast(evalGrams), col("g") === col("eg"))
       .groupBy(col("doc_id"), col("eid"))
       .agg(count(lit(1)).as("shared_grams"))
       .select(col("doc_id"), col("eid").as("eval_id"), col("shared_grams"))
       .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** Distinct n-token-gram 128-bit hashes per id (shared by q60/q64). */
+  private def tokenGrams(df: DataFrame, idCol: String, n: Int): DataFrame = df
+    .select(col(idCol), tokens(col("text")).as("t"))
+    .where(size(col("t")) >= n)
+    .select(col(idCol),
+      explode(sequence(lit(1), size(col("t")) - (n - 1))).as("p"),
+      col("t"))
+    .select(col(idCol),
+      md5s(array_join(slice(col("t"), col("p"), lit(n)), " ")).as("g"))
+    .distinct()
+
+  /** q60/q64's synthesized eval set: 13-grams of token windows [6, 18] of
+    * the first 10 long docs — deterministic and oracle-constructible.
+    */
+  private def decontamEvalGrams(docs: DataFrame): DataFrame = {
+    val evalSrc = docs
+      .where(size(tokens(col("text"))) >= 40)
+      .orderBy(col("doc_id")).limit(10)
+      .select(col("doc_id").as("eval_id"),
+        array_join(slice(tokens(col("text")), 6, 13), " ").as("text"))
+    tokenGrams(evalSrc, "eval_id", 13)
+      .select(col("eval_id").as("eid"), col("g").as("eg"))
+  }
+
+  /** q64: the SAME decontamination contract as q60, with a BLOOM-FILTER
+    * pre-filter in front of the exact join — the join-pruning shape a
+    * 100 TB pipeline needs: the eval side's gram hashes build a
+    * [[graft.functions.BloomBuild]] sketch (one tiny aggregate), the byte
+    * array broadcasts as a scalar, and the corpus side drops non-matching
+    * grams INSIDE the scan stage (`graft_bloom_contains` is codegen'd)
+    * before any shuffle. Exactness is structural — the double-hashing
+    * sketch has no false negatives, so the exact join downstream sees
+    * every true match and the DuckDB oracle is the SAME plain-join SQL as
+    * q60's; false positives only cost shuffle bytes. At sf the pruning is
+    * invisible in the output by design: oracle-equality IS the
+    * no-false-negative proof.
+    */
+  def q64BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val docs = tbl(s, dir, "documents")
+    val evalGrams = decontamEvalGrams(docs).localCheckpoint()
+    val bloom = evalGrams.agg(graft.functions.BloomBuild
+      .udafColumn(xxhash64(col("eg")), numBits = 1 << 16, k = 6).as("bf"))
+    tokenGrams(docs, "doc_id", 13)
+      .crossJoin(broadcast(bloom))
+      .where(call_function("graft_bloom_contains", col("bf"), xxhash64(col("g"))))
+      .drop("bf")
+      .join(broadcast(evalGrams), col("g") === col("eg"))
+      .groupBy(col("doc_id"), col("eid"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .select(col("doc_id"), col("eid").as("eval_id"), col("shared_grams"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** q65: Unicode NFC normalization — the codegen'd `nfc_normalize`
+    * Expression (JDK Normalizer) value-checked against DuckDB's
+    * independent `nfc_normalize` implementation, over text with PLANTED
+    * decomposed sequences (`e`+U+0301, `A`+U+030A) so the composition
+    * actually fires (the corpus itself is ASCII/NFC). Stateless per-row.
+    */
+  def q65NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val messy = concat(col("text"), lit(" cafe\u0301 A\u030A"))
+    val nfc = call_function("nfc_normalize", messy)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        length(messy).as("raw_len"),
+        length(nfc).as("nfc_len"),
+        md5s(nfc).as("nfc_fp"))
+      .orderBy(col("doc_id"))
   }
 
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
@@ -603,6 +663,8 @@ object TextOps {
     "q58_winnow" -> q58Winnow _,
     "q60_decontaminate" -> q60Decontaminate _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
+    "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
+    "q65_nfc_normalize" -> q65NfcNormalize _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -611,6 +673,29 @@ object TextOps {
        | i -> $dkTokens[i] || ' ' || $dkTokens[i+1]))""".stripMargin
   private val dkStop =
     s"""len(list_filter($dkTokens, x -> x IN ('the','a','of','and','to','in')))"""
+
+  // q64 is the SAME decontamination contract as q60 behind a bloom
+  // pre-filter with no false negatives, so both share one oracle
+  private lazy val decontamOracleSql: String =
+    s"""WITH ev AS (
+         |  SELECT doc_id AS eval_id,
+         |    array_to_string(($dkTokens)[6:18], ' ') AS text
+         |  FROM documents WHERE len($dkTokens) >= 40
+         |  ORDER BY doc_id LIMIT 10),
+         |evg AS (
+         |  SELECT DISTINCT eval_id,
+         |    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))[p:p+12], ' ')) AS g
+         |  FROM ev, unnest(generate_series(1,
+         |    len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')) - 12)) t(p)),
+         |dg AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(($dkTokens)[p:p+12], ' ')) AS g
+         |  FROM documents, unnest(generate_series(1, len($dkTokens) - 12)) t(p)
+         |  WHERE len($dkTokens) >= 13)
+         |SELECT dg.doc_id, evg.eval_id, COUNT(*) AS shared_grams
+         |FROM dg JOIN evg ON dg.g = evg.g
+         |GROUP BY dg.doc_id, evg.eval_id
+         |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q15_dedup_exact" ->
@@ -804,26 +889,14 @@ object TextOps {
         |  FROM grams)
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
-    "q60_decontaminate" ->
-      s"""WITH ev AS (
-         |  SELECT doc_id AS eval_id,
-         |    array_to_string(($dkTokens)[6:18], ' ') AS text
-         |  FROM documents WHERE len($dkTokens) >= 40
-         |  ORDER BY doc_id LIMIT 10),
-         |evg AS (
-         |  SELECT DISTINCT eval_id,
-         |    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))[p:p+12], ' ')) AS g
-         |  FROM ev, unnest(generate_series(1,
-         |    len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')) - 12)) t(p)),
-         |dg AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(array_to_string(($dkTokens)[p:p+12], ' ')) AS g
-         |  FROM documents, unnest(generate_series(1, len($dkTokens) - 12)) t(p)
-         |  WHERE len($dkTokens) >= 13)
-         |SELECT dg.doc_id, evg.eval_id, COUNT(*) AS shared_grams
-         |FROM dg JOIN evg ON dg.g = evg.g
-         |GROUP BY dg.doc_id, evg.eval_id
-         |ORDER BY dg.doc_id, evg.eval_id""".stripMargin,
+    "q60_decontaminate" -> decontamOracleSql,
+    "q64_bloom_decontaminate" -> decontamOracleSql,
+    "q65_nfc_normalize" ->
+      """SELECT doc_id,
+        | CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS INT) AS raw_len,
+        | CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS INT) AS nfc_len,
+        | md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS nfc_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(unnest(list_distinct($dkTokens))) AS h FROM documents),

@@ -251,6 +251,65 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("bloom sketch: NO false negatives ever, low measured fp rate, merge-safe") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val members = Array.fill(5000)(rnd.nextLong())
+    // distributed build across 4 partitions == the merge path is exercised
+    val sketch = members.toSeq.toDF("h").repartition(4)
+      .agg(BloomBuild.udafColumn(org.apache.spark.sql.functions.col("h"),
+        numBits = 1 << 16, k = 6))
+      .collect()(0).getAs[Array[Byte]](0)
+    // the exactness contract: every inserted hash is found
+    members.foreach(h => assert(BloomOps.contains(sketch, h), s"false negative on $h"))
+    // false positives are a rate, not a correctness issue — but it must be
+    // a sketch, not all-ones: measure on fresh non-members
+    val nonMembers = Array.fill(20000)(rnd.nextLong())
+      .filterNot(members.contains)
+    val fp = nonMembers.count(BloomOps.contains(sketch, _)).toDouble / nonMembers.length
+    info(f"bloom fp rate at n=5000, m=65536, k=6: $fp%.4f")
+    assert(fp < 0.05, s"fp rate $fp")
+    // malformed sketches answer permissive-true (pre-filter may never drop
+    // a potential match)
+    assert(BloomOps.contains(null, 1L))
+    assert(BloomOps.contains(Array[Byte](1, 2, 3), 1L))
+    BloomOps.contains(new Array[Byte](24), -7L) // all-zero words: no throw
+  }
+
+  test("q64 bloom pre-filter returns exactly q60's rows; probe stays in codegen") {
+    val a = TextOps.q60Decontaminate(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = TextOps.q64BloomDecontaminate(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+    val plan = TextOps.q64BloomDecontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"), plan.take(800))
+  }
+
+  test("nfc_normalize matches java.text.Normalizer on adversarial strings; SQL surface") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val chars = Gen.oneOf('a', 'e', 'A', 'o', '́', '̊', '̈',
+      'é', 'Å', ' ', 'ḋ')
+    val strs = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val prop = Prop.forAll(strs) { t =>
+      val got = ExtractOps.nfcNormalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+      got == java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(1000)
+      .withInitialSeed(org.scalacheck.rng.Seed(17L)), prop)
+    assert(res.passed, res.status.toString)
+    // SQL surface + composition actually fires on a DECOMPOSED input —
+    // via the SQL parser's \u escape (Spark's chr() is ASCII-mod-256,
+    // unlike DuckDB's codepoint chr(), so it cannot build U+0301)
+    val r = spark.sql(
+      "SELECT length('cafe\\u0301') AS raw, " +
+      "length(nfc_normalize('cafe\\u0301')) AS n").collect()(0)
+    assert(r.getInt(0) === 5 && r.getInt(1) === 4)
+    assert(spark.sql("SELECT nfc_normalize(NULL) IS NULL").collect()(0).getBoolean(0))
+  }
+
   test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.q09TopkOrders(spark, sfDir)
       .queryExecution.executedPlan.toString
