@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{DedupStage, ExtractJob, LocalManifestCommitter}
+import graft.pipeline.{CompactStage, DedupStage, ExtractJob, LocalManifestCommitter}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -11,6 +11,11 @@ import graft.sources.PagesSynth
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8]
+  *
+  * `--compact M` compacts each committed url-hash partition of the
+  * extracted table to ~M-MiB files ([[graft.pipeline.CompactStage]] — the
+  * Iceberg rewrite_data_files analog; row-preserving, per-partition
+  * atomic, no-op on already-compact partitions).
   *
   * `--dedup T` runs the composed curation pipeline: after extraction
   * commits, [[graft.pipeline.DedupStage]] closes exact + verified-MinHash
@@ -75,6 +80,11 @@ object ExtractMain {
     val mf = new LocalManifestCommitter(out).rows()
     val docs = mf.map(_.docs).sum
     val bytes = mf.map(_.bytes).sum
+    val compactJson = opts.get("--compact").map { mb =>
+      val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
+      s""","compact":{"target_mb":$mb,"parts":${c.parts},"parts_rewritten":${c.partsRewritten},""" +
+        s""""files_before":${c.filesBefore},"files_after":${c.filesAfter}}"""
+    }.getOrElse("")
     val dedupJson = opts.get("--dedup").map { t =>
       val d = DedupStage.run(spark, out, t.toDouble)
       s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
@@ -82,7 +92,7 @@ object ExtractMain {
     }.getOrElse("")
     println(f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
       f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
-      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$dedupJson}""")
+      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$compactJson$dedupJson}""")
     spark.stop()
   }
 }

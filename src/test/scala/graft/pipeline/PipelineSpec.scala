@@ -162,6 +162,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(length(col("text")) > 0).count() === 300)
   }
 
+  test("compaction: fewer files, identical rows, idempotent (ExtractMain --compact path)") {
+    val out = Files.createTempDirectory("compact").toString
+    // small batches + a wide pre-parse spread → every partition accumulates
+    // many small files across batches (the incremental-ingest pathology)
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 200L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 1, repartitionSlices = 8))
+    def snapshot() = spark.read.parquet(ExtractJob.extractedPath(out))
+      .select("url", "text_sha", "node_count", "part_id")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val beforeRows = snapshot()
+    val c1 = CompactStage.run(spark, out, targetFileBytes = 128L * 1024 * 1024)
+    assert(c1.filesBefore > c1.filesAfter,
+      s"no compaction happened: ${c1.filesBefore} -> ${c1.filesAfter}")
+    assert(c1.partsRewritten === 4 && c1.filesAfter === 4) // 1 file per part
+    // row-preserving
+    assert(snapshot() === beforeRows)
+    // idempotent: a second run finds nothing to do
+    val c2 = CompactStage.run(spark, out, targetFileBytes = 128L * 1024 * 1024)
+    assert(c2.partsRewritten === 0 && c2.filesAfter === c1.filesAfter)
+    assert(snapshot() === beforeRows)
+  }
+
   test("composed extract → dedup → accounting stage (ExtractMain --dedup path)") {
     val out = Files.createTempDirectory("dedupstage").toString
     // plant duplicates: every page appears again under a different url, so
