@@ -71,6 +71,56 @@ object RobotsTxt {
     if (exactSeen) exact.result() else star.result()
   }
 
+  /** Crawl-delay in seconds for the group governing `userAgent` — the
+    * de-facto extension (Bing/Yandex; not in RFC 9309, which is why it is
+    * a separate accessor rather than a Rule). Group selection mirrors
+    * [[rulesFor]]: an exact-agent group suppresses the `*` group even if
+    * only the other group carries the delay; unparsable or negative values
+    * are ignored; the LAST value of the winning group's merged sections
+    * wins. None ⇒ no delay declared.
+    */
+  def crawlDelayFor(body: String, userAgent: String): Option[Double] = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    var exact: Option[Double] = None
+    var star: Option[Double] = None
+    var exactSeen = false
+    var agents: List[String] = Nil
+    var groupHasRules = false
+    body.linesIterator.foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw
+        case i  => raw.substring(0, i)
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (groupHasRules) { agents = Nil; groupHasRules = false }
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            agents = v :: agents
+            if (v == ua) exactSeen = true
+          case "allow" | "disallow" =>
+            groupHasRules = true
+            if (agents.contains(ua)) exactSeen = true
+          case "crawl-delay" =>
+            groupHasRules = true
+            val d = try {
+              val x = value.toDouble
+              if (java.lang.Double.isFinite(x) && x >= 0) Some(x) else None
+            } catch { case _: NumberFormatException => None }
+            if (d.isDefined) {
+              if (agents.contains(ua)) { exact = d; exactSeen = true }
+              if (agents.contains("*")) star = d
+            }
+          case _ =>
+        }
+      }
+    }
+    if (exactSeen) exact else star
+  }
+
   /** Does `pattern` match `path`, anchored at the path start?
     * `*` matches any character sequence; a final `$` requires the match to
     * consume the whole path. Patterns with neither special character reduce

@@ -406,7 +406,48 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q66: crawl-politeness SCHEDULING — after q59/q61 decide *whether* a
+    * url may be fetched, this decides *when*: per-host robots.txt bodies
+    * carry a Crawl-delay (the de-facto Bing/Yandex extension,
+    * [[graft.core.RobotsTxt.crawlDelayFor]] — group selection
+    * value-checked through the oracle exactly like q59's rules), and each
+    * host's urls get sequential fetch offsets `(rank-1) × delay`. Hosts
+    * with no graftbot group fall to the `*` group's delay. Scale shape:
+    * one window shuffle keyed on the host — per-host sequencing is
+    * inherently serial (that is the politeness contract); hot hosts bound
+    * throughput by design, which is why crawl schedulers partition by
+    * host, exactly as this plan does.
+    */
+  def q66PolitenessSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val txt = concat(
+      when(col("h") % 4 =!= 0,
+        concat(lit("User-agent: graftbot\nCrawl-delay: "),
+          (col("h") % 5 + 1).cast("string"),
+          lit("\nDisallow: /private/\n"))).otherwise(lit("")),
+      lit("User-agent: *\nCrawl-delay: 9\nDisallow: /tmp/\n"))
+    val delays = s.range(0, 20).toDF("h")
+      .select(col("h"), txt.as("robots"))
+      .as[(Long, String)]
+      .map { case (h, body) =>
+        (h, graft.core.RobotsTxt.crawlDelayFor(body, "graftbot")
+          .map(d => (d * 1000).toLong).getOrElse(0L))
+      }
+      .toDF("h", "delay_ms")
+    val urls = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_suppkey") % 20).as("h"))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    urls.join(broadcast(delays), "h")
+      .select(col("h"), col("l_orderkey"), col("l_linenumber"),
+        ((row_number().over(w) - 1).cast("long") * col("delay_ms")).as("fetch_ms"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_politeness_schedule" -> q66PolitenessSchedule _,
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,
     "q59_robots_filter" -> q59RobotsFilter _,
@@ -434,6 +475,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_politeness_schedule" ->
+      """WITH d AS (
+        |  SELECT h, CASE WHEN h % 4 = 0 THEN 9000
+        |                 ELSE (h % 5 + 1) * 1000 END AS delay_ms
+        |  FROM range(0, 20) t(h)),
+        |u AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey % 20 AS h FROM lineitem)
+        |SELECT u.h, u.l_orderkey, u.l_linenumber,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY u.h
+        |          ORDER BY u.l_orderkey, u.l_linenumber) - 1)
+        |       * d.delay_ms AS BIGINT) AS fetch_ms
+        |FROM u JOIN d USING (h)
+        |ORDER BY u.h, u.l_orderkey, u.l_linenumber""".stripMargin,
     "q47_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

@@ -369,6 +369,29 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q67: deterministic stratified sampling — exact per-stratum quotas
+    * (here: 20 docs per (lang, source) cell) selected by hash order, the
+    * way an eval/holdout set is carved from a 100 TB corpus: stable under
+    * re-runs AND under corpus growth (a doc's rank only changes if docs
+    * hashing lower join its cell), unlike rand()-based sampling which
+    * reshuffles everything every run. Scale shape: one window shuffle
+    * keyed on the stratum; Spark 4's WindowGroupLimit prunes to the top-k
+    * per cell BEFORE the exchange, so the shuffle carries ~quota×cells
+    * rows, not the corpus.
+    */
+  def q67StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5s(col("doc_id").cast("string")), col("doc_id"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
   /** Benchmark decontamination — the 13-gram overlap stage every serious
     * training-data pipeline runs (public: GPT-3 appendix C / PaLM): a doc
     * is contaminated if it shares any 13-token contiguous gram with an
@@ -671,6 +694,7 @@ object TextOps {
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
+    "q67_stratified_sample" -> q67StratifiedSample _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -897,6 +921,15 @@ object TextOps {
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
     "q64_bloom_decontaminate" -> decontamOracleSql,
+    "q67_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 20
+        |ORDER BY lang, source, rk""".stripMargin,
     "q65_nfc_normalize" ->
       """SELECT doc_id,
         | CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS INT) AS raw_len,

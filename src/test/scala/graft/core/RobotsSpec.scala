@@ -146,9 +146,36 @@ class RobotsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("crawl-delay: group selection mirrors rulesFor; junk values ignored") {
+    import RobotsTxt.crawlDelayFor
+    val b =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |User-agent: *
+        |Crawl-delay: 9
+        |""".stripMargin
+    assert(crawlDelayFor(b, "GraftBot") === Some(2.5))
+    assert(crawlDelayFor(b, "nobody") === Some(9.0))
+    // an exact group WITHOUT a delay suppresses the * group's delay
+    val noDelay = "User-agent: graftbot\nDisallow: /x/\nUser-agent: *\nCrawl-delay: 9\n"
+    assert(crawlDelayFor(noDelay, "graftbot") === None)
+    // junk / negative values ignored; last valid value of merged groups wins
+    val junk =
+      """User-agent: bot
+        |Crawl-delay: nope
+        |Crawl-delay: -3
+        |Crawl-delay: 4
+        |User-agent: bot
+        |Crawl-delay: 7
+        |""".stripMargin
+    assert(crawlDelayFor(junk, "bot") === Some(7.0))
+    assert(crawlDelayFor("", "bot") === None)
+  }
+
   test("never throws on arbitrary text (property)") {
     val prop = Prop.forAll(Gen.asciiStr) { s =>
-      rulesFor(s, "bot"); allowed(rulesFor(s, "*"), "/p"); true
+      rulesFor(s, "bot"); allowed(rulesFor(s, "*"), "/p")
+      RobotsTxt.crawlDelayFor(s, "bot"); true
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(300)
