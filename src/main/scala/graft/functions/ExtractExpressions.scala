@@ -30,6 +30,9 @@ object ExtractOps {
     UTF8String.fromString(
       graft.core.Entities.decode(s.toString, extended = true))
 
+  def urlCanon(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.UrlCanon.canonicalize(s.toString))
+
   def nfcNormalize(s: UTF8String): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
@@ -260,6 +263,28 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `url_canon(s string) → string` — RFC 3986 §6 syntax-based URL
+  * canonicalization ([[graft.core.UrlCanon]]): the normalization a crawl
+  * pipeline applies before url-keyed dedup/partitioning. Codegen'd,
+  * idempotent, never throws (see UrlCanonSpec + q68's flag).
+  */
+case class UrlCanonExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_canon"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.urlCanon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.urlCanon($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonExpr =
+    copy(child = newChild)
+}
+
 /** Registers the extraction functions into a session's FunctionRegistry —
   * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
   * SQL-first users of the engine.
@@ -284,6 +309,7 @@ object GraftExtensions {
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "url_canon" -> (args => UrlCanonExpr(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cos" -> (args => VecCos(args(0), args(1))),

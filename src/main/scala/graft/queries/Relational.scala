@@ -446,8 +446,39 @@ object Relational {
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q68: URL canonicalization (rows-only; RFC 3986 §6 normalization is
+    * not expressible in DuckDB SQL, so the query SELF-CERTIFIES): two
+    * deliberately different messy spellings of the same logical url —
+    * uppercase scheme/host, explicit default port, fragment, lowercase
+    * reserved percent-escape, encoded-unreserved octet vs the literal —
+    * must canonicalize to the SAME string (`twin` leg), and a second
+    * canonicalization pass must be a fixpoint (`idem` leg). `canon_ok` is
+    * the conjunction, asserted all-true in QueriesSpec. Stateless per-row;
+    * the codegen'd `url_canon` is the dedup/partition-key normalizer the
+    * pipeline applies before any url-keyed operation.
+    */
+  def q68UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val a = concat(lit("HTTP://Sup"), (col("l_suppkey") % 50).cast("string"),
+      lit(".Example.COM:80/Order/"), col("l_orderkey").cast("string"),
+      lit("%2fitem%7e"), lit("?b=2&a=%41#frag"))
+    val b = concat(lit("http://sup"), (col("l_suppkey") % 50).cast("string"),
+      lit(".example.com/Order/"), col("l_orderkey").cast("string"),
+      lit("%2Fitem~"), lit("?b=2&a=A"))
+    val canon = call_function("url_canon", a)
+    val canonB = call_function("url_canon", b)
+    val again = call_function("url_canon", canon)
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        canon.as("canon_url"),
+        (canon === canonB && again === canon).as("canon_ok"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_politeness_schedule" -> q66PolitenessSchedule _,
+    "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,
     "q59_robots_filter" -> q59RobotsFilter _,

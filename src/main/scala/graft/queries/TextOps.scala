@@ -369,6 +369,39 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q69: re-crawl DELTA accounting — the incremental-ingest primitive: a
+    * full-outer join of the previous snapshot's (url → content-sha) map
+    * against the new crawl classifies every document as
+    * unchanged / changed / new / gone, and the counts drive what actually
+    * gets re-extracted (changed ∪ new) versus carried forward. Here both
+    * snapshots derive deterministically from `documents` (drop ids
+    * ≡0 mod 97 = gone, mutate text for ids ≡0 mod 31 = changed, inject
+    * shifted ids = new) so the oracle constructs the identical delta.
+    * Scale shape: one full-outer hash join on the doc key over (id, sha)
+    * projections — the 128-bit sha travels, never the text — plus a
+    * 4-group aggregate.
+    */
+  def q69CrawlDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val prev = docs.select(col("doc_id"), md5s(col("text")).as("old_sha"))
+    val next = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        md5s(when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_sha"))
+      .unionByName(docs.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          md5s(concat(lit("new "), col("doc_id").cast("string"))).as("new_sha")))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("old_sha").isNull, "new")
+          .when(col("new_sha").isNull, "gone")
+          .when(col("old_sha") =!= col("new_sha"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("status"))
+  }
+
   /** q67: deterministic stratified sampling — exact per-stratum quotas
     * (here: 20 docs per (lang, source) cell) selected by hash order, the
     * way an eval/holdout set is carved from a 100 TB corpus: stable under
@@ -695,6 +728,7 @@ object TextOps {
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
     "q67_stratified_sample" -> q67StratifiedSample _,
+    "q69_crawl_delta" -> q69CrawlDelta _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -921,6 +955,23 @@ object TextOps {
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
     "q64_bloom_decontaminate" -> decontamOracleSql,
+    "q69_crawl_delta" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS old_sha FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END) AS new_sha
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5('new ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT CASE WHEN old_sha IS NULL THEN 'new'
+        |            WHEN new_sha IS NULL THEN 'gone'
+        |            WHEN old_sha <> new_sha THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS docs
+        |FROM prev FULL OUTER JOIN next USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q67_stratified_sample" ->
       """WITH r AS (
         |  SELECT lang, source, doc_id,

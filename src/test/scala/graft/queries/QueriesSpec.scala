@@ -50,7 +50,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q37_outlinks" -> "twin_ok",
       "q38_pdf_extract" -> "roundtrip_ok",
       "q46_titles" -> "twin_ok",
-      "q52_ann_ivf" -> "ivf_ok")
+      "q52_ann_ivf" -> "ivf_ok",
+      "q68_url_canon" -> "canon_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
