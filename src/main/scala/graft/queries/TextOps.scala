@@ -369,6 +369,53 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q70: C4-style SPAN dedup (public: Raffel et al. 2020 §2.2 — "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once"): global first-occurrence dedup at sub-document grain, the step
+    * that removes boilerplate shared across pages without dropping whole
+    * documents. The harness corpus has no sentence punctuation, so the
+    * span unit is 10-token chunks (the adaptation is the unit, not the
+    * algorithm); the trailing <10-token remainder is kept unconditionally.
+    * First occurrence = smallest (doc_id, position) — deterministic in
+    * both engines. Output per doc: span counts, spans dropped, and the
+    * md5 of the REBUILT text, so the reconstruction is value-checked too.
+    * Scale shape: one explode to (span-text, doc, pos) rows, one window
+    * shuffle keyed on the span hash (the global-first rule is exactly a
+    * min over that key), one per-doc rebuild aggregate. At corpus scale
+    * the span key is the md5, never the text.
+    */
+  def q70SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+    val chunks = base
+      .where(col("n") >= 10)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), col("n") - 9, lit(10))).as("p"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("tk"), col("p"), lit(10)), " ").as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("p"))
+    val agg = chunks.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rk") === 1, struct(col("p"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("kept_joined"))
+    val trailing = array_join(
+      slice(col("tk"), col("n") - pmod(col("n"), lit(10)) + 1,
+        pmod(col("n"), lit(10))), " ")
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        md5s(concat_ws(" ",
+          when(length(col("kept_joined")) > 0, col("kept_joined")),
+          when(length(trailing) > 0, trailing))).as("new_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q69: re-crawl DELTA accounting — the incremental-ingest primitive: a
     * full-outer join of the previous snapshot's (url → content-sha) map
     * against the new crawl classifies every document as
@@ -729,6 +776,7 @@ object TextOps {
     "q65_nfc_normalize" -> q65NfcNormalize _,
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q69_crawl_delta" -> q69CrawlDelta _,
+    "q70_span_dedup" -> q70SpanDedup _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -955,6 +1003,30 @@ object TextOps {
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
     "q64_bloom_decontaminate" -> decontamOracleSql,
+    "q70_span_dedup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $dkTokens AS tk, len($dkTokens) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, p, array_to_string(tk[p:p+9], ' ') AS chunk
+         |  FROM b, unnest(generate_series(1, n - 9, 10)) s(p)
+         |  WHERE n >= 10),
+         |m AS (
+         |  SELECT doc_id, p, chunk,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, p) AS rk
+         |  FROM c),
+         |a AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |    string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY p) AS kept_joined
+         |  FROM m GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  COALESCE(a.n_spans, 0) AS n_spans,
+         |  COALESCE(a.n_dropped, 0) AS n_dropped,
+         |  md5(concat_ws(' ',
+         |    CASE WHEN length(COALESCE(a.kept_joined, '')) > 0 THEN a.kept_joined END,
+         |    CASE WHEN n % 10 > 0 THEN array_to_string(tk[n - n % 10 + 1 : n], ' ') END)) AS new_sha
+         |FROM b LEFT JOIN a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "q69_crawl_delta" ->
       """WITH prev AS (SELECT doc_id, md5(text) AS old_sha FROM documents),
         |next AS (
