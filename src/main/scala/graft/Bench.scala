@@ -153,8 +153,12 @@ object Bench {
         }
         def sentinel(): Unit = {
           val t0 = System.nanoTime()
-          spark.read.parquet(s"$sfDir/nation.parquet")
+          // guarded like time(): a docs-only sfDir or a transient FS error
+          // must degrade the noise meter, not abort the benchmark after
+          // the expensive probe phase
+          try spark.read.parquet(s"$sfDir/nation.parquet")
             .agg(count(lit(1))).collect()
+          catch { case _: Throwable => }
           sentinelTimes += (System.nanoTime() - t0) / 1e9
         }
         qlist.foreach { case (_, fn) => time(fn) } // warm-up pass

@@ -10,7 +10,7 @@ import graft.sources.PagesSynth
   *   spark-submit --class graft.ExtractMain <jar> \
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
-  *     [--dedup 0.8]
+  *     [--dedup 0.8] [--compact 128]
   *
   * `--compact M` compacts each committed url-hash partition of the
   * extracted table to ~M-MiB files ([[graft.pipeline.CompactStage]] — the

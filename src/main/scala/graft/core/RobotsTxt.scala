@@ -64,7 +64,14 @@ object RobotsTxt {
               if (agents.contains(ua)) { exact += r; exactSeen = true }
               if (agents.contains("*")) star += r
             } else if (agents.contains(ua)) exactSeen = true
-          case _ => // crawl-delay, sitemap, junk: ignored
+          case "crawl-delay" =>
+            // not a path rule, but it IS a group member line (Bing/Yandex
+            // semantics): it must terminate user-agent accumulation here
+            // exactly as it does in crawlDelayFor, or the two parsers
+            // would attribute subsequent lines of the same body to
+            // DIFFERENT groups (round-4 review finding)
+            groupHasRules = true
+          case _ => // sitemap, junk: ignored (group-neutral per RFC 9309)
         }
       }
     }

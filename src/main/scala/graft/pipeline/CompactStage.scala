@@ -34,7 +34,6 @@ object CompactStage {
   def run(spark: SparkSession, outDir: String,
           targetFileBytes: Long = 128L * 1024 * 1024): Summary = {
     require(targetFileBytes >= (1L << 20), s"target $targetFileBytes below 1 MiB")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val root = ExtractJob.extractedPath(outDir)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,6 +69,11 @@ object CompactStage {
           .localCheckpoint()
           .repartition(target, col("url"))
           .write.mode("overwrite").partitionBy("part_id")
+          // per-WRITE dynamic overwrite (replace only this partition's
+          // dir) — scoping it here instead of flipping the session-global
+          // conf, which would silently change every later partitioned
+          // overwrite in the same session (round-4 review finding)
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(root)
         rewritten += 1
       }

@@ -53,11 +53,16 @@ object DedupStage {
         coalesce(col("is_keeper"), lit(true)).as("is_keeper"))
       .write.mode("overwrite").parquet(clustersPath(outDir))
     val back = spark.read.parquet(clustersPath(outDir))
-    // keepers-only corpus: drop every non-keeper from the extracted table
+    // keepers-only corpus: drop every non-keeper from the extracted table.
+    // STATIC overwrite pinned per-write: this is a full rewrite of the
+    // view, so stale part_id dirs from a previous run with more partitions
+    // must be truncated even if the session was left in dynamic mode by an
+    // earlier stage (round-4 review finding)
     extracted
       .join(back.filter(!col("is_keeper")).select(col("url")),
         Seq("url"), "left_anti")
       .write.mode("overwrite").partitionBy("part_id")
+      .option("partitionOverwriteMode", "static")
       .parquet(keptPath(outDir))
     // per-partition accounting — the dedup counts the manifest consumer
     // joins on part_id

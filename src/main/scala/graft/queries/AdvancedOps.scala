@@ -128,6 +128,8 @@ object AdvancedOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts >= 1, s"salts=$salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename the input column")
     val salt = pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int")
     fact.withColumn("__salt", salt)
       .join(dim.withColumn("__salt",

@@ -172,6 +172,25 @@ class RobotsSpec extends AnyFunSuite {
     assert(crawlDelayFor("", "bot") === None)
   }
 
+  test("crawl-delay terminates user-agent accumulation in BOTH parsers (group model agrees)") {
+    import RobotsTxt.crawlDelayFor
+    // 'UA: a / Crawl-delay / UA: b / …' — the delay line must close a's
+    // group in rulesFor exactly as it does in crawlDelayFor, or admission
+    // rules and politeness delay would attribute the SAME body lines to
+    // different groups (round-4 review finding)
+    val b =
+      """User-agent: a
+        |Crawl-delay: 5
+        |User-agent: b
+        |Crawl-delay: 7
+        |Disallow: /x/
+        |""".stripMargin
+    assert(crawlDelayFor(b, "a") === Some(5.0))
+    assert(crawlDelayFor(b, "b") === Some(7.0))
+    assert(rulesFor(b, "a").isEmpty, "b's group rules leaked into a's group")
+    assert(rulesFor(b, "b") === Vector(Rule("/x/", allow = false)))
+  }
+
   test("never throws on arbitrary text (property)") {
     val prop = Prop.forAll(Gen.asciiStr) { s =>
       rulesFor(s, "bot"); allowed(rulesFor(s, "*"), "/p")
