@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{CompactStage, DedupStage, ExtractJob, LocalManifestCommitter}
+import graft.pipeline.{CompactStage, DedupStage, ExtractJob, LocalManifestCommitter, SpanCleanStage}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -10,7 +10,11 @@ import graft.sources.PagesSynth
   *   spark-submit --class graft.ExtractMain <jar> \
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
-  *     [--dedup 0.8] [--compact 128]
+  *     [--dedup 0.8] [--compact 128] [--span-clean 10]
+  *
+  * `--span-clean N` rebuilds every document keeping only the corpus-wide
+  * first occurrence of each N-token span
+  * ([[graft.pipeline.SpanCleanStage]] — the C4 boilerplate-strip step).
   *
   * `--compact M` compacts each committed url-hash partition of the
   * extracted table to ~M-MiB files ([[graft.pipeline.CompactStage]] — the
@@ -85,6 +89,11 @@ object ExtractMain {
       s""","compact":{"target_mb":$mb,"parts":${c.parts},"parts_rewritten":${c.partsRewritten},""" +
         s""""files_before":${c.filesBefore},"files_after":${c.filesAfter}}"""
     }.getOrElse("")
+    val spanJson = opts.get("--span-clean").map { n =>
+      val sc = SpanCleanStage.run(spark, out, n.toInt)
+      s""","span_clean":{"span_tokens":$n,"docs":${sc.docs},"spans":${sc.spans},""" +
+        s""""spans_dropped":${sc.spansDropped},"docs_touched":${sc.docsTouched}}"""
+    }.getOrElse("")
     val dedupJson = opts.get("--dedup").map { t =>
       val d = DedupStage.run(spark, out, t.toDouble)
       s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
@@ -92,7 +101,7 @@ object ExtractMain {
     }.getOrElse("")
     println(f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
       f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
-      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$compactJson$dedupJson}""")
+      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$compactJson$spanJson$dedupJson}""")
     spark.stop()
   }
 }

@@ -384,36 +384,53 @@ object TextOps {
     * min over that key), one per-doc rebuild aggregate. At corpus scale
     * the span key is the md5, never the text.
     */
-  def q70SpanDedup(s: SparkSession, dir: String): DataFrame = {
+  def q70SpanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedup(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", spanTokens = 10)
+      .select(col("doc_id"), col("n_spans"), col("n_dropped"),
+        md5s(col("clean_text")).as("new_sha"))
+      .orderBy(col("doc_id"))
+
+  /** Generic span-dedup core behind q70 and
+    * [[graft.pipeline.SpanCleanStage]]: input `(idCol, text)` →
+    * `(idCol, n_spans, n_dropped, clean_text)` where clean_text is the
+    * rebuilt document keeping only globally-first span occurrences (plus
+    * the trailing partial span unconditionally). First occurrence =
+    * smallest (id, position) under the id column's natural ordering —
+    * deterministic for both numeric and string keys.
+    */
+  private[graft] def spanDedup(docs: DataFrame, idCol: String,
+                               spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens=$spanTokens")
     import org.apache.spark.sql.expressions.Window
-    val base = tbl(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+    val st = spanTokens
+    val base = docs
+      .select(col(idCol), tokens(col("text")).as("tk"))
+      .select(col(idCol), col("tk"), size(col("tk")).as("n"))
     val chunks = base
-      .where(col("n") >= 10)
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), col("n") - 9, lit(10))).as("p"))
-      .select(col("doc_id"), col("p"),
-        array_join(slice(col("tk"), col("p"), lit(10)), " ").as("chunk"))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("p"))
+      .where(col("n") >= st)
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(1), col("n") - (st - 1), lit(st))).as("p"))
+      .select(col(idCol), col("p"),
+        array_join(slice(col("tk"), col("p"), lit(st)), " ").as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col(idCol), col("p"))
     val agg = chunks.withColumn("rk", row_number().over(w))
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
         array_join(transform(array_sort(collect_list(
           when(col("rk") === 1, struct(col("p"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("kept_joined"))
     val trailing = array_join(
-      slice(col("tk"), col("n") - pmod(col("n"), lit(10)) + 1,
-        pmod(col("n"), lit(10))), " ")
-    base.join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      slice(col("tk"), col("n") - pmod(col("n"), lit(st)) + 1,
+        pmod(col("n"), lit(st))), " ")
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        md5s(concat_ws(" ",
+        concat_ws(" ",
           when(length(col("kept_joined")) > 0, col("kept_joined")),
-          when(length(trailing) > 0, trailing))).as("new_sha"))
-      .orderBy(col("doc_id"))
+          when(length(trailing) > 0, trailing)).as("clean_text"))
   }
 
   /** q69: re-crawl DELTA accounting — the incremental-ingest primitive: a

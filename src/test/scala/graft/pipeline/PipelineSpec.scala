@@ -184,6 +184,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapshot() === beforeRows)
   }
 
+  test("span-clean stage: cross-doc duplicate spans removed, originals keep theirs") {
+    val out = Files.createTempDirectory("spanclean").toString
+    val base = PagesSynth.pagesDF(spark, 30L)
+    // twins under a suffixed url: same extracted text, sorts AFTER the
+    // original, so every full span of a twin is a non-first occurrence
+    val pages = base.unionByName(
+      base.withColumn("url", concat(col("url"), lit("#b"))))
+    ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val summary = SpanCleanStage.run(spark, out, spanTokens = 10)
+    val cleaned = spark.read.parquet(SpanCleanStage.cleanedPath(out))
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    assert(summary.docs === 60L && cleaned.size === 60)
+    val twins = cleaned.filter(_._1.endsWith("#b"))
+    assert(twins.nonEmpty)
+    twins.foreach { case (url, (spans, dropped, clean)) =>
+      // every FULL span of a twin is a duplicate of its original's
+      assert(dropped === spans, s"$url kept a duplicated span")
+      // what survives is at most the trailing partial span (< 10 tokens)
+      val left = clean.split(" ").filter(_.nonEmpty).length
+      assert(left < 10, s"$url clean_text still has $left tokens")
+    }
+    // summary sums agree with the table
+    assert(summary.spansDropped ===
+      cleaned.valuesIterator.map(_._2).sum)
+    assert(summary.spans === cleaned.valuesIterator.map(_._1).sum)
+    assert(summary.docsTouched ===
+      cleaned.valuesIterator.count(_._2 > 0))
+  }
+
   test("composed extract → dedup → accounting stage (ExtractMain --dedup path)") {
     val out = Files.createTempDirectory("dedupstage").toString
     // plant duplicates: every page appears again under a different url, so
