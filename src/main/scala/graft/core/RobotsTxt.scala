@@ -189,7 +189,12 @@ object RobotsTxt {
     * `regexp_matches` evaluate the SAME wildcard decision the in-JVM
     * matcher makes. All regex metacharacters in the pattern are escaped;
     * only `*` (→ `.*`, DOTALL-safe via `[\s\S]*`) and a final `$` survive
-    * as operators.
+    * as operators. The end anchor is emitted as `\z` (end of TEXT), not
+    * `$`: in Java regex `$` also matches just before a trailing line
+    * terminator, so a path ending in `\n` would match an anchored pattern
+    * under `regexp_like` but not under [[patternMatches]] (exact `==`) or
+    * RE2's default `$` (round-4 advice finding). Both Java and RE2 accept
+    * `\z` with identical end-of-input semantics.
     */
   def patternToRegex(pattern: String): String = {
     val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
@@ -200,7 +205,7 @@ object RobotsTxt {
       case c if "\\^$.|?*+()[]{}".indexOf(c) >= 0 => sb.append('\\').append(c)
       case c => sb.append(c)
     }
-    if (anchored) sb.append('$')
+    if (anchored) sb.append("\\z")
     sb.toString
   }
 }

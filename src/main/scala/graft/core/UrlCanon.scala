@@ -16,8 +16,10 @@ package graft.core
   *     change semantics;
   *   - raw spaces in path/query encode to %20;
   *   - empty path before a query/end becomes "/";
-  *   - query kept byte-for-byte (parameter reordering changes semantics
-  *     on real sites, so it is deliberately NOT done).
+  *   - query: percent-normalization (hex-case, unreserved-decode,
+  *     space→%20) IS applied, but parameters are never reordered —
+  *     reordering changes semantics on real sites, so the invariant is
+  *     "no parameter reordering", not byte-preservation.
   *
   * Idempotent (property-tested), never throws; input that does not look
   * like scheme://… is returned trimmed-only.

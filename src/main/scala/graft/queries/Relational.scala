@@ -582,7 +582,7 @@ object Relational {
          |rx AS (
          |  SELECT h, rpath, rallow,
          |    CASE WHEN rpath LIKE '%$$'
-         |      THEN '^' || replace(replace(substr(rpath, 1, length(rpath)-1), '.', '\\.'), '*', '[\\s\\S]*') || '$$'
+         |      THEN '^' || replace(replace(substr(rpath, 1, length(rpath)-1), '.', '\\.'), '*', '[\\s\\S]*') || '\\z'
          |      ELSE '^' || replace(replace(rpath, '.', '\\.'), '*', '[\\s\\S]*') END AS rregex
          |  FROM rules),
          |urls AS (

@@ -134,7 +134,11 @@ class RobotsSpec extends AnyFunSuite {
     // q61 evaluates admission via regexp_like(path, patternToRegex(pat)) in
     // Spark and the same conversion in DuckDB SQL; this pins the in-JVM
     // matcher to that regex semantics over random patterns and paths
-    val chars = Gen.oneOf('a', 'b', '/', '.', '*', '$')
+    // '\n' is in the alphabet deliberately: Java's '$' end anchor also
+    // matches before a final line terminator, which is why patternToRegex
+    // emits '\z' — a newline-bearing path is the case that distinguishes
+    // them (round-4 advice finding)
+    val chars = Gen.oneOf('a', 'b', '/', '.', '*', '$', '\n')
     val str = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
     val prop = Prop.forAll(str, str) { (pat, path) =>
       val rx = java.util.regex.Pattern.compile(RobotsTxt.patternToRegex(pat))
@@ -189,6 +193,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(crawlDelayFor(b, "b") === Some(7.0))
     assert(rulesFor(b, "a").isEmpty, "b's group rules leaked into a's group")
     assert(rulesFor(b, "b") === Vector(Rule("/x/", allow = false)))
+  }
+
+  test("UA group with ONLY a Crawl-delay still governs admission (accessors agree)") {
+    import RobotsTxt.crawlDelayFor
+    // round-4 advice scenario: an exact-UA group whose only member line is
+    // a Crawl-delay. Both accessors must attribute the body to the SAME
+    // governing group: the delay comes from the exact group AND admission
+    // uses the exact group's (empty ⇒ allow-everything) rules — NOT the
+    // '*' group's Disallow. Group existence alone suppresses the fallback
+    // (exactSeen is set on the user-agent line in both parsers).
+    val b = "User-agent: graftbot\nCrawl-delay: 3\nUser-agent: *\nDisallow: /\nCrawl-delay: 9\n"
+    assert(crawlDelayFor(b, "graftbot") === Some(3.0))
+    assert(rulesFor(b, "graftbot").isEmpty,
+      "'*' rules leaked into the exact group")
+    assert(allowed(rulesFor(b, "graftbot"), "/anything"),
+      "admission fell back to the '*' group despite an exact group existing")
+    assert(!allowed(rulesFor(b, "other"), "/anything"))
+    assert(crawlDelayFor(b, "other") === Some(9.0))
   }
 
   test("never throws on arbitrary text (property)") {
