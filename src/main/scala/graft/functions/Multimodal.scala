@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * video frames, or here the raw html bytes) as first-class columns with
   * typed, deterministic feature extraction running inside `mapPartitions`.
   *
-  * Decode depth is format-tiered. REAL, pure-JVM, codec-free:
-  * PNG/JPEG/GIF header parse (dims from the container's own fields),
-  * RIFF/WAVE fmt parse (rate/channels), full PIXEL decode for uncompressed
-  * 24-bit BMP and P6 PPM, and full SAMPLE decode for s16le PCM WAV
-  * (mean/peak stats from actual content). Only the remaining COMPRESSED
-  * payload families (JPEG entropy data, PNG IDAT pixels, lossy audio) keep
-  * a declared stub — this container ships no codecs — and those rows carry
-  * `decoded = false` so a consumer can tell. The Spark-side plumbing is
+  * Decode depth is format-tiered. REAL, pure-JVM, codec-free: full PIXEL
+  * decode for PNG (IDAT zlib inflate + the five row filters — the JVM
+  * ships the inflater), GIF (self-contained LZW), uncompressed 24-bit BMP
+  * and P6 PPM; full SAMPLE decode for s16le PCM WAV (mean/peak stats from
+  * actual content); header parse for JPEG (SOFn dims), MP4/ISO-BMFF
+  * (tkhd dims + mvhd duration) and RIFF/WAVE fmt (rate/channels). Only
+  * the genuinely codec-bound payload families (JPEG entropy data, lossy
+  * audio, exotic PNG/GIF variants) keep a declared stub — and those rows
+  * carry `decoded = false` so a consumer can tell. The Spark-side plumbing is
   * identical either way and is what matters at 100 TB: the binary column is
   * never exploded or copied, feature extraction is a single narrow
   * per-partition pass (no shuffle), and outputs are fixed-width columns so
@@ -34,8 +35,9 @@ object Multimodal {
       histogram: Array[Int],
       entropy_x1000: Long,
       head_hex: String,
-      // REAL content-level decode results (BMP/PPM pixels, PCM WAV
-      // samples): pixel count / audio frame count; mean luma ×1000 (0..255
+      // REAL content-level decode results (PNG/GIF/BMP/PPM pixels, PCM
+      // WAV samples): pixel count / audio frame count / MP4 duration in
+      // ms; mean luma ×1000 (0..255
       // scale) for raster, mean |sample| ×1000 normalized to full scale
       // for audio; peak luma (0..255) / peak |sample| (0..32768);
       // `decoded` = true only when the actual payload was decoded (false
@@ -232,6 +234,366 @@ object Multimodal {
     None
   }
 
+  /** REAL pure-JVM PNG PIXEL decode: IDAT zlib inflate
+    * (`java.util.zip.Inflater` — ships with the JVM, no external codec)
+    * plus the five PNG row filters (None/Sub/Up/Average/Paeth, PNG spec
+    * §9 "Filtering"). Supports the 8-bit-depth non-interlaced color types
+    * 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); anything else — 16-bit,
+    * palette, Adam7 — returns None and the header-only path keeps the
+    * dims. Decoding streams ROW BY ROW (two scanline buffers, never the
+    * whole raster), so memory is O(width) regardless of image size; a
+    * total-pixel cap bounds CPU against zip-bomb headers. Alpha is
+    * ignored for luma stats (order-free mean/peak, same integer Rec.709
+    * formula as BMP/PPM). Never throws on truncated/garbage input.
+    */
+  def pngPixels(b: Array[Byte]): Option[RasterStats] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (n < 33) return None
+    if (!(u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A))
+      return None
+    if (be32(8) != 13 || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' ||
+        b(15) != 'R') return None
+    val w = be32(16)
+    val h = be32(20)
+    val bitDepth = u8(24)
+    val colorType = u8(25)
+    val dimCap = 1 << 20
+    if (w <= 0 || h <= 0 || w > dimCap || h > dimCap) return None
+    // compression(26)=deflate, filter(27)=adaptive, interlace(28)=none
+    if (bitDepth != 8 || u8(26) != 0 || u8(27) != 0 || u8(28) != 0) return None
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    val pix = w.toLong * h
+    // zip-bomb guard: the compressed payload may be tiny while the header
+    // promises terabytes of raster — cap decode WORK, not just dims
+    if (pix > (1L << 26)) return None
+    // chunk walk: collect (offset, length) spans of every IDAT — fed to
+    // the Inflater in place, the compressed stream is never concatenated
+    var spans = List.empty[(Int, Int)]
+    var i = 33 // 8 sig + 25 IHDR chunk
+    var walking = true
+    while (walking && i + 8 <= n) {
+      val len = be32(i)
+      if (len < 0 || i + 12L + len > n) walking = false // truncated chunk
+      else {
+        if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' &&
+            b(i + 7) == 'T') spans = (i + 8, len) :: spans
+        if (b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' &&
+            b(i + 7) == 'D') walking = false
+        i += 12 + len
+      }
+    }
+    spans = spans.reverse
+    if (spans.isEmpty) return None
+    val rowLen = 1 + w * bpp
+    var row = new Array[Byte](rowLen)
+    var prev = new Array[Byte](rowLen) // zeroed = the spec's virtual row -1
+    val inf = new java.util.zip.Inflater()
+    try {
+      var sum = 0L
+      var peak = 0
+      var y = 0
+      while (y < h) {
+        var fill = 0
+        while (fill < rowLen) {
+          if (inf.needsInput()) {
+            spans match {
+              case (off, len) :: rest => inf.setInput(b, off, len); spans = rest
+              case Nil                => return None // stream ran dry mid-row
+            }
+          }
+          val got = inf.inflate(row, fill, rowLen - fill)
+          if (got == 0 && !inf.needsInput())
+            return None // finished early or needs a preset dictionary
+          fill += got
+        }
+        // un-filter in place (PNG spec §9): predictors use DECODED bytes
+        (row(0) & 0xff) match {
+          case 0 => // None
+          case 1 => // Sub
+            var x = 1 + bpp
+            while (x < rowLen) { row(x) = (row(x) + row(x - bpp)).toByte; x += 1 }
+          case 2 => // Up
+            var x = 1
+            while (x < rowLen) { row(x) = (row(x) + prev(x)).toByte; x += 1 }
+          case 3 => // Average (floor of a+b over 2)
+            var x = 1
+            while (x < rowLen) {
+              val a = if (x > bpp) row(x - bpp) & 0xff else 0
+              row(x) = (row(x) + ((a + (prev(x) & 0xff)) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth
+            var x = 1
+            while (x < rowLen) {
+              val a = if (x > bpp) row(x - bpp) & 0xff else 0
+              val up = prev(x) & 0xff
+              val c = if (x > bpp) prev(x - bpp) & 0xff else 0
+              val p = a + up - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              row(x) = (row(x) + pred).toByte
+              x += 1
+            }
+          case _ => return None // invalid filter type byte
+        }
+        // order-free luma stats; alpha channels skipped
+        var x = 1
+        if (bpp <= 2) { // gray / gray+alpha
+          while (x < rowLen) {
+            val l = row(x) & 0xff
+            sum += l
+            if (l > peak) peak = l
+            x += bpp
+          }
+        } else { // RGB / RGBA
+          while (x < rowLen) {
+            val l = (2126 * (row(x) & 0xff) + 7152 * (row(x + 1) & 0xff) +
+              722 * (row(x + 2) & 0xff)) / 10000
+            sum += l
+            if (l > peak) peak = l
+            x += bpp
+          }
+        }
+        val t = prev; prev = row; row = t // swap scanline buffers
+        y += 1
+      }
+      Some(RasterStats("png", w, h, pix, (sum * 1000 + pix / 2) / pix, peak))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** REAL pure-JVM GIF PIXEL decode: the GIF87a/89a LZW scheme is fully
+    * specified in the container itself (variable-width codes 3–12 bits,
+    * clear/EOI codes, dictionary of 4096 entries) — self-contained, no
+    * codec library. Decodes the FIRST image frame, mapping indices
+    * through its (local-else-global) color table to the same integer
+    * Rec.709 luma stats as the other raster paths. Interlaced frames
+    * need no row reordering because the stats are order-free. Returns
+    * None on palette-less, truncated, or spec-violating data (the
+    * header-only path then keeps the dims). Never throws.
+    */
+  def gifPixels(b: Array[Byte]): Option[RasterStats] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (n < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val sw = le16(6)
+    val sh = le16(8)
+    val flags = u8(10)
+    var i = 13
+    var gct = -1
+    var gctSize = 0
+    if ((flags & 0x80) != 0) {
+      gctSize = 2 << (flags & 7)
+      gct = i
+      i += gctSize * 3
+    }
+    while (i < n) {
+      u8(i) match {
+        case 0x21 => // extension block: label byte then sub-blocks
+          i += 2
+          while (i < n && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2C => // image descriptor
+          if (i + 10 > n) return None
+          val fw = le16(i + 5)
+          val fh = le16(i + 7)
+          val iflags = u8(i + 9)
+          i += 10
+          var ct = gct
+          var ctSize = gctSize
+          if ((iflags & 0x80) != 0) {
+            ctSize = 2 << (iflags & 7)
+            ct = i
+            i += ctSize * 3
+          }
+          if (fw <= 0 || fh <= 0 || ct < 0 || ctSize <= 0 ||
+              ct + ctSize * 3 > n || i >= n) return None
+          val minCode = u8(i)
+          i += 1
+          if (minCode < 2 || minCode > 8) return None
+          // LZW decode across data sub-blocks, LSB-first bit packing
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val prefix = new Array[Int](4096)
+          val suffix = new Array[Byte](4096)
+          val stack = new Array[Byte](4097)
+          var codeSize = minCode + 1
+          var nextCode = eoi + 1
+          var prevCode = -1
+          var bits = 0
+          var bitBuf = 0
+          var blockLeft = 0
+          val total = fw.toLong * fh
+          var emitted = 0L
+          var sum = 0L
+          var peak = 0
+          @inline def emit(idx: Int): Boolean = {
+            if (idx >= ctSize) return false // index outside the palette
+            val base = ct + idx * 3
+            val l = (2126 * u8(base) + 7152 * u8(base + 1) +
+              722 * u8(base + 2)) / 10000
+            sum += l
+            if (l > peak) peak = l
+            emitted += 1
+            true
+          }
+          var firstByte = 0 // root byte of the previously emitted string
+          var done = false
+          while (!done && emitted < total) {
+            // refill the bit buffer
+            while (bits < codeSize) {
+              if (blockLeft == 0) {
+                if (i >= n) return None
+                blockLeft = u8(i)
+                i += 1
+                if (blockLeft == 0) return None // terminator before EOI data done
+              }
+              if (i >= n) return None
+              bitBuf |= u8(i) << bits
+              bits += 8
+              i += 1
+              blockLeft -= 1
+            }
+            val code = bitBuf & ((1 << codeSize) - 1)
+            bitBuf >>>= codeSize
+            bits -= codeSize
+            if (code == clear) {
+              codeSize = minCode + 1
+              nextCode = eoi + 1
+              prevCode = -1
+            } else if (code == eoi) {
+              done = true
+            } else {
+              var top = 0
+              var cur = code
+              if (code >= nextCode) {
+                // only the KwKwK case may reference the not-yet-added
+                // entry: its string is prev + firstByte(prev)
+                if (code != nextCode || prevCode < 0) return None
+                stack(top) = firstByte.toByte // emitted LAST
+                top += 1
+                cur = prevCode
+              }
+              // walk the prefix chain (suffix bytes come out reversed)
+              while (cur >= clear + 2) {
+                stack(top) = suffix(cur)
+                top += 1
+                cur = prefix(cur)
+              }
+              if (cur >= clear) return None // chain must end at a root code
+              firstByte = cur
+              stack(top) = cur.toByte
+              top += 1
+              while (top > 0) {
+                top -= 1
+                if (!emit(stack(top) & 0xff)) return None
+              }
+              if (prevCode >= 0 && nextCode < 4096) {
+                prefix(nextCode) = prevCode
+                suffix(nextCode) = firstByte.toByte
+                nextCode += 1
+                if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+              }
+              prevCode = code
+            }
+          }
+          if (emitted < total) return None // stream ended short of the raster
+          val pixL = total
+          return Some(RasterStats("gif", sw, sh, pixL,
+            (sum * 1000 + pixL / 2) / pixL, peak))
+        case 0x3B => return None // trailer before any image frame
+        case _ => return None // damaged block chain
+      }
+    }
+    None
+  }
+
+  /** REAL pure-JVM MP4/ISO-BMFF container parse (ISO/IEC 14496-12): box
+    * walk `ftyp` → `moov` → (`mvhd` duration/timescale, `trak`/`tkhd`
+    * width/height as 16.16 fixed-point). Codec-free — these are fixed
+    * container fields, the same contract as [[imageHeader]]. Returns
+    * (width, height, durationMs) of the first track with nonzero dims
+    * (0-dims if only audio tracks); None when the bytes are not an MP4.
+    * Never throws on truncated/garbage input.
+    */
+  def mp4Header(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    @inline def be64(i: Int): Long =
+      (be32(i) << 32) | be32(i + 4)
+    if (n < 12 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p')
+      return None
+    var w = 0
+    var h = 0
+    var durMs = 0L
+    // recursive box walk, bounded depth; sizes are u32 (size==1 → u64
+    // largesize, size==0 → to end of enclosing box)
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      if (depth > 6) return
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(i.toInt)
+        var hdr = 8L
+        if (size == 1L && i + 16 <= to) { size = be64(i.toInt + 8); hdr = 16L }
+        else if (size == 0L) size = to - i
+        if (size < hdr || i + size > to) return // lying size: stop the walk
+        val t = i.toInt
+        val typ = new String(b, t + 4, 4, UTF_8)
+        typ match {
+          case "moov" | "trak" => walk(i + hdr, i + size, depth + 1)
+          case "mvhd" if durMs == 0L =>
+            val d = (i + hdr).toInt
+            if (i + hdr + 4 <= to) {
+              val ver = u8(d)
+              if (ver == 0 && i + hdr + 20 <= to) {
+                val ts = be32(d + 12)
+                val dur = be32(d + 16)
+                if (ts > 0) durMs = dur * 1000L / ts
+              } else if (ver == 1 && i + hdr + 32 <= to) {
+                val ts = be32(d + 20)
+                val dur = be64(d + 24)
+                if (ts > 0) durMs = dur * 1000L / ts
+              }
+            }
+          case "tkhd" if w == 0 =>
+            val d = (i + hdr).toInt
+            if (i + hdr + 4 <= to) {
+              val ver = u8(d)
+              // width/height are the LAST 8 bytes of the box body:
+              // v0 body = 84 bytes, v1 body = 96 bytes (spec layout)
+              val at = if (ver == 0) d + 76 else d + 88
+              if (i + hdr + (if (ver == 0) 84 else 96) <= to) {
+                val ww = (be32(at) >> 16).toInt     // 16.16 fixed → int
+                val hh = (be32(at + 4) >> 16).toInt
+                if (ww > 0 && hh > 0) { w = ww; h = hh }
+              }
+            }
+          case _ => // leaf box we don't care about
+        }
+        i += size
+      }
+    }
+    walk(0L, n.toLong, 0)
+    Some((w, h, durMs))
+  }
+
   /** REAL PCM SAMPLE decode for RIFF/WAVE with a 16-bit PCM `fmt ` chunk:
     * walks to the `data` chunk and computes (frames, mean |sample| ×1000
     * normalized to full scale 32768, peak |sample|) over every sample of
@@ -287,11 +649,15 @@ object Multimodal {
     Some((frames, (sumAbs * 1000 + scale / 2) / scale, peak))
   }
 
-  /** Deterministic decode: REAL header parse for PNG/JPEG/GIF (kind +
-    * width/height from the file's own header fields); for everything else
-    * the declared STUB remains (this container has no pixel codecs) —
-    * dimensions become a deterministic fake derived from the byte length.
-    * A real deployment swaps ONLY the non-image fallback for a codec call;
+  /** Deterministic decode, format-tiered. REAL pixel/sample decode
+    * (decoded=true): PNG ([[pngPixels]] — IDAT inflate + row filters),
+    * GIF ([[gifPixels]] — self-contained LZW), 24-bit BMP, P6 PPM, s16le
+    * PCM WAV. REAL header-only parse (decoded=false, dims/rate real):
+    * JPEG, MP4 ([[mp4Header]] — dims + duration-ms in `frames`),
+    * unsupported PNG/GIF variants, non-PCM WAV. Everything else keeps the
+    * declared length-derived STUB — the remaining families (JPEG entropy
+    * data, lossy audio) genuinely need codecs this container doesn't
+    * ship. A real deployment swaps ONLY that fallback for a codec call;
     * schema, batching and partitioning stay identical.
     */
   def decodeStub(url: String, bytes: Array[Byte]): MediaFeatures = {
@@ -311,9 +677,22 @@ object Multimodal {
     val entK = math.round(ent * 1000)
     imageHeader(bytes) match {
       case Some((kind, w, h)) =>
-        // compressed image: header fields are real, pixels stay undecoded
-        MediaFeatures(url, n, kind, w, h, 0, 0, hist, entK, head,
-          0L, 0L, 0, decoded = false)
+        // PNG/GIF payloads get a REAL pixel decode when the variant is
+        // supported; otherwise (and for JPEG) header fields are real and
+        // pixels stay undecoded
+        val decodedRaster = kind match {
+          case "png" => pngPixels(bytes)
+          case "gif" => gifPixels(bytes)
+          case _     => None
+        }
+        decodedRaster match {
+          case Some(rs) =>
+            MediaFeatures(url, n, kind, w, h, 0, 0, hist, entK, head,
+              rs.pixels, rs.meanLumaX1000, rs.peakLuma, decoded = true)
+          case None =>
+            MediaFeatures(url, n, kind, w, h, 0, 0, hist, entK, head,
+              0L, 0L, 0, decoded = false)
+        }
       case None => rasterPixels(bytes) match {
         case Some(rs) =>
           // uncompressed raster: REAL pixel decode (mean/peak luma)
@@ -332,14 +711,22 @@ object Multimodal {
                 MediaFeatures(url, n, "wav", 0, 0, rate, ch, hist, entK,
                   head, 0L, 0L, 0, decoded = false)
             }
-          case None =>
-            val kind =
-              if (n >= 4 && bytes(0) == '<'.toByte) "markup"
-              else if (n == 0) "empty" else "binary"
-            // fake dims: deterministic function of length (stand-in for a
-            // real pixel decode of the remaining COMPRESSED families)
-            MediaFeatures(url, n, kind, (n % 1024) + 1, (n % 768) + 1, 0, 0,
-              hist, entK, head, 0L, 0L, 0, decoded = false)
+          case None => mp4Header(bytes) match {
+            case Some((w, h, durMs)) =>
+              // MP4: real container fields (dims from tkhd, duration from
+              // mvhd carried in `frames` as milliseconds); the codec-bound
+              // sample data stays undecoded
+              MediaFeatures(url, n, "mp4", w, h, 0, 0, hist, entK, head,
+                durMs, 0L, 0, decoded = false)
+            case None =>
+              val kind =
+                if (n >= 4 && bytes(0) == '<'.toByte) "markup"
+                else if (n == 0) "empty" else "binary"
+              // fake dims: deterministic function of length (stand-in for a
+              // real pixel decode of the remaining COMPRESSED families)
+              MediaFeatures(url, n, kind, (n % 1024) + 1, (n % 768) + 1, 0, 0,
+                hist, entK, head, 0L, 0L, 0, decoded = false)
+          }
         }
       }
     }

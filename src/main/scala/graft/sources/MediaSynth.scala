@@ -2,12 +2,14 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Deterministic synthetic media blobs (spec-valid PNG / JPEG / GIF
-  * containers with known dimensions) for exercising the REAL header
-  * parsers in [[graft.functions.Multimodal]] — the payload pixels are
-  * filler, but every header field a parser reads (signatures, chunk
-  * layout, CRCs, segment lengths, dimension fields) is spec-conformant,
-  * so the dims the engine reports are checkable against ground truth.
+/** Deterministic synthetic media blobs (spec-valid PNG / JPEG / GIF /
+  * WAV / BMP / PPM / MP4 containers with known content) for exercising
+  * the REAL parsers in [[graft.functions.Multimodal]]. The pixel/sample
+  * fixtures (PNG with genuine deflated+filtered IDAT, GIF with genuine
+  * LZW, BMP, PPM, PCM WAV) carry deterministic patterns whose expected
+  * stats are computed from the raw values BEFORE encoding, so decoders
+  * are checked through the full byte pipeline; the header-only fixtures
+  * (JPEG, MP4) have every field a parser reads spec-conformant.
   */
 object MediaSynth {
 
@@ -57,6 +59,266 @@ object MediaSynth {
   def gifBytes(w: Int, h: Int): Array[Byte] =
     "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
       Array[Byte](0, 0, 0, 0x3B)
+
+  /** Deterministic 8-bit grayscale pattern for the gray-PNG fixtures. */
+  private def grayAt(x: Int, y: Int): Int = (x * 11 + y * 17) % 256
+
+  /** Expected (pixels, meanLumaX1000, peakLuma) of the [[grayAt]] pattern
+    * (gray luma IS the sample value).
+    */
+  def grayTruth(w: Int, h: Int): (Long, Long, Int) = {
+    var sum = 0L
+    var peak = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = grayAt(x, y)
+        sum += l
+        if (l > peak) peak = l
+        x += 1
+      }
+      y += 1
+    }
+    val pix = w.toLong * h
+    (pix, (sum * 1000 + pix / 2) / pix, peak)
+  }
+
+  /** Spec-valid PNG with a REAL zlib-compressed IDAT carrying the
+    * [[rgbAt]] (color types 2/6) or [[grayAt]] (color types 0/4) pattern.
+    * Each scanline uses filter type `y % 5`, so a decoder must implement
+    * all five PNG filters (None/Sub/Up/Average/Paeth) correctly to
+    * recover the pixels; the IDAT is split into two chunks to exercise
+    * multi-IDAT streams. The expected luma stats come from the raw
+    * pattern values BEFORE filtering/compression, so the decoder is
+    * checked through the full byte pipeline, not against itself.
+    */
+  def pngPixelBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val rowLen = 1 + w * bpp
+    val raw = new Array[Byte](rowLen * h) // filtered scanlines, concatenated
+    val cur = new Array[Byte](w * bpp)    // unfiltered pixel bytes, this row
+    val prv = new Array[Byte](w * bpp)
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val base = x * bpp
+        colorType match {
+          case 0 => cur(base) = grayAt(x, y).toByte
+          case 4 =>
+            cur(base) = grayAt(x, y).toByte
+            cur(base + 1) = ((x + 3 * y) % 256).toByte // alpha (ignored in stats)
+          case _ =>
+            val (r, g, b) = rgbAt(x, y)
+            cur(base) = r.toByte; cur(base + 1) = g.toByte; cur(base + 2) = b.toByte
+            if (colorType == 6) cur(base + 3) = ((x + 3 * y) % 256).toByte
+        }
+      }
+      val ft = y % 5
+      raw(y * rowLen) = ft.toByte
+      for (i <- 0 until w * bpp) {
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0 // left (decoded)
+        val up = prv(i) & 0xff
+        val c = if (i >= bpp) prv(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(y * rowLen + 1 + i) = ((cur(i) & 0xff) - pred).toByte
+      }
+      cur.copyToArray(prv)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) zLen += deflater.deflate(buf, zLen, buf.length - zLen)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(buf, zLen)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes
+      be32(data.length) ++ t ++ data ++ crc32(t, data)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val split = z.length / 2 // two IDAT chunks (spec: concatenated stream)
+    sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", z.take(split)) ++ chunk("IDAT", z.drop(split)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Palette entry i of the GIF fixtures' 256-color global color table. */
+  private def paletteAt(i: Int): (Int, Int, Int) =
+    (i, (i * 3) % 256, (i * 7) % 256)
+
+  /** Pixel index pattern of the GIF fixtures. */
+  private def idxAt(x: Int, y: Int): Int = (x * 7 + y * 13) % 256
+
+  /** Expected (pixels, meanLumaX1000, peakLuma) of [[idxAt]] mapped
+    * through [[paletteAt]].
+    */
+  def gifTruth(w: Int, h: Int): (Long, Long, Int) = {
+    var sum = 0L
+    var peak = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = paletteAt(idxAt(x, y))
+        val l = (2126 * r + 7152 * g + 722 * b) / 10000
+        sum += l
+        if (l > peak) peak = l
+        x += 1
+      }
+      y += 1
+    }
+    val pix = w.toLong * h
+    (pix, (sum * 1000 + pix / 2) / pix, peak)
+  }
+
+  /** GIF89a with a 256-entry global color table and a REAL LZW-compressed
+    * image frame carrying the [[idxAt]] pattern — a genuine encoder
+    * (growing dictionary, variable code width, clear-on-full), so the
+    * decoder's dictionary growth, code-width transitions, and KwKwK path
+    * all get exercised; truth comes from the raw index/palette values
+    * before encoding.
+    */
+  def gifPixelBytes(w: Int, h: Int): Array[Byte] = {
+    val minCode = 8
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // LZW encode, LSB-first bit packing
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bits = 0
+    var codeSize = minCode + 1
+    @inline def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bits
+      bits += codeSize
+      while (bits >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bits -= 8 }
+    }
+    // dictionary: (prefixCode << 8 | byte) → code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    put(clear)
+    var prev = -1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = idxAt(x, y)
+        if (prev < 0) prev = k
+        else {
+          val key = (prev << 8) | k
+          val hit = dict.get(key)
+          if (hit != null) prev = hit
+          else {
+            put(prev)
+            if (nextCode < 4096) {
+              dict.put(key, nextCode)
+              nextCode += 1
+              // width rule: the decoder adds each dictionary entry one
+              // code BEHIND the encoder (it needs the next code's first
+              // byte), so the encoder must widen one entry later than the
+              // decoder's `== 1<<codeSize` rule — at `> 1<<codeSize` —
+              // or the two sides read/write the boundary code at
+              // different widths (the max value the encoder can emit next
+              // is nextCode-1; the max the decoder can receive is its own
+              // nextCode, which lags by exactly one)
+              if (nextCode > (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else {
+              put(clear) // dictionary full: reset
+              codeSize = minCode + 1
+              nextCode = eoi + 1
+              dict = new java.util.HashMap[Integer, Integer]()
+            }
+            prev = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prev >= 0) put(prev)
+    put(eoi)
+    if (bits > 0) out.write((bitBuf & 0xff).toInt)
+    val lzw = out.toByteArray
+    // assemble: header + LSD + 256-color GCT + image descriptor + data
+    // sub-blocks (≤255 bytes each) + trailer
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("GIF89a".getBytes)
+    bb.write(le16(w)); bb.write(le16(h))
+    bb.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
+    bb.write(0); bb.write(0)
+    for (i <- 0 until 256) {
+      val (r, g, b) = paletteAt(i)
+      bb.write(r); bb.write(g); bb.write(b)
+    }
+    bb.write(0x2C) // image descriptor: full-frame at (0,0), no LCT
+    bb.write(le16(0)); bb.write(le16(0)); bb.write(le16(w)); bb.write(le16(h))
+    bb.write(0)
+    bb.write(minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      bb.write(len)
+      bb.write(lzw, off, len)
+      off += len
+    }
+    bb.write(0) // block terminator
+    bb.write(0x3B)
+    bb.toByteArray
+  }
+
+  /** Minimal spec-valid MP4/ISO-BMFF container: `ftyp` + `moov` holding a
+    * v0 `mvhd` (timescale 1000 ⇒ duration field IS milliseconds) and one
+    * `trak`/`tkhd` with 16.16 fixed-point width/height — every field
+    * [[graft.functions.Multimodal.mp4Header]] reads is real, by
+    * construction.
+    */
+  def mp4Bytes(w: Int, h: Int, durMs: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++    // creation, modification
+        be32(1000) ++            // timescale: 1000 units/sec
+        be32(durMs.toInt) ++     // duration
+        be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ // rate, volume, reserved
+        be32(0) ++ be32(0) ++    // reserved
+        // identity matrix
+        be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000) ++
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++ // pre_defined
+        be32(2))                 // next track id
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ // version 0 + flags (enabled|in-movie|in-preview)
+        be32(0) ++ be32(0) ++    // creation, modification
+        be32(1) ++ be32(0) ++    // track id, reserved
+        be32(durMs.toInt) ++     // duration (movie timescale)
+        be32(0) ++ be32(0) ++    // reserved
+        be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ // layer, altgroup, volume, reserved
+        be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000) ++
+        be32(w << 16) ++ be32(h << 16)) // 16.16 fixed-point dims
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
 
   private def le32(v: Int) =
     Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
@@ -194,13 +456,17 @@ object MediaSynth {
       val i = id.toInt
       val w = 16 + i * 3
       val h = 9 + i * 2
-      i % 6 match {
-        case 0 => MediaDoc(f"media://img/$i%05d.png", pngBytes(w, h), "png",
-          w, h, 0, 0, 0L, 0L, 0, exp_decoded = false)
+      i % 9 match {
+        case 0 => // REAL-pixel PNG, RGB, all five filters exercised
+          val (pix, mean, peak) = rasterTruth(w, h)
+          MediaDoc(f"media://img/$i%05d.png", pngPixelBytes(w, h, 2), "png",
+            w, h, 0, 0, pix, mean, peak, exp_decoded = true)
         case 1 => MediaDoc(f"media://img/$i%05d.jpg", jpegBytes(w, h), "jpeg",
           w, h, 0, 0, 0L, 0L, 0, exp_decoded = false)
-        case 2 => MediaDoc(f"media://img/$i%05d.gif", gifBytes(w, h), "gif",
-          w, h, 0, 0, 0L, 0L, 0, exp_decoded = false)
+        case 2 => // REAL-pixel GIF through a genuine LZW round-trip
+          val (pix, mean, peak) = gifTruth(w, h)
+          MediaDoc(f"media://img/$i%05d.gif", gifPixelBytes(w, h), "gif",
+            w, h, 0, 0, pix, mean, peak, exp_decoded = true)
         case 3 =>
           val rate = 8000 + i * 100
           val ch = 1 + (i % 2)
@@ -211,9 +477,21 @@ object MediaSynth {
           val (pix, mean, peak) = rasterTruth(w, h)
           MediaDoc(f"media://img/$i%05d.bmp", bmpBytes(w, h), "bmp",
             w, h, 0, 0, pix, mean, peak, exp_decoded = true)
-        case _ =>
+        case 5 =>
           val (pix, mean, peak) = rasterTruth(w, h)
           MediaDoc(f"media://img/$i%05d.ppm", ppmBytes(w, h), "ppm",
+            w, h, 0, 0, pix, mean, peak, exp_decoded = true)
+        case 6 => // gray+alpha PNG: the non-RGB sample layout
+          val (pix, mean, peak) = grayTruth(w, h)
+          MediaDoc(f"media://img/$i%05d-ga.png", pngPixelBytes(w, h, 4), "png",
+            w, h, 0, 0, pix, mean, peak, exp_decoded = true)
+        case 7 => // MP4: header-only (dims real, duration-ms in frames)
+          val durMs = 1000L + i * 33
+          MediaDoc(f"media://vid/$i%05d.mp4", mp4Bytes(w, h, durMs), "mp4",
+            w, h, 0, 0, durMs, 0L, 0, exp_decoded = false)
+        case _ => // RGBA PNG: alpha ignored by the luma stats
+          val (pix, mean, peak) = rasterTruth(w, h)
+          MediaDoc(f"media://img/$i%05d-ra.png", pngPixelBytes(w, h, 6), "png",
             w, h, 0, 0, pix, mean, peak, exp_decoded = true)
       }
     }.toDF()

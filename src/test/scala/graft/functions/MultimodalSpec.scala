@@ -260,6 +260,147 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pngPixels: REAL IDAT decode, all five filters, four color types, ImageIO cross-check") {
+    import graft.sources.MediaSynth
+    // heights ≥ 5 so the y%5 filter rotation covers None/Sub/Up/Average/
+    // Paeth; widths chosen to hit bpp-boundary edge cases (x < bpp left
+    // neighbors) and a multi-KB raster that spans both IDAT chunks
+    for {
+      (w, h) <- Seq((1, 6), (2, 5), (16, 9), (33, 17), (64, 64), (127, 40))
+      ct <- Seq(0, 2, 4, 6)
+    } {
+      val bytes = MediaSynth.pngPixelBytes(w, h, ct)
+      val (expPix, expMean, expPeak) =
+        if (ct == 0 || ct == 4) MediaSynth.grayTruth(w, h)
+        else MediaSynth.rasterTruth(w, h)
+      val got = Multimodal.pngPixels(bytes)
+      assert(got === Some(Multimodal.RasterStats("png", w, h, expPix, expMean, expPeak)),
+        s"png $w x $h ct=$ct")
+      // independent decoder: the JDK's PNG reader — recompute the same
+      // integer luma stats from ITS pixels and require exact equality.
+      // Gray PNGs land in a TYPE_BYTE_GRAY image whose getRGB applies a
+      // linear→sRGB gamma conversion, so for ct 0/4 read the RAW raster
+      // samples (the stored gray bytes) instead
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"JDK could not read the PNG fixture ct=$ct — fixture invalid?")
+      var sum = 0L; var peak = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val l =
+          if (ct == 0 || ct == 4) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+              722 * (rgb & 0xff)) / 10000
+          }
+        sum += l; if (l > peak) peak = l
+      }
+      val pix = w.toLong * h
+      assert((pix, (sum * 1000 + pix / 2) / pix, peak) === ((expPix, expMean, expPeak)),
+        s"ImageIO disagrees on png $w x $h ct=$ct")
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "png" && f.decoded && f.width === w && f.height === h &&
+        f.frames === expPix && f.mean_x1000 === expMean && f.peak === expPeak)
+    }
+    // unsupported variants stay header-only (decoded=false, dims real):
+    // the legacy IDAT-less fixture, and a 16-bit-depth header
+    val hdrOnly = Multimodal.decodeStub("u", MediaSynth.pngBytes(9, 9))
+    assert(hdrOnly.kind === "png" && !hdrOnly.decoded && hdrOnly.width === 9)
+    val deep = MediaSynth.pngPixelBytes(4, 6, 2)
+    deep(24) = 16 // bit depth field inside IHDR (CRC now wrong, also fine)
+    assert(Multimodal.pngPixels(deep).isEmpty)
+    // zip-bomb guard: a header promising 2^21 x 2^21 pixels is refused
+    // before any inflate work
+    val bomb = MediaSynth.pngPixelBytes(4, 6, 2)
+    bomb(16) = 0; bomb(17) = 0x20; bomb(18) = 0; bomb(19) = 0
+    bomb(20) = 0; bomb(21) = 0x20; bomb(22) = 0; bomb(23) = 0
+    assert(Multimodal.pngPixels(bomb).isEmpty)
+  }
+
+  test("gifPixels: REAL LZW decode incl. code-width growth and dict reset, ImageIO cross-check") {
+    import graft.sources.MediaSynth
+    // 300x200 = 60000 pixels forces the dictionary past every 9→12-bit
+    // width transition and through at least one full-dict clear/reset;
+    // the small cases pin the early-stream and KwKwK behavior
+    for ((w, h) <- Seq((1, 1), (3, 2), (16, 9), (40, 25), (300, 200))) {
+      val bytes = MediaSynth.gifPixelBytes(w, h)
+      val (expPix, expMean, expPeak) = MediaSynth.gifTruth(w, h)
+      val got = Multimodal.gifPixels(bytes)
+      assert(got === Some(Multimodal.RasterStats("gif", w, h, expPix, expMean, expPeak)),
+        s"gif $w x $h")
+      // independent decoder: the JDK's GIF reader decodes the same LZW
+      // stream — recompute the luma stats from ITS pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "JDK could not read the GIF fixture — fixture invalid?")
+      var sum = 0L; var peak = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val l = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000
+        sum += l; if (l > peak) peak = l
+      }
+      val pix = w.toLong * h
+      assert((pix, (sum * 1000 + pix / 2) / pix, peak) === ((expPix, expMean, expPeak)),
+        s"ImageIO disagrees on gif $w x $h")
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "gif" && f.decoded && f.frames === expPix &&
+        f.mean_x1000 === expMean && f.peak === expPeak)
+    }
+    // the legacy palette-less fixture stays header-only
+    val hdrOnly = Multimodal.decodeStub("u", MediaSynth.gifBytes(9, 9))
+    assert(hdrOnly.kind === "gif" && !hdrOnly.decoded && hdrOnly.width === 9)
+  }
+
+  test("mp4Header: real dims + duration from tkhd/mvhd box walk") {
+    import graft.sources.MediaSynth
+    for ((w, h, durMs) <- Seq((640, 360, 1000L), (1920, 1080, 123456L), (16, 9, 33L))) {
+      val bytes = MediaSynth.mp4Bytes(w, h, durMs)
+      assert(Multimodal.mp4Header(bytes) === Some((w, h, durMs)), s"mp4 $w x $h")
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "mp4" && f.width === w && f.height === h &&
+        f.frames === durMs && !f.decoded,
+        "mp4 is a header-only kind: dims + duration real, decoded must stay false")
+    }
+    // non-MP4 bytes: no ftyp at offset 4
+    assert(Multimodal.mp4Header("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.mp4Header(Array.emptyByteArray).isEmpty)
+  }
+
+  test("pngPixels/gifPixels/mp4Header: truncated and garbage bytes never throw") {
+    import graft.sources.MediaSynth
+    val blobs = Seq(MediaSynth.pngPixelBytes(16, 9, 2),
+      MediaSynth.pngPixelBytes(7, 6, 0),
+      MediaSynth.gifPixelBytes(16, 9),
+      MediaSynth.mp4Bytes(640, 360, 999L))
+    blobs.foreach { b =>
+      (0 to b.length).foreach { k =>
+        val cut = java.util.Arrays.copyOf(b, k)
+        Multimodal.pngPixels(cut) // no throw
+        Multimodal.gifPixels(cut)
+        Multimodal.mp4Header(cut)
+        val f = Multimodal.decodeStub("u", cut)
+        // cuts in the last ~24 bytes may only remove pure trailer data
+        // (IEND, zlib adler32, GIF terminator) and legitimately still
+        // decode; anything shorter is inside the pixel stream and MUST
+        // refuse the content decode
+        if (k < b.length - 24) assert(!f.decoded, s"truncated at $k claimed decoded")
+      }
+    }
+    // bit-flip fuzz over the compressed payloads: damage must yield
+    // None/fallback, never a throw
+    val rnd = new scala.util.Random(31)
+    (0 until 300).foreach { _ =>
+      val src = blobs(rnd.nextInt(blobs.length))
+      val b = src.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      Multimodal.pngPixels(b)
+      Multimodal.gifPixels(b)
+      Multimodal.mp4Header(b)
+      Multimodal.decodeStub("u", b)
+    }
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)
