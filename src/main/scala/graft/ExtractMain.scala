@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{CompactStage, DedupStage, ExtractJob, LocalManifestCommitter, SpanCleanStage}
+import graft.pipeline.{CompactStage, DedupStage, ExtractJob, IncrementalExtract, LocalManifestCommitter, SpanCleanStage}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -10,7 +10,20 @@ import graft.sources.PagesSynth
   *   spark-submit --class graft.ExtractMain <jar> \
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
-  *     [--dedup 0.8] [--compact 128] [--span-clean 10]
+  *     [--dedup 0.8] [--compact 128] [--span-clean 10] \
+  *     [--incremental /path/prev_out] [--curate 1]
+  *
+  * `--curate 1` runs the full production chain in one command: extract →
+  * span-clean → dedup → compact with stage defaults (10 / 0.8 / 128);
+  * explicit per-stage flags override their parameter. The combined
+  * summary lands atomically in `<out>/_curation.json`; every curation
+  * stage commits through a [[graft.pipeline.StageManifest]], so a killed
+  * chain re-invoked resumes mid-stage instead of recomputing.
+  *
+  * `--incremental P` re-crawl ingest against a previous run's output at P
+  * ([[graft.pipeline.IncrementalExtract]]): urls whose html content hash
+  * is unchanged reuse the previous extraction (no scanner run), changed +
+  * new urls are extracted, vanished urls are tombstoned in `<out>/delta`.
   *
   * `--span-clean N` rebuilds every document keeping only the corpus-wide
   * first occurrence of each N-token span
@@ -78,30 +91,58 @@ object ExtractMain {
       maxBatches = maxBatches)
 
     val t0 = System.nanoTime()
-    val res = ExtractJob.run(spark, pages, out, cfg)
+    val (res, deltaJson) = opts.get("--incremental") match {
+      case Some(prevOut) =>
+        val inc = IncrementalExtract.run(spark, pages, out, prevOut, cfg)
+        (inc.job,
+          s""","delta":{"unchanged":${inc.delta.unchanged},"changed":${inc.delta.changed},""" +
+            s""""new":${inc.delta.newDocs},"gone":${inc.delta.gone}}""")
+      case None => (ExtractJob.run(spark, pages, out, cfg), "")
+    }
     val wallS = (System.nanoTime() - t0) / 1e9
 
     val mf = new LocalManifestCommitter(out).rows()
     val docs = mf.map(_.docs).sum
     val bytes = mf.map(_.bytes).sum
-    val compactJson = opts.get("--compact").map { mb =>
-      val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
-      s""","compact":{"target_mb":$mb,"parts":${c.parts},"parts_rewritten":${c.partsRewritten},""" +
-        s""""files_before":${c.filesBefore},"files_after":${c.filesAfter}}"""
-    }.getOrElse("")
-    val spanJson = opts.get("--span-clean").map { n =>
-      val sc = SpanCleanStage.run(spark, out, n.toInt)
-      s""","span_clean":{"span_tokens":$n,"docs":${sc.docs},"spans":${sc.spans},""" +
-        s""""spans_dropped":${sc.spansDropped},"docs_touched":${sc.docsTouched}}"""
-    }.getOrElse("")
-    val dedupJson = opts.get("--dedup").map { t =>
-      val d = DedupStage.run(spark, out, t.toDouble)
-      s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
-        s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
-    }.getOrElse("")
-    println(f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
-      f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
-      f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f$compactJson$spanJson$dedupJson}""")
+    // --curate: the one-command production chain extract → span-clean →
+    // dedup → compact with stage defaults; explicit per-stage flags
+    // override their parameter. Each curation stage is independently
+    // resumable (StageManifest), so a killed --curate run re-invoked
+    // resumes mid-chain.
+    val curate = opts.contains("--curate")
+    val spanJson = opts.get("--span-clean")
+      .orElse(if (curate) Some("10") else None).map { n =>
+        val sc = SpanCleanStage.run(spark, out, n.toInt)
+        s""","span_clean":{"span_tokens":$n,"docs":${sc.docs},"spans":${sc.spans},""" +
+          s""""spans_dropped":${sc.spansDropped},"docs_touched":${sc.docsTouched}}"""
+      }.getOrElse("")
+    val dedupJson = opts.get("--dedup")
+      .orElse(if (curate) Some("0.8") else None).map { t =>
+        val d = DedupStage.run(spark, out, t.toDouble)
+        s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
+          s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
+      }.getOrElse("")
+    val compactJson = opts.get("--compact")
+      .orElse(if (curate) Some("128") else None).map { mb =>
+        val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
+        s""","compact":{"target_mb":$mb,"parts":${c.parts},"parts_rewritten":${c.partsRewritten},""" +
+          s""""files_before":${c.filesBefore},"files_after":${c.filesAfter}}"""
+      }.getOrElse("")
+    val summary =
+      f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
+        f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
+        f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
+        s"$deltaJson$spanJson$dedupJson$compactJson}"
+    // one summary manifest for the whole run (atomic tmp+rename, same
+    // contract as the partition manifest) — what a scheduler reads to
+    // decide the chain completed
+    val tmp = java.nio.file.Paths.get(out, "_curation.json.tmp")
+    java.nio.file.Files.write(tmp,
+      summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out, "_curation.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(summary)
     spark.stop()
   }
 }

@@ -19,11 +19,22 @@ import org.apache.spark.sql.functions._
   *     clustered_docs, dups_dropped, kept — the dedup analog of the
   *     extraction manifest rows, keyed by the same part_id.
   *
+  * RESUMABLE (round-4 verdict item 2): work is committed in UNITS through
+  * a [[StageManifest]] stamped with a fingerprint of the extraction
+  * manifest + threshold — the cluster table is one unit, the kept view
+  * commits per batch of url-hash partitions, the accounting summary is
+  * the final unit. A run killed between units resumes exactly where it
+  * stopped (committed units are never recomputed — at 100 TB the closure
+  * is hours of work); a FULLY committed stage answers from the manifest
+  * alone. A fingerprint mismatch (recommitted extraction partitions, new
+  * threshold) wipes the stale artifacts and recomputes, so resume can
+  * never mix generations.
+  *
   * Scale shape: one 64-bit url-hash id projection, the dedupClusters
   * closure (bucketed candidates only, O(log² n) component rounds), one
-  * left join back on doc_id, one anti-join for the kept view, one
-  * low-cardinality accounting aggregate. Nothing here is all-pairs and no
-  * collect exceeds the O(1) summary read-back.
+  * left join back on doc_id, per-batch partition-pruned anti-joins for
+  * the kept view, one low-cardinality accounting aggregate. Nothing here
+  * is all-pairs and no collect exceeds the O(1) summary read-back.
   */
 object DedupStage {
 
@@ -33,37 +44,87 @@ object DedupStage {
   def clustersPath(outDir: String) = s"$outDir/dedup/clusters"
   def keptPath(outDir: String) = s"$outDir/dedup/kept"
   def accountingPath(outDir: String) = s"$outDir/dedup/accounting"
+  def manifestDir(outDir: String) =
+    java.nio.file.Paths.get(outDir, "dedup", "_stage_manifest")
 
   def run(spark: SparkSession, outDir: String,
-          threshold: Double = 0.8): Summary = {
+          threshold: Double = 0.8): Summary =
+    runResumable(spark, outDir, threshold)
+      .getOrElse(sys.error("unreachable: unbounded run returned partial"))
+
+  /** `maxUnits` bounds the units of work THIS invocation performs (the
+    * kill-simulation knob, mirroring [[ExtractJob.Config.maxBatches]]);
+    * None = stopped early with more work pending, Some = stage complete.
+    */
+  def runResumable(spark: SparkSession, outDir: String,
+                   threshold: Double = 0.8, keptBatchSize: Int = 8,
+                   maxUnits: Int = Int.MaxValue): Option[Summary] = {
+    val fp = StageManifest.fingerprint(outDir, s"dedup:t=$threshold")
+    val sm = new StageManifest(manifestDir(outDir))
+    // artifacts from a different extraction generation or threshold are
+    // unusable — wipe them rather than resume across generations
+    if (sm.committed("clusters").exists(_ != fp)) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(clustersPath(outDir), keptPath(outDir), accountingPath(outDir),
+        manifestDir(outDir).toString).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
+    }
+    // fully committed: answer from the manifest, zero recompute
+    if (sm.isCommitted("accounting", fp)) {
+      val i = sm.info("accounting")
+      return Some(Summary(i("docs"), i("clustered_docs"), i("clusters"),
+        i("dups_dropped"), i("kept")))
+    }
+    var units = 0
+
+    if (!sm.isCommitted("clusters", fp)) {
+      if (units >= maxUnits) return None
+      val extracted = spark.read.parquet(ExtractJob.extractedPath(outDir))
+      // stable numeric id for the closure: 64-bit url hash (the keeper rule
+      // "min doc_id" then means "min url hash" — arbitrary but deterministic;
+      // collision odds n²/2⁶⁵ are negligible below ~10⁸ docs per run)
+      val docs = extracted
+        .select(col("url"), col("part_id"), col("text"),
+          xxhash64(col("url")).as("doc_id"))
+        .localCheckpoint() // read twice: edge building + the join back
+      val clusters = graft.queries.ClusterOps.dedupClusters(
+        docs.select(col("doc_id"), col("text")), threshold)
+      docs.select(col("url"), col("part_id"), col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("url"), col("part_id"), col("doc_id"), col("cluster_id"),
+          col("cluster_size"),
+          coalesce(col("is_keeper"), lit(true)).as("is_keeper"))
+        .write.mode("overwrite").parquet(clustersPath(outDir))
+      sm.commit("clusters", fp)
+      units += 1
+    }
+
     val extracted = spark.read.parquet(ExtractJob.extractedPath(outDir))
-    // stable numeric id for the closure: 64-bit url hash (the keeper rule
-    // "min doc_id" then means "min url hash" — arbitrary but deterministic;
-    // collision odds n²/2⁶⁵ are negligible below ~10⁸ docs per run)
-    val docs = extracted
-      .select(col("url"), col("part_id"), col("text"),
-        xxhash64(col("url")).as("doc_id"))
-      .localCheckpoint() // read twice: edge building + the join back
-    val clusters = graft.queries.ClusterOps.dedupClusters(
-      docs.select(col("doc_id"), col("text")), threshold)
-    docs.select(col("url"), col("part_id"), col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .select(col("url"), col("part_id"), col("doc_id"), col("cluster_id"),
-        col("cluster_size"),
-        coalesce(col("is_keeper"), lit(true)).as("is_keeper"))
-      .write.mode("overwrite").parquet(clustersPath(outDir))
     val back = spark.read.parquet(clustersPath(outDir))
-    // keepers-only corpus: drop every non-keeper from the extracted table.
-    // STATIC overwrite pinned per-write: this is a full rewrite of the
-    // view, so stale part_id dirs from a previous run with more partitions
-    // must be truncated even if the session was left in dynamic mode by an
-    // earlier stage (round-4 review finding)
-    extracted
-      .join(back.filter(!col("is_keeper")).select(col("url")),
-        Seq("url"), "left_anti")
-      .write.mode("overwrite").partitionBy("part_id")
-      .option("partitionOverwriteMode", "static")
-      .parquet(keptPath(outDir))
+    // keepers-only corpus, committed per batch of url-hash partitions:
+    // each write prunes to the batch's partition dirs on BOTH sides and
+    // replaces only those dirs (per-write dynamic overwrite), so committed
+    // batches survive a kill untouched. Batches are formed from the
+    // extraction manifest's part_ids, so unit names are stable across runs.
+    val partIds = new LocalManifestCommitter(outDir).rows().map(_.part_id).sorted
+    partIds.grouped(keptBatchSize).zipWithIndex.foreach { case (batch, bi) =>
+      val unit = s"kept-b$bi"
+      if (!sm.isCommitted(unit, fp)) {
+        if (units >= maxUnits) return None
+        extracted.filter(col("part_id").isin(batch: _*))
+          .join(back.filter(!col("is_keeper") && col("part_id").isin(batch: _*))
+            .select(col("url")), Seq("url"), "left_anti")
+          .write.mode("overwrite").partitionBy("part_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(keptPath(outDir))
+        sm.commit(unit, fp)
+        units += 1
+      }
+    }
+
+    if (units >= maxUnits) return None // accounting unit still pending
     // per-partition accounting — the dedup counts the manifest consumer
     // joins on part_id
     back.groupBy(col("part_id"))
@@ -77,7 +138,12 @@ object DedupStage {
         sum(col("dups_dropped")), sum(col("kept"))).head()
     val nClusters = back.filter(col("cluster_id").isNotNull)
       .select(col("cluster_id")).distinct().count()
-    Summary(acct.getLong(0), acct.getLong(1), nClusters,
+    val summary = Summary(acct.getLong(0), acct.getLong(1), nClusters,
       acct.getLong(2), acct.getLong(3))
+    sm.commit("accounting", fp, Map(
+      "docs" -> summary.docs, "clustered_docs" -> summary.clusteredDocs,
+      "clusters" -> summary.clusters, "dups_dropped" -> summary.dupsDropped,
+      "kept" -> summary.kept))
+    Some(summary)
   }
 }

@@ -74,8 +74,16 @@ object ExtractJob {
 
   def extractedPath(outDir: String) = s"$outDir/extracted"
 
+  /** `reuse`: pre-extracted rows (the full `extracted` schema incl.
+    * part_id) merged into each batch's write WITHOUT re-running the
+    * scanner — the incremental re-crawl path feeds unchanged documents
+    * through here ([[IncrementalExtract]]). Rows are filtered to the
+    * batch's part_ids so each dynamic-partition overwrite stays complete:
+    * a partition dir must be written with fresh ∪ reused in ONE commit,
+    * or the second write would clobber the first.
+    */
   def run(spark: SparkSession, pages: DataFrame, outDir: String,
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config(), reuse: Option[DataFrame] = None): Result = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // multi-KB binary html rows: cap reader batches at ~1MB instead of the
     // default 4096 rows (~13MB humongous G1 allocations per batch per task)
@@ -117,7 +125,7 @@ object ExtractJob {
             if (p.html.length > cfg.maxDocBytes) {
               // pathological-page guard: quarantine marker, dropped below
               oversized.add(1L)
-              ExtractedRow(p.url, "", "", Array.empty, -1, p.part_id)
+              ExtractedRow(p.url, "", "", Array.empty, -1, 0L, p.part_id)
             } else ExtractPipeline.extractOne(p, cfg.extract, cfg.transcodeNonUtf8)
           })
 
@@ -125,8 +133,14 @@ object ExtractJob {
         // flow into the write — no extra pass; compared below against the
         // committed files as a write audit
         val obs = org.apache.spark.sql.Observation(s"extract-batch$batchesRun")
-        extracted.toDF()
+        val freshDF = extracted.toDF()
           .filter(col("node_count") >= 0) // drop quarantine markers
+        val toWrite = reuse match {
+          case Some(r) => freshDF.unionByName(
+            r.filter(col("part_id").isin(batch: _*)))
+          case None => freshDF
+        }
+        toWrite
           .observe(obs, count(lit(1)).as("docs"),
             coalesce(sum(length(col("text"))), lit(0L)).as("text_bytes"))
           .write.mode("overwrite").partitionBy("part_id")

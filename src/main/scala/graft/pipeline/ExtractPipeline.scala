@@ -7,13 +7,20 @@ import graft.core.{CharsetSniffer, Extractor}
 
 final case class SpanRow(start: Int, end: Int)
 
-/** Output schema — FIXTURES.md §2 `extracted`. */
+/** Output schema — FIXTURES.md §2 `extracted`. `html_hash` is the 64-bit
+  * xxhash of the RAW input html bytes (seed 42, identical to Spark's
+  * `xxhash64` column function — property-pinned in PipelineSpec): the
+  * change-detection key that lets a later incremental re-crawl decide
+  * unchanged/changed per url WITHOUT re-extracting
+  * ([[IncrementalExtract]]).
+  */
 final case class ExtractedRow(
     url: String,
     text: String,
     text_sha: String,
     spans: Array[SpanRow],
     node_count: Int,
+    html_hash: Long,
     part_id: Int)
 
 /** Narrow projection carried into the typed map — never deserializes the
@@ -59,6 +66,17 @@ object ExtractPipeline {
     new String(out)
   }
 
+  /** 64-bit content hash of raw html bytes — MUST equal Spark's
+    * `xxhash64(col)` (same algorithm, seed 42) so a committed run's
+    * `html_hash` column is directly comparable against a later crawl's
+    * column-computed hashes without deserializing either side's blobs.
+    * Hashed on the RAW bytes even under the transcode opt-in: change
+    * detection keys on what the crawler fetched.
+    */
+  def htmlHash(raw: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      raw, org.apache.spark.sql.types.BinaryType, 42L)
+
   def extractOne(p: PageSlice): ExtractedRow =
     extractOne(p, Extractor.DefaultConfig, transcodeNonUtf8 = false)
 
@@ -74,7 +92,8 @@ object ExtractPipeline {
     val bytes = if (transcodeNonUtf8) CharsetSniffer.toUtf8(raw) else raw
     val r = Extractor.extractBytes(bytes, extractCfg)
     ExtractedRow(p.url, r.text, sha256Hex(r.text),
-      r.spans.map(s => SpanRow(s.start, s.end)), r.nodeCount, p.part_id)
+      r.spans.map(s => SpanRow(s.start, s.end)), r.nodeCount,
+      htmlHash(raw), p.part_id)
   }
 
   /** Full transform: prune columns → assign part_id → spread rows evenly by

@@ -38,6 +38,70 @@ trait PartitionCommitter {
   def rows(): Seq[ManifestRow]
 }
 
+/** Committed-ARTIFACT manifest for the curation stages — the cross-stage
+  * analog of [[LocalManifestCommitter]]'s per-partition records (round-4
+  * verdict item 2). Each unit of curation work (the dedup cluster table, a
+  * batch of kept-view partitions, the span-cleaned table, …) commits one
+  * JSON record via temp-file + atomic rename, stamped with a FINGERPRINT
+  * of the inputs it was computed from (the extraction manifest's out_shas
+  * + stage parameters). A re-run skips any unit whose committed
+  * fingerprint matches — so a curation pass killed mid-run resumes at the
+  * unit boundary instead of recomputing hours of closure work, and a
+  * changed input (new extraction, different threshold) invalidates stale
+  * artifacts automatically instead of silently reusing them. On Iceberg
+  * the same records ride the snapshot summary (docs/ICEBERG.md).
+  */
+final class StageManifest(dir: java.nio.file.Path) {
+
+  private def fileFor(unit: String) = dir.resolve(s"$unit.json")
+
+  /** The fingerprint this unit was committed under, if any. */
+  def committed(unit: String): Option[String] = {
+    val f = fileFor(unit)
+    if (!Files.isRegularFile(f)) return None
+    val s = new String(Files.readAllBytes(f), UTF_8)
+    Some(s.split("\"fingerprint\":\"")(1).split("\"")(0))
+  }
+
+  def isCommitted(unit: String, fingerprint: String): Boolean =
+    committed(unit).contains(fingerprint)
+
+  /** Numeric summary values stored with the unit's commit record. */
+  def info(unit: String): Map[String, Long] = {
+    val f = fileFor(unit)
+    if (!Files.isRegularFile(f)) return Map.empty
+    val s = new String(Files.readAllBytes(f), UTF_8)
+    "\"([a-z_]+)\":(-?[0-9]+)".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  def commit(unit: String, fingerprint: String,
+             info: Map[String, Long] = Map.empty): Unit = {
+    Files.createDirectories(dir)
+    val extras = info.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":$v""" }.mkString
+    val json = s"""{"unit":"$unit","fingerprint":"$fingerprint"$extras}"""
+    val tmp = dir.resolve(s"$unit.json.tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, fileFor(unit),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object StageManifest {
+  /** Fingerprint of a curation stage's inputs: the extraction manifest's
+    * per-partition digests (any recommitted partition changes it) plus the
+    * stage's parameters. sha-256 over a canonical string.
+    */
+  def fingerprint(outDir: String, params: String): String = {
+    val rows = new LocalManifestCommitter(outDir).rows()
+    val canon = rows.sortBy(_.part_id)
+      .map(r => s"${r.part_id}:${r.out_sha}:${r.docs}").mkString("|") +
+      "#" + params
+    ExtractPipeline.sha256Hex(canon)
+  }
+}
+
 final class LocalManifestCommitter(outDir: String) extends PartitionCommitter {
   private val dir: Path = Paths.get(outDir, "_manifest")
 

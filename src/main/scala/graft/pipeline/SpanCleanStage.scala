@@ -29,9 +29,42 @@ object SpanCleanStage {
                            docsTouched: Long)
 
   def cleanedPath(outDir: String) = s"$outDir/dedup/span_clean"
+  def manifestDir(outDir: String) =
+    java.nio.file.Paths.get(outDir, "dedup", "_span_clean_manifest")
+
+  /** Resumable wrapper ([[StageManifest]] contract, round-4 verdict item
+    * 2): the span window is one global computation, so the stage is a
+    * single commit unit — a committed run with a matching input
+    * fingerprint answers from the manifest without recomputing; a
+    * fingerprint change (recommitted extraction, different span length)
+    * recomputes and overwrites. `maxUnits < 1` simulates a kill before
+    * the unit completes.
+    */
+  def runResumable(spark: SparkSession, outDir: String, spanTokens: Int = 10,
+                   maxUnits: Int = Int.MaxValue): Option[Summary] = {
+    val fp = StageManifest.fingerprint(outDir, s"span_clean:n=$spanTokens")
+    val sm = new StageManifest(manifestDir(outDir))
+    if (sm.isCommitted("span_clean", fp)) {
+      val i = sm.info("span_clean")
+      return Some(Summary(i("docs"), i("spans"), i("spans_dropped"),
+        i("docs_touched")))
+    }
+    if (maxUnits < 1) return None
+    val summary = compute(spark, outDir, spanTokens)
+    sm.commit("span_clean", fp, Map(
+      "docs" -> summary.docs, "spans" -> summary.spans,
+      "spans_dropped" -> summary.spansDropped,
+      "docs_touched" -> summary.docsTouched))
+    Some(summary)
+  }
 
   def run(spark: SparkSession, outDir: String,
-          spanTokens: Int = 10): Summary = {
+          spanTokens: Int = 10): Summary =
+    runResumable(spark, outDir, spanTokens)
+      .getOrElse(sys.error("unreachable: unbounded run returned partial"))
+
+  private def compute(spark: SparkSession, outDir: String,
+                      spanTokens: Int): Summary = {
     val extracted = spark.read.parquet(ExtractJob.extractedPath(outDir))
     graft.queries.TextOps
       .spanDedup(extracted.select(col("url"), col("text")), "url", spanTokens)

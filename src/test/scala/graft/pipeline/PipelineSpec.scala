@@ -102,6 +102,82 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mf.map(_.bytes).sum === totalHtml)
   }
 
+  test("incremental re-crawl: unchanged reused without scanning, changed/new extracted, gone tombstoned") {
+    val v1 = PagesSynth.pagesDF(spark, N)
+    val out1 = Files.createTempDirectory("graft-inc1").toString
+    val out2 = Files.createTempDirectory("graft-inc2").toString
+    val out3 = Files.createTempDirectory("graft-inc3").toString
+    val cfg = ExtractJob.Config(numParts = 8, batchSize = 4, repartitionSlices = 8,
+      inputSnapshot = "crawl-v1")
+    ExtractJob.run(spark, v1, out1, cfg)
+
+    // crawl v2, planted deterministically off the url hash: bucket 0 of 10
+    // vanishes (gone), bucket 1 gets appended content (changed), the rest
+    // are byte-identical (unchanged); 40 brand-new urls join
+    val bucket = pmod(xxhash64(col("url")), lit(10L))
+    val carried = v1.filter(bucket =!= 0)
+      .withColumn("html",
+        when(bucket === 1,
+          concat(col("html"), lit("<p>recrawl updated this page body</p>".getBytes(UTF_8))))
+          .otherwise(col("html")))
+    val newPages = PagesSynth.pagesDF(spark, N + 40L)
+      .join(v1.select("url"), Seq("url"), "left_anti")
+    val v2 = carried.unionByName(newPages)
+
+    val expGone = v1.filter(bucket === 0).count()
+    val expChanged = v1.filter(bucket === 1).count()
+    val expUnchanged = N - expGone - expChanged
+    val inc = IncrementalExtract.run(spark, v2, out2, out1, cfg.copy(inputSnapshot = "crawl-v2"))
+    assert(inc.delta === IncrementalExtract.DeltaSummary(
+      expUnchanged, expChanged, 40L, expGone))
+
+    // the delta table is the tombstone record: every v1-gone url present
+    // with status gone, and per-url statuses match the planted buckets
+    val delta = spark.read.parquet(IncrementalExtract.deltaPath(out2))
+    val mismatched = delta
+      .join(v1.select(col("url"), bucket.as("b")), Seq("url"), "left")
+      .withColumn("expected",
+        when(col("b").isNull, "new")
+          .when(col("b") === 0, "gone")
+          .when(col("b") === 1, "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= col("expected")).count()
+    assert(mismatched === 0L)
+
+    // scanner-skip evidence: the manifest's bytes metric counts only rows
+    // that entered the parse map — it must equal the html bytes of
+    // changed+new pages alone, not the whole corpus (unchanged rows flow
+    // through the reuse seam, bypassing the scanner entirely)
+    val freshBytes = v2.join(
+        delta.filter(col("status").isin("changed", "new")).select("url"),
+        Seq("url"), "left_semi")
+      .agg(sum(length(col("html")))).head().getLong(0)
+    val mfBytes = new LocalManifestCommitter(out2).rows().map(_.bytes).sum
+    assert(mfBytes === freshBytes,
+      s"scanner saw $mfBytes html bytes, expected the $freshBytes of changed+new only")
+    assert(freshBytes < mfBytesOf(out1) / 2, "delta should be a small fraction of the corpus")
+
+    // correctness: the incremental output equals a from-scratch extraction
+    // of crawl v2, row for row (text, sha, spans grain, content hash)
+    ExtractJob.run(spark, v2, out3, cfg.copy(inputSnapshot = "crawl-v2"))
+    def slurp(dir: String) = spark.read.parquet(ExtractJob.extractedPath(dir))
+      .select(col("url"), col("text"), col("text_sha"), size(col("spans")),
+        col("node_count"), col("html_hash"), col("part_id"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(slurp(out2) === slurp(out3))
+
+    // html_hash pin: the stored per-row hash must equal Spark's own
+    // xxhash64 column function over the same bytes (the comparability
+    // contract the classification join depends on)
+    val hashMismatch = spark.read.parquet(ExtractJob.extractedPath(out3))
+      .join(v2.select(col("url"), xxhash64(col("html")).as("col_hash")), Seq("url"))
+      .filter(col("html_hash") =!= col("col_hash")).count()
+    assert(hashMismatch === 0L)
+  }
+
+  private def mfBytesOf(dir: String): Long =
+    new LocalManifestCommitter(dir).rows().map(_.bytes).sum
+
   test("plan hygiene: parse input scan reads only url+html; part_id filter prunes readback") {
     val pages = PagesSynth.pagesDF(spark, 10L)
     // the typed map must sit over a 2-column projection, never text/lang
@@ -157,7 +233,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("SparkEntry.entry returns extracted rows with the declared output schema") {
     val df = graft.SparkEntry.entry(spark)
-    assert(df.columns.toSeq === Seq("url", "text", "text_sha", "spans", "node_count", "part_id"))
+    assert(df.columns.toSeq === Seq("url", "text", "text_sha", "spans",
+      "node_count", "html_hash", "part_id"))
     assert(df.count() === 300)
     assert(df.filter(length(col("text")) > 0).count() === 300)
   }
@@ -261,5 +338,74 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acct.getLong(0) === nDocs)
     assert(acct.getLong(1) === summary.dupsDropped)
     assert(acct.getLong(2) === summary.kept)
+  }
+
+  test("curation kill-resume: committed units survive, resumed outputs identical, no-op re-run") {
+    import scala.jdk.CollectionConverters._
+    def mtimes(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) return Map.empty
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val outA = Files.createTempDirectory("curate-killed").toString
+    val outB = Files.createTempDirectory("curate-clean").toString
+    val base = PagesSynth.pagesDF(spark, 60L)
+    val pages = base.unionByName(
+      base.withColumn("url", concat(col("url"), lit("#dup"))))
+    val cfg = ExtractJob.Config(numParts = 8, batchSize = 8)
+    ExtractJob.run(spark, pages, outA, cfg)
+    ExtractJob.run(spark, pages, outB, cfg)
+
+    // clean uninterrupted chain on B
+    val spanB = SpanCleanStage.run(spark, outB)
+    val dedupB = DedupStage.runResumable(spark, outB, 0.8, keptBatchSize = 3).get
+
+    // A: kill the dedup stage after 2 units (clusters + first kept batch)…
+    val killed = DedupStage.runResumable(spark, outA, 0.8, keptBatchSize = 3,
+      maxUnits = 2)
+    assert(killed.isEmpty, "maxUnits=2 must stop before the stage completes")
+    val committedBefore = mtimes(DedupStage.clustersPath(outA)) ++
+      mtimes(s"${DedupStage.keptPath(outA)}/part_id=0")
+    assert(committedBefore.nonEmpty, "the killed run must have committed units")
+    // …kill the span stage before its single unit…
+    assert(SpanCleanStage.runResumable(spark, outA, maxUnits = 0).isEmpty)
+    // …then resume the whole chain: both stages complete
+    Thread.sleep(1100) // parquet mtime granularity can be 1 s
+    val dedupA = DedupStage.runResumable(spark, outA, 0.8, keptBatchSize = 3).get
+    val spanA = SpanCleanStage.runResumable(spark, outA).get
+    assert(dedupA === dedupB)
+    assert(spanA === spanB)
+    // committed units were NOT recomputed: their files are byte-stable
+    val committedAfter = mtimes(DedupStage.clustersPath(outA)) ++
+      mtimes(s"${DedupStage.keptPath(outA)}/part_id=0")
+    assert(committedAfter === committedBefore,
+      "resume rewrote artifacts the killed run had already committed")
+    // resumed outputs identical to the uninterrupted chain, row for row
+    def keptRows(out: String) = spark.read.parquet(DedupStage.keptPath(out))
+      .select("url", "text_sha", "part_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(keptRows(outA) === keptRows(outB))
+    def cleanRows(out: String) = spark.read.parquet(SpanCleanStage.cleanedPath(out))
+      .select("url", "n_spans", "n_dropped", "clean_text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(cleanRows(outA) === cleanRows(outB))
+    // a third invocation is a pure manifest read: nothing rewritten at all
+    val allBefore = mtimes(s"$outA/dedup")
+    assert(DedupStage.runResumable(spark, outA, 0.8, keptBatchSize = 3).get === dedupA)
+    assert(SpanCleanStage.runResumable(spark, outA).get === spanA)
+    assert(mtimes(s"$outA/dedup") === allBefore, "no-op re-run touched artifacts")
+    // a changed stage parameter invalidates the fingerprint: stale
+    // artifacts are wiped and the cluster table recomputed
+    val clustersStamp = mtimes(DedupStage.clustersPath(outA))
+    val dedupA2 = DedupStage.runResumable(spark, outA, 0.5, keptBatchSize = 3).get
+    assert(dedupA2.docs === dedupA.docs)
+    assert(mtimes(DedupStage.clustersPath(outA)) !== clustersStamp,
+      "a changed threshold must recompute the cluster table")
   }
 }
