@@ -142,8 +142,8 @@ object Bench {
     // (measured: q22 8.8 s cold vs 2.6 s warm on the same plan). min, not
     // mean — the lower envelope is the plan's cost; the tail is host noise.
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+    val (results, noisyQueries) =
+      if (skipQueries) (Seq.empty[(String, Double)], Seq.empty[String])
       else {
         val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
         def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -172,9 +172,25 @@ object Bench {
             rounds(r)(name) = time(fn)
           }
         }
-        qlist.map { case (name, _) =>
-          name -> math.min(rounds(0)(name), rounds(1)(name))
+        // tie-break sampling (round-4 verdict #4): min-of-2-interleaved
+        // still loses to a storm spanning both passes. When a query's two
+        // samples disagree >2x, one of them was almost certainly polluted —
+        // take a THIRD sample in a final pass (by then the storm has had
+        // two full loop lengths to clear) and keep the min of three. The
+        // affected queries are flagged `noisy` in the JSON so the artifact
+        // records which numbers needed the repair.
+        val disagree = qlist.filter { case (name, _) =>
+          val a = rounds(0)(name); val b = rounds(1)(name)
+          math.max(a, b) / math.min(a, b) > 2.0
         }
+        val third = scala.collection.mutable.Map.empty[String, Double]
+        disagree.zipWithIndex.foreach { case ((name, fn), i) =>
+          if (i % 10 == 0) sentinel() // the noise meter covers this window too
+          third(name) = time(fn)
+        }
+        (qlist.map { case (name, _) =>
+          name -> (Seq(rounds(0)(name), rounds(1)(name)) ++ third.get(name)).min
+        }, disagree.map(_._1))
       }
     spark.stop()
 
@@ -231,7 +247,9 @@ object Bench {
           f""""levels":$levelsJson,$pairsJson,""" +
           f""""scaling_note":"$noteTxt"}"""
       }
+    val noisyJson = noisyQueries.map(n => s""""$n"""").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"sentinel":$sentinelJson,"extract":$extract,"sf":"$sfDir"}""")
+      s""""queries":$qs,"noisy":$noisyJson,"sentinel":$sentinelJson,""" +
+      s""""extract":$extract,"sf":"$sfDir"}""")
   }
 }
