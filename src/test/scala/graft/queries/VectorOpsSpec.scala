@@ -162,4 +162,77 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mean8 = curve.map(_(8)).sum / curve.size
     assert(mean8 >= 0.7, s"nprobe=8/16 mean recall $mean8 below floor")
   }
+
+  test("planted near-dup cluster straddling a centroid boundary: nprobe=2 recovers it") {
+    // round-4 verdict #10 — the adversarial case for coarse quantizers: a
+    // tight near-duplicate cluster sitting ON the boundary between two
+    // k-means cells gets SPLIT across inverted lists, so probing only the
+    // query's own list must lose the half that landed on the other side,
+    // and probing the two nearest lists must recover all of it.
+    val s = spark
+    import s.implicits._
+    val dims = 8
+    def pt(base: Array[Double], seed: Long, noise: Double): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      base.map(_ + r.nextGaussian() * noise).toSeq
+    }
+    val a = Array(5.0, 0, 0, 0, 0, 0, 0, 0)
+    val b = Array(-5.0, 0, 0, 0, 0, 0, 0, 0)
+    val c = Array(0.0, 0, 8.0, 0, 0, 0, 0, 0)
+    val mid = Array(0.0, 0.7, 0, 0, 0, 0, 0, 0) // on the a|b bisector
+    val centers = Array(a, b, c)
+    val data =
+      (0L until 300L).map(i => (i, pt(centers((i % 3).toInt), i, 0.5))) ++
+      // 12 planted near-dups (6 per side): tiny intra-cluster noise, but
+      // x jittered across the boundary so the quantizer cannot keep them
+      // together — and small enough that the cosine top-10 MUST reach
+      // across the boundary (6 same-side points cannot fill it)
+      (400L until 412L).map { i =>
+        val x = if (i % 2 == 0) 0.04 else -0.04
+        (i, pt(Array(x) ++ mid.drop(1), i, 0.005))
+      }
+    val vecs = data.toDF("vec_id", "e").localCheckpoint()
+    // FIXED quantizer, not Lloyd's: training on this data converges to the
+    // CAPTURE attractor (the nearest centroid drifts onto the planted
+    // cluster and owns all of it — verified empirically), which is the
+    // benign case. The adversarial case this test exists for is a
+    // quantizer whose cell boundary bisects a near-dup cluster — exactly
+    // what an offline-trained production quantizer does to clusters that
+    // appear AFTER training. Centroids at the true cluster centers put
+    // the a|b bisector at x=0, splitting the ±0.04 planted points 10/10.
+    val cents = Seq((0, a.toSeq), (1, b.toSeq), (2, c.toSeq)).toDF("cid", "c")
+    val assigned = VectorOps.assign(vecs, cents).localCheckpoint()
+    // premise check: the planted cluster really is split across ≥2 lists
+    // (otherwise this test pins nothing)
+    val plantedLists = assigned.filter(col("vec_id") >= 400)
+      .select("cid").distinct().count()
+    assert(plantedLists >= 2, "planted near-dups were not split — adjust geometry")
+    def brute(qid: Long): Set[Long] = assigned.crossJoin(
+        broadcast(assigned.filter(col("vec_id") === qid).select(col("e").as("q"))))
+      .select(col("vec_id"),
+        round(lit(1000) *
+          (aggregate(zip_with(col("e"), col("q"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) /
+           (sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+             lit(0.0), (acc, x) => acc + x)) *
+            sqrt(aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x))))).cast("long").as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val queryIds = Seq(400L, 405L, 411L)
+    queryIds.foreach { qid =>
+      val truth = brute(qid)
+      def recall(np: Int): Double =
+        VectorOps.ivfSearch(assigned, cents, qid, nprobe = np, topK = 10)
+          .collect().map(_.getLong(0)).toSet.intersect(truth).size.toDouble / truth.size
+      val r1 = recall(1)
+      val r2 = recall(2)
+      info(f"planted q$qid: recall@10 nprobe1=$r1%.2f nprobe2=$r2%.2f")
+      // single-list probing must demonstrably LOSE straddled neighbors…
+      assert(r1 < 1.0, s"q$qid: nprobe=1 recall $r1 — boundary case not adversarial")
+      // …and two lists must recover the full cluster: the planted points'
+      // two nearest centroids are exactly the cells the cluster straddles
+      assert(r2 === 1.0, s"q$qid: nprobe=2 recall $r2 — straddled cluster not recovered")
+    }
+  }
 }
