@@ -74,6 +74,50 @@ object UrlCanon {
     sb.toString
   }
 
+  /** RFC 3986 §5 reference resolution for link-graph construction:
+    * resolve `ref` (an href as it appears in a page) against `base` (the
+    * page url) and canonicalize the result. Delegates the merge algorithm
+    * to `java.net.URI.resolve` — the JDK's public implementation of the
+    * same RFC — guarded to NEVER throw. None for references that yield no
+    * crawlable edge: empty/fragment-only (same document), non-http(s)
+    * schemes (mailto:, javascript:, data:), host-less results, and
+    * unparsable input.
+    */
+  def resolve(base: String, ref: String): Option[String] = {
+    if (base == null || ref == null) return None
+    val r = ref.trim
+    if (r.isEmpty || r.charAt(0) == '#') return None
+    if (r.charAt(0) == '?') {
+      // RFC 3986 §5.3: a query-only reference keeps the base PATH
+      // ("page.html?y=2"); java.net.URI still implements the older RFC
+      // 2396 merge here and drops the last segment — compose by hand and
+      // re-enter with an absolute reference (which resolve() passes
+      // through verbatim)
+      val b = base.trim
+      val cut = b.indexWhere(c => c == '?' || c == '#') match {
+        case -1 => b
+        case i  => b.substring(0, i)
+      }
+      return resolve(cut + r, cut + r)
+    }
+    try {
+      val u = new java.net.URI(base.trim).resolve(r)
+      val scheme = u.getScheme
+      if (scheme == null ||
+          !(scheme.equalsIgnoreCase("http") || scheme.equalsIgnoreCase("https")) ||
+          u.getHost == null || u.getHost.isEmpty) None
+      else {
+        // strip the fragment before canonicalizing (canonicalize would
+        // drop it anyway; doing it here keeps the URI round-trip exact)
+        val s = u.toString
+        val h = s.indexOf('#')
+        Some(canonicalize(if (h >= 0) s.substring(0, h) else s))
+      }
+    } catch {
+      case _: Exception => None // URISyntaxException and friends
+    }
+  }
+
   def canonicalize(url: String): String = {
     if (url == null) return null
     val t = url.trim

@@ -287,7 +287,110 @@ object PagesOps {
         |ORDER BY url""".stripMargin)
   }
 
+  /** q71: LINK-GRAPH extraction — the crawl-frontier/ranking input a web
+    * pipeline derives from every page: per link its entity-decoded href,
+    * visible anchor text, `rel=nofollow` bit
+    * ([[graft.core.LinkExtractor]], one scanner pass, no node array), and
+    * the RFC 3986-resolved + §6-canonicalized absolute target
+    * ([[graft.core.UrlCanon.resolve]]; null for fragment-only/non-http
+    * refs). Self-certification is three-way: `twin_ok` compares the
+    * scanner's per-url href SEQUENCE against an INDEPENDENT extraction by
+    * `regexp_extract_all` over the decoded html (exact on the synthesized
+    * corpus, whose links are all double-quoted), and the canonical
+    * fixpoint of every abs_url is asserted through the codegen'd
+    * `url_canon` expression. Scale shape: one narrow flatMap, one
+    * per-url aggregate for the twin, broadcast-size flags join.
+    */
+  def q71LinkGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val links = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        graft.core.LinkExtractor.outlinks(bytes).zipWithIndex.map {
+          case (l, i) =>
+            (p.url, i, l.href, l.anchor, l.nofollow,
+              graft.core.UrlCanon.resolve(p.url, l.href).orNull)
+        }
+      }
+      .toDF("url", "link_idx", "href", "anchor", "nofollow", "abs_url")
+    val twin = pages(s).select(col("url"),
+      expr("""regexp_extract_all(decode(html, 'UTF-8'), '<a href="([^"]*)"', 1)""")
+        .as("rx_hrefs"))
+    val flags = links.groupBy(col("url"))
+      .agg(transform(array_sort(collect_list(struct(col("link_idx"), col("href")))),
+        x => x.getField("href")).as("hrefs"))
+      .join(twin, Seq("url"))
+      .select(col("url"), (col("hrefs") === col("rx_hrefs")).as("t_ok"))
+    links.join(flags, Seq("url"))
+      .select(col("url"), col("link_idx"), col("href"), col("anchor"),
+        col("nofollow"), col("abs_url"),
+        (col("t_ok") && col("href") =!= "" &&
+          (col("abs_url").isNull ||
+            expr("url_canon(abs_url)") === col("abs_url"))).as("links_ok"))
+      .orderBy(col("url"), col("link_idx"))
+  }
+
+  /** q72: PageRank over the REAL extracted link graph — q53's power
+    * iteration applied to q71's resolved edges instead of a synthetic
+    * integer table, closing the extract → resolve → rank loop a search /
+    * crawl-prioritization pipeline runs. Nofollow links are excluded
+    * (their original public purpose). `rank_ok` certifies the exact
+    * per-node floor of the damped formulation — rank = 0.15/n +
+    * 0.85·contrib ≥ 0.15/n, with dangling targets (linked-to urls never
+    * crawled) legitimately sitting at the floor; LinkGraphSpec
+    * additionally replays the whole iteration against an independent
+    * driver-side model. Scale shape: edges distinct once and
+    * checkpointed; per iteration one equi-join + one groupBy (q53's
+    * shape); node count is the only collect.
+    */
+  def q72LinkRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        graft.core.LinkExtractor.outlinks(bytes).iterator
+          .filter(!_.nofollow)
+          .flatMap(l => graft.core.UrlCanon.resolve(p.url, l.href)
+            .map(abs => (p.url, abs)))
+      }
+      .toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nn = nodes.count().toDouble
+    val od = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    var r = nodes.select(col("node"), round9(lit(1.0) / nn).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, col("src") === col("node")).join(od, "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
+      r = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round9(lit(0.15) / nn + lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    val floor = math.floor(0.15 / nn * 1e9).toLong - 1 // grid rounding slack
+    r.select(col("node"), round(col("r") * 1e9).cast("long").as("rank_x1e9"))
+      .select(col("node"), col("rank_x1e9"),
+        (col("rank_x1e9") >= floor && col("rank_x1e9") <= lit(1000000000L))
+          .as("rank_ok"))
+      .orderBy(col("rank_x1e9").desc, col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_link_graph" -> q71LinkGraph _,
+    "q72_link_rank" -> q72LinkRank _,
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{LinkExtractor, UrlCanon}
+import graft.sources.PagesSynth
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Link-graph coverage beyond the q71/q72 driver flags: the distributed
+  * extraction equals a sequential driver-side oracle page for page, and
+  * the distributed PageRank equals an independent plain-Scala model of
+  * the same damped iteration on the same extracted edges.
+  */
+class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q71 flags all-true and distributed links equal the sequential oracle") {
+    val df = PagesOps.q71LinkGraph(spark, "unused")
+    assert(df.filter(!col("links_ok")).count() === 0L)
+    val got = df.select("url", "link_idx", "href", "anchor", "nofollow", "abs_url")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getString(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = (0L until PagesOps.VerifyDocs).flatMap { id =>
+      val url = PagesSynth.urlFor(id)
+      LinkExtractor.outlinks(PagesSynth.htmlFor(id).getBytes(UTF_8))
+        .zipWithIndex.map { case (l, i) =>
+          (url, i, l.href, l.anchor, l.nofollow,
+            UrlCanon.resolve(url, l.href).orNull)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.size === expected.size)
+    assert(got === expected)
+    // the synthesized corpus plants absolute-path links only — every one
+    // must have resolved against its page's host
+    assert(got.forall(t => t._6 != null && t._6.startsWith("https://site")))
+  }
+
+  test("q72 PageRank equals an independent driver-side model exactly") {
+    val df = PagesOps.q72LinkRank(spark, "unused")
+    assert(df.filter(!col("rank_ok")).count() === 0L)
+    val got = df.select("node", "rank_x1e9").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent model: same edges from the sequential extractor, same
+    // damped iteration with the same per-iteration 1e-9 grid snap
+    val edges = (0L until PagesOps.VerifyDocs).flatMap { id =>
+      val url = PagesSynth.urlFor(id)
+      LinkExtractor.outlinks(PagesSynth.htmlFor(id).getBytes(UTF_8)).iterator
+        .filter(!_.nofollow)
+        .flatMap(l => UrlCanon.resolve(url, l.href).map(url -> _))
+    }.distinct.filter(e => e._1 != e._2)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val nn = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def snap9(x: Double): Double = math.round(x * 1e9) / 1e9
+    var r = nodes.map(_ -> snap9(1.0 / nn)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d) => contrib(d) += r(s) / out(s) }
+      r = nodes.map(n => n -> snap9(0.15 / nn + 0.85 * contrib(n))).toMap
+    }
+    val model = r.map { case (n, v) => n -> math.round(v * 1e9) }
+    assert(got.keySet === model.keySet)
+    val diffs = model.count { case (n, v) => got(n) != v }
+    assert(diffs === 0, s"$diffs nodes differ from the model")
+    // structure sanity: the universally-linked targets outrank everything
+    val top = df.limit(2).collect().map(_.getString(0)).toSet
+    assert(top.forall(u => u.endsWith("/") || u.endsWith("/about")),
+      s"expected the header targets on top, got $top")
+  }
+}

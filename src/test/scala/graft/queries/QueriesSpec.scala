@@ -51,7 +51,9 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q38_pdf_extract" -> "roundtrip_ok",
       "q46_titles" -> "twin_ok",
       "q52_ann_ivf" -> "ivf_ok",
-      "q68_url_canon" -> "canon_ok")
+      "q68_url_canon" -> "canon_ok",
+      "q71_link_graph" -> "links_ok",
+      "q72_link_rank" -> "rank_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
