@@ -446,6 +446,130 @@ object Relational {
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Deterministic per-host fixtures of the q73 frontier: robots.txt with
+    * a Sitemap: pointer, and the sitemap XML that pointer names. Used by
+    * both the distributed query (inside flatMap) and LinkGraphSpec's
+    * sequential replay.
+    */
+  private[queries] object FrontierSynth {
+    def host(h: Long): String = s"site$h.example"
+    def robots(h: Long): String =
+      s"""User-agent: graftbot
+         |Disallow: /private/
+         |Crawl-delay: ${h % 5 + 1}
+         |Sitemap: https://${host(h)}/sitemap.xml
+         |User-agent: *
+         |Disallow: /
+         |""".stripMargin
+    def sitemapXml(h: Long): Array[Byte] = {
+      val sb = new StringBuilder(1024)
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      for (n <- 0 until 10) {
+        sb.append("<url><loc>https://").append(host(h)).append("/page/").append(n)
+          .append("</loc><lastmod>2026-0").append(n % 9 + 1)
+          .append("-01</lastmod><priority>0.").append((h + n) % 10)
+          .append("</priority></url>\n")
+      }
+      for (n <- 0 until 3) // planted: robots-disallowed entries
+        sb.append("<url><loc>https://").append(host(h)).append("/private/")
+          .append(n).append("</loc></url>\n")
+      sb.append("</urlset>\n")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** q73: the composed CRAWL FRONTIER — the full discovery → admission →
+    * scheduling loop a recurring crawler runs, chaining four engines this
+    * library already certifies separately: candidate urls come from each
+    * host's sitemap ([[graft.core.SitemapParser]] parsing real XML named
+    * by the robots body's `Sitemap:` pointer) unioned with
+    * extracted-link-style candidates (lineitem-derived paths, q61's
+    * shape); already-crawled urls are removed by anti-join; admission
+    * evaluates the PARSED robots rules ([[graft.core.RobotsTxt]] →
+    * `patternToRegex`, q61's machinery); and surviving urls get
+    * politeness offsets `(rank-1) × Crawl-delay` per host, ranked by
+    * sitemap priority (links carry the protocol-default 0.5). Flag
+    * `frontier_ok` certifies the planted invariants per row: no
+    * `/private/` url admitted, nothing already crawled, and the fetch
+    * offset sits on the host's delay grid below the host's row count;
+    * LinkGraphSpec replays the whole frontier sequentially and compares
+    * row-for-row. Scale shape: per-host robots/sitemap fixtures are tiny
+    * (broadcast); the candidate set shuffles once for the anti-join and
+    * once for the per-host window — the politeness contract itself.
+    */
+  def q73Frontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hosts = s.range(0, 20)
+    // sitemap leg: robots Sitemap: pointer → XML → entries, via the real
+    // parsers inside the flatMap (driver ships only the host ids)
+    val smCands = hosts.flatMap { h =>
+      val ptr = graft.core.SitemapParser.sitemapUrls(FrontierSynth.robots(h))
+      require(ptr.nonEmpty, "fixture must carry a Sitemap pointer")
+      graft.core.SitemapParser.parse(FrontierSynth.sitemapXml(h))
+        .map(e => (h, e.loc, e.priority))
+    }.toDF("h", "url", "priority")
+    // link leg: extracted-outlink-style candidates with default priority
+    val linkCands = tbl(s, dir, "lineitem")
+      .select((col("l_suppkey") % 20).cast("long").as("h"),
+        concat(lit("https://site"), (col("l_suppkey") % 20).cast("string"),
+          lit(".example/order/"), col("l_orderkey").cast("string")).as("url"),
+        lit(0.5).as("priority"))
+      .distinct()
+    val cands = smCands.unionByName(linkCands)
+    // already crawled: /page/N with N%4=0 and /order/K with K%3=0 (what a
+    // previous run's manifest would list)
+    val crawled = hosts.flatMap { h =>
+      (0 until 10).filter(_ % 4 == 0)
+        .map(n => s"https://${FrontierSynth.host(h)}/page/$n")
+    }.toDF("url").unionByName(
+      tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(concat(lit("https://site"), (col("l_suppkey") % 20).cast("string"),
+          lit(".example/order/"), col("l_orderkey").cast("string")).as("url"))
+        .distinct())
+    // admission: the host's PARSED rules, q61's regex machinery
+    val rules = hosts.flatMap { h =>
+      graft.core.RobotsTxt.rulesFor(FrontierSynth.robots(h), "graftbot")
+        .map(r => (h, r.path, r.allow, graft.core.RobotsTxt.patternToRegex(r.path)))
+    }.toDF("h", "rpath", "rallow", "rregex")
+    val delays = hosts.map { h =>
+      val d = graft.core.RobotsTxt.crawlDelayFor(FrontierSynth.robots(h), "graftbot")
+      (h, (d.getOrElse(9.0) * 1000).toLong)
+    }.toDF("h", "delay_ms")
+    val path = regexp_replace(col("url"), "^https://[^/]+", "")
+    val pk = when(regexp_like(path, col("rregex")),
+      length(col("rpath")).cast("long") * 2 +
+        when(col("rallow"), 1L).otherwise(0L))
+    val admitted = cands
+      .join(crawled, Seq("url"), "left_anti")
+      .join(broadcast(rules), Seq("h"), "left")
+      .groupBy(col("h"), col("url"), col("priority"))
+      .agg(max(pk).as("pkk"))
+      .filter(coalesce(col("pkk") % 2 === 1, lit(true)))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("priority").desc, col("url"))
+    val cnt = Window.partitionBy(col("h"))
+    admitted.join(broadcast(delays), "h")
+      .select(col("h"), col("url"), col("priority"),
+        ((row_number().over(w) - 1).cast("long") * col("delay_ms")).as("fetch_ms"),
+        col("delay_ms"), count(lit(1)).over(cnt).as("host_n"))
+      .select(col("h"), col("url"), col("priority"), col("fetch_ms"),
+        {
+          // planted invariants, each checkable from the url alone:
+          // robots exclusion, crawled exclusion (page N%4=0 / order K%3=0
+          // were planted as already-crawled), politeness grid membership
+          val tail = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+          (!col("url").contains("/private/") &&
+            (!col("url").contains("/page/") || tail % 4 =!= 0) &&
+            (!col("url").contains("/order/") || tail % 3 =!= 0) &&
+            col("fetch_ms") % col("delay_ms") === 0 &&
+            col("fetch_ms") / col("delay_ms") < col("host_n")).as("frontier_ok")
+        })
+      .orderBy(col("h"), col("fetch_ms"), col("url"))
+  }
+
   /** q68: URL canonicalization (rows-only; RFC 3986 §6 normalization is
     * not expressible in DuckDB SQL, so the query SELF-CERTIFIES): two
     * deliberately different messy spellings of the same logical url —
@@ -478,6 +602,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_politeness_schedule" -> q66PolitenessSchedule _,
+    "q73_frontier" -> q73Frontier _,
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,

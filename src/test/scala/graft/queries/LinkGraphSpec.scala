@@ -85,4 +85,53 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.forall(u => u.endsWith("/") || u.endsWith("/about")),
       s"expected the header targets on top, got $top")
   }
+
+  test("q73 frontier equals a sequential replay of all four engines") {
+    import graft.core.{RobotsTxt, SitemapParser}
+    val sfDir = "/root/testdata/sf0.001"
+    val df = Relational.q73Frontier(spark, sfDir)
+    assert(df.filter(!col("frontier_ok")).count() === 0L)
+    val got = df.select("h", "url", "priority", "fetch_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4, t._2)).toSeq
+
+    // sequential model: same fixtures, the in-JVM matcher instead of the
+    // compiled-regex admission, plain Scala scheduling
+    val FS = Relational.FrontierSynth
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val smCands = (0L until 20L).flatMap { h =>
+      assert(SitemapParser.sitemapUrls(FS.robots(h)) ===
+        Seq(s"https://${FS.host(h)}/sitemap.xml"))
+      SitemapParser.parse(FS.sitemapXml(h)).map(e => (h, e.loc, e.priority))
+    }
+    val linkCands = li.map { case (ok, sk) =>
+      (sk % 20, s"https://site${sk % 20}.example/order/$ok", 0.5)
+    }.distinct
+    val crawled: Set[String] =
+      (0L until 20L).flatMap(h => (0 until 10).filter(_ % 4 == 0)
+        .map(n => s"https://${FS.host(h)}/page/$n")).toSet ++
+      li.filter(_._1 % 3 == 0).map { case (ok, sk) =>
+        s"https://site${sk % 20}.example/order/$ok"
+      }
+    val rules = (0L until 20L)
+      .map(h => h -> RobotsTxt.rulesFor(FS.robots(h), "graftbot")).toMap
+    val delays = (0L until 20L).map(h =>
+      h -> (RobotsTxt.crawlDelayFor(FS.robots(h), "graftbot").get * 1000).toLong).toMap
+    val admitted = (smCands ++ linkCands).distinct
+      .filterNot(c => crawled(c._2))
+      .filter { case (h, url, _) =>
+        RobotsTxt.allowed(rules(h), url.replaceFirst("^https://[^/]+", ""))
+      }
+    val model = admitted.groupBy(_._1).toSeq.flatMap { case (h, cs) =>
+      cs.sortBy(c => (-c._3, c._2)).zipWithIndex.map { case ((_, url, pri), i) =>
+        (h, url, pri, i.toLong * delays(h))
+      }
+    }.sortBy(t => (t._1, t._4, t._2))
+    assert(got.size === model.size, s"${got.size} vs model ${model.size}")
+    assert(got === model)
+    // the planted exclusions really bit: some candidates were dropped
+    assert(model.size < (smCands ++ linkCands).distinct.size)
+  }
 }

@@ -53,7 +53,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q52_ann_ivf" -> "ivf_ok",
       "q68_url_canon" -> "canon_ok",
       "q71_link_graph" -> "links_ok",
-      "q72_link_rank" -> "rank_ok")
+      "q72_link_rank" -> "rank_ok",
+      "q73_frontier" -> "frontier_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
