@@ -17,6 +17,9 @@ object ExtractOps {
   def extractText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(Extractor.extractBytes(html).text)
 
+  def extractMarkdown(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.core.MarkdownExtractor.markdown(html))
+
   def nodeCount(html: Array[Byte]): Int = {
     var n = 0
     graft.core.HtmlScanner.scan(html)(_ => { n += 1; true })
@@ -116,6 +119,29 @@ object ExtractOps {
     }
     sb.toString
   }
+}
+
+/** `extract_markdown(html binary) → string` — the page as Markdown
+  * ([[graft.core.MarkdownExtractor]]: headings/links/lists/emphasis/code
+  * preserved, boilerplate subtrees dropped under the same policy as
+  * `extract_text`), as a codegen'd scalar so a SQL-first user exports a
+  * markdown corpus with one projection.
+  */
+case class ExtractMarkdown(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_markdown"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.extractMarkdown(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.extractMarkdown($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractMarkdown =
+    copy(child = newChild)
 }
 
 /** `extract_title(html binary) → string` — first title content (decoded,
@@ -302,6 +328,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
+    "extract_markdown" -> (args => ExtractMarkdown(args.head)),
     "extract_title" -> (args => ExtractTitle(args.head)),
     "extract_meta" -> (args => ExtractMeta(args(0), args(1))),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),

@@ -388,7 +388,39 @@ object PagesOps {
       .orderBy(col("rank_x1e9").desc, col("node"))
   }
 
+  /** q74: Markdown corpus export — the page rendered as Markdown through
+    * the codegen'd `extract_markdown` Expression (the SQL surface a
+    * corpus-export user runs), twin-certified against the typed
+    * [[graft.core.MarkdownExtractor]] path byte-for-byte per url, with
+    * structural no-raw-tag checks folded into the flag. Output carries
+    * sha/length/head instead of the full markdown so the driver artifact
+    * stays small. Stateless per-row; the semantics themselves are pinned
+    * by MarkdownExtractorSpec's golden fixtures.
+    */
+  def q74Markdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_md")
+    val viaSql = s.sql(
+      "SELECT url, extract_markdown(html) AS md FROM pages_md")
+    val typed = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .map(p => (p.url, graft.core.MarkdownExtractor.markdown(
+        if (p.html == null) Array.emptyByteArray else p.html)))
+      .toDF("t_url", "t_md")
+    viaSql.join(typed, col("url") === col("t_url"))
+      .select(col("url"), sha2(col("md"), 256).as("md_sha"),
+        length(col("md")).as("md_len"),
+        substring(col("md"), 1, 80).as("md_head"),
+        (col("md") === col("t_md") && length(col("md")) > 0 &&
+          !col("md").contains("<p>") && !col("md").contains("<div") &&
+          !col("md").contains("<script")).as("md_ok"))
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_markdown" -> q74Markdown _,
     "q71_link_graph" -> q71LinkGraph _,
     "q72_link_rank" -> q72LinkRank _,
     "q30_extract_pages" -> q30ExtractPages _,

@@ -291,7 +291,22 @@ object WarcReader {
     * any Hadoop-supported FS (local, HDFS, S3A) since both listing and open
     * go through the scheme's FileSystem.
     */
-  def pagesStreamed(spark: SparkSession, path: String): DataFrame = {
+  def pagesStreamed(spark: SparkSession, path: String): DataFrame =
+    streamed(spark, path, Set("response"))
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+
+  /** WET directory → (url, warc_ts, text): Common Crawl's extracted-text
+    * distribution read BACK as a table, closing the format round-trip with
+    * [[WetWriter]] (whose `conversion` records carry text/plain payloads).
+    * Same record-streamed, heap-bounded path as [[pagesStreamed]].
+    */
+  def wetExtracted(spark: SparkSession, path: String): DataFrame =
+    streamed(spark, path, Set("conversion"))
+      .select(col("url"), col("warc_ts"),
+        org.apache.spark.sql.functions.decode(col("html"), "UTF-8").as("text"))
+
+  private def streamed(spark: SparkSession, path: String,
+                       acceptTypes: Set[String]): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -326,7 +341,7 @@ object WarcReader {
           if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
             try in.close() catch { case _: java.io.IOException => }
           }
-          val base = records(in, Set("response"))
+          val base = records(in, acceptTypes)
           new Iterator[WarcPage] {
             override def hasNext: Boolean = {
               val h = base.hasNext
@@ -338,6 +353,5 @@ object WarcReader {
         }
       }
       .toDF()
-      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
   }
 }

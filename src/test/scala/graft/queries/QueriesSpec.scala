@@ -54,7 +54,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q68_url_canon" -> "canon_ok",
       "q71_link_graph" -> "links_ok",
       "q72_link_rank" -> "rank_ok",
-      "q73_frontier" -> "frontier_ok")
+      "q73_frontier" -> "frontier_ok",
+      "q74_markdown" -> "md_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")

@@ -146,6 +146,12 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(p => p.url -> new String(p.html, UTF_8)).toMap
     val want = extracted.collect().map(r => r.url -> r.text).toMap
     assert(got === want, "WET round-trip must preserve every url's exact text")
+    // …and through the DISTRIBUTED reader: the wetExtracted table equals
+    // the same map (url, text), closing the format loop as a Spark source
+    val table = WarcReader.wetExtracted(spark, dir)
+    assert(table.columns.toSeq === Seq("url", "warc_ts", "text"))
+    val viaTable = table.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(viaTable === want, "distributed WET source must match the writer")
   }
 
   test("oversized declared length: record skipped by streaming discard, rest still read") {
