@@ -121,13 +121,21 @@ object MarkdownExtractor {
       emphasis = Nil
     }
 
+    /** A destination containing spaces or parens breaks `[t](u)`;
+      * CommonMark's `<…>` form carries it safely.
+      */
+    def dest(u: String): String =
+      if (u.exists(c => c == '(' || c == ')' || c == ' ' || c == '<' || c == '>'))
+        "<" + u.replace("<", "%3C").replace(">", "%3E") + ">"
+      else u
+
     def flushLink(): Unit = {
       if (inAnchor) {
         val text = anchor.toString.replaceAll(" +", " ").trim
         startInlineOut()
         if (href == null || href.isEmpty || href.charAt(0) == '#')
           out.append(text)
-        else out.append('[').append(text).append("](").append(href).append(')')
+        else out.append('[').append(text).append("](").append(dest(href)).append(')')
         href = null
         inAnchor = false
         anchor.setLength(0)
@@ -206,8 +214,9 @@ object MarkdownExtractor {
               if (nd.selfClosing) flushLink()
             case "img" =>
               nd.attr("src").map(_.trim).filter(_.nonEmpty).foreach { src =>
-                val alt = nd.attr("alt").map(Entities.decode).getOrElse("")
-                inlineMark("![" + alt + "](" + Entities.decode(src) + ")")
+                val alt = nd.attr("alt").map(a => Entities.decode(a)
+                  .replaceAll("([\\\\\\[\\]])", "\\\\$1")).getOrElse("")
+                inlineMark("![" + alt + "](" + dest(Entities.decode(src)) + ")")
               }
             case _ =>
           }

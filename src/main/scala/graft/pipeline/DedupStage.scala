@@ -109,7 +109,18 @@ object DedupStage {
     // batches survive a kill untouched. Batches are formed from the
     // extraction manifest's part_ids, so unit names are stable across runs.
     val partIds = new LocalManifestCommitter(outDir).rows().map(_.part_id).sorted
-    partIds.grouped(keptBatchSize).zipWithIndex.foreach { case (batch, bi) =>
+    val batches = partIds.grouped(keptBatchSize).toSeq
+    // no kept batch committed under THIS fingerprint yet → truncate the
+    // kept dir before the first write: a crash mid-wipe (or an older run
+    // with more partitions) could have left part_id dirs the per-batch
+    // dynamic overwrites would never touch, and resume must not mix them
+    // into a fresh generation
+    if (!batches.indices.exists(bi => sm.isCommitted(s"kept-b$bi", fp))) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(keptPath(outDir)), true)
+    }
+    batches.zipWithIndex.foreach { case (batch, bi) =>
       val unit = s"kept-b$bi"
       if (!sm.isCommitted(unit, fp)) {
         if (units >= maxUnits) return None

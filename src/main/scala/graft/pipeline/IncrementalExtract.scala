@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * Iceberg the copy disappears too: unchanged data files are carried
   * into the new snapshot by metadata only, docs/ICEBERG.md). At a 90 %-
   * unchanged re-crawl the scanner runs on a tenth of the corpus.
+  *
+  * Caveats (by design): a url the PREVIOUS run's langFilter excluded is
+  * absent from its extracted table, so it classifies as `new` here and
+  * is re-fed to the (same) filter — the delta counts describe extraction
+  * work, not corpus membership. Duplicate urls within one crawl multiply
+  * through the classification join exactly as they would through a plain
+  * extraction; dedup them upstream (url_canon + distinct) as any crawl
+  * ingest does.
   */
 object IncrementalExtract {
 

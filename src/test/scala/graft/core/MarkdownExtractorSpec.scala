@@ -71,6 +71,11 @@ class MarkdownExtractorSpec extends AnyFunSuite {
     assert(got === """2\*3 a\_b \[x\] c\\d""")
   }
 
+  test("destinations with parens/spaces use the <...> form; alt text escaped") {
+    val got = md("""<p><a href="/w(x)/y z">l</a> <img src="/i (1).png" alt="a]b"></p>""")
+    assert(got === """[l](</w(x)/y z>) ![a\]b](</i (1).png>)""")
+  }
+
   test("boilerplate subtrees dropped (same policy as text extraction)") {
     val got = md(
       """<head><title>t</title></head><nav><a href="/x">nav</a></nav>
