@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.Extractor
 
@@ -19,6 +19,26 @@ object ExtractOps {
 
   def extractMarkdown(html: Array[Byte]): UTF8String =
     UTF8String.fromString(graft.core.MarkdownExtractor.markdown(html))
+
+  /** deflate(text).length * 1000 / text.length — the compression-ratio
+    * quality signal (CCNet-style): boilerplate/repetitive text compresses
+    * far below natural prose, random noise sits near (or above) 1000.
+    * Fixed level + nowrap make the value deterministic for a given input
+    * on a given deflate implementation; 0 for empty input.
+    */
+  def deflateRatioX1000(s: UTF8String): Long = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 0L
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n * 1000L / raw.length
+    } finally d.end()
+  }
 
   def nodeCount(html: Array[Byte]): Int = {
     var n = 0
@@ -141,6 +161,30 @@ case class ExtractMarkdown(child: Expression) extends UnaryExpression with Expec
       c => s"graft.functions.ExtractOps.extractMarkdown($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ExtractMarkdown =
+    copy(child = newChild)
+}
+
+/** `deflate_ratio_x1000(s string) → bigint` — compressed-size/raw-size
+  * ×1000 via the JVM's deflate at a fixed level
+  * ([[ExtractOps.deflateRatioX1000]]): the repetition/quality signal
+  * CCNet-style curation gates on (machine-generated and boilerplate text
+  * compresses dramatically below natural prose). Codegen'd scalar; cost
+  * is one deflate pass per row, no allocation beyond the fixed window.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_ratio_x1000"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.deflateRatioX1000(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractOps.deflateRatioX1000($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
 }
 
@@ -329,6 +373,7 @@ object GraftExtensions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "extract_text" -> (args => ExtractText(args.head)),
     "extract_markdown" -> (args => ExtractMarkdown(args.head)),
+    "deflate_ratio_x1000" -> (args => DeflateRatio(args.head)),
     "extract_title" -> (args => ExtractTitle(args.head)),
     "extract_meta" -> (args => ExtractMeta(args(0), args(1))),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),

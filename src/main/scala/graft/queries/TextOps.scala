@@ -76,6 +76,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q75: COMPRESSION-RATIO quality signal — the CCNet-style gate:
+    * deflate(text)/|text| ×1000 through the codegen'd
+    * `deflate_ratio_x1000` Expression. Machine-generated/boilerplate text
+    * compresses far below natural prose; near-random noise sits near (or
+    * above) 1000. Rows-only (DuckDB ships no deflate): `compress_ok`
+    * self-certifies with (a) positivity on non-empty text, (b) a hard
+    * upper bound (deflate stored-block overhead caps expansion well under
+    * 2×), and (c) the SELF-DOUBLING property — deflate finds the
+    * repetition in text∥text, so ratio(text∥text) ≤ ratio(text) + slack
+    * whenever the doc fits the 32 KB deflate window (longer docs skip
+    * that leg: the duplicate lies beyond the window by construction).
+    * Stateless per-row; the gate column `keep_compress` is the band a
+    * curation pipeline keeps.
+    */
+  def q75CompressQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val ratio = expr("deflate_ratio_x1000(text)")
+    val doubled = expr("deflate_ratio_x1000(concat(text, text))")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("chars"),
+        ratio.as("ratio_x1000"), doubled.as("doubled_x1000"))
+      .select(col("doc_id"), col("chars"), col("ratio_x1000"),
+        col("doubled_x1000"),
+        (col("ratio_x1000") >= 200 && col("ratio_x1000") <= 1100)
+          .as("keep_compress"),
+        ((col("chars") === 0 || col("ratio_x1000") > 0) &&
+          col("ratio_x1000") <= 1500 &&
+          (col("chars") >= 30000 ||
+            col("doubled_x1000") <= col("ratio_x1000") + 10))
+          .as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: CJK codepoint presence, else stopword density.
     * (The harness corpus is a shared-vocabulary word salad, so this pins the
     * deterministic heuristic, not classifier accuracy.)
@@ -773,6 +806,7 @@ object TextOps {
     "q15_dedup_exact" -> q15DedupExact _,
     "q16_token_stats" -> q16TokenStats _,
     "q17_quality_score" -> q17QualityScore _,
+    "q75_compress_quality" -> q75CompressQuality _,
     "q18_lang_id" -> q18LangId _,
     "q19_fingerprint" -> q19Fingerprint _,
     "q20_ngram_jaccard" -> q20NgramJaccard _,

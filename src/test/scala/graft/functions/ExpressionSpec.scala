@@ -310,6 +310,37 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT nfc_normalize(NULL) IS NULL").collect()(0).getBoolean(0))
   }
 
+  test("deflate_ratio_x1000: repetition < prose < noise; deterministic; SQL surface") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ratio(s: String): Long =
+      ExtractOps.deflateRatioX1000(UTF8String.fromString(s))
+    val repetitive = "click here to accept cookies " * 200
+    val prose = (0 until 200).map(i =>
+      s"sentence $i mixes fresh tokens like alpha${i * 7} and beta${i % 13}.")
+      .mkString(" ")
+    val rnd = new scala.util.Random(59)
+    val noise = Seq.fill(4000)(rnd.nextPrintableChar()).mkString
+    val (r1, r2, r3) = (ratio(repetitive), ratio(prose), ratio(noise))
+    info(s"ratios x1000: repetitive=$r1 prose=$r2 noise=$r3")
+    assert(r1 < r2 && r2 < r3,
+      "compression ratio must order repetitive < prose < noise")
+    assert(r1 < 100, "boilerplate repetition should compress >10x")
+    // deterministic, positive on non-empty, zero on empty
+    assert(ratio(prose) === r2)
+    assert(ratio("") === 0L)
+    assert(ratio("x") > 0L)
+    // self-doubling: deflate finds the duplicate of text||text
+    assert(ratio(prose + prose) <= r2 + 10)
+    // SQL surface through the registered expression
+    GraftExtensions.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      "SELECT deflate_ratio_x1000('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS r")
+      .collect()(0).getLong(0)
+    assert(viaSql === ratio("a" * 32))
+    assert(spark.sql("SELECT deflate_ratio_x1000(NULL) IS NULL")
+      .collect()(0).getBoolean(0))
+  }
+
   test("top-k rewrites to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.q09TopkOrders(spark, sfDir)
       .queryExecution.executedPlan.toString

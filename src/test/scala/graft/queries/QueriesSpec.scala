@@ -55,7 +55,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q71_link_graph" -> "links_ok",
       "q72_link_rank" -> "rank_ok",
       "q73_frontier" -> "frontier_ok",
-      "q74_markdown" -> "md_ok")
+      "q74_markdown" -> "md_ok",
+      "q75_compress_quality" -> "compress_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
