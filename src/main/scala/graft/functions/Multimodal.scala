@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * Decode depth is format-tiered. REAL, pure-JVM, codec-free: full PIXEL
   * decode for PNG (IDAT zlib inflate + the five row filters — the JVM
-  * ships the inflater), GIF (self-contained LZW), uncompressed 24-bit BMP
-  * and P6 PPM; full SAMPLE decode for s16le PCM WAV (mean/peak stats from
-  * actual content); header parse for JPEG (SOFn dims), MP4/ISO-BMFF
-  * (tkhd dims + mvhd duration) and RIFF/WAVE fmt (rate/channels). Only
-  * the genuinely codec-bound payload families (JPEG entropy data, lossy
-  * audio, exotic PNG/GIF variants) keep a declared stub — and those rows
-  * carry `decoded = false` so a consumer can tell. The Spark-side plumbing is
+  * ships the inflater), baseline JPEG ([[JpegDecoder]] — Huffman entropy
+  * decode + IDCT + YCbCr, the full T.81 sequential path), GIF
+  * (self-contained LZW), uncompressed 24-bit BMP and P6 PPM; full SAMPLE
+  * decode for s16le PCM WAV (mean/peak stats from actual content);
+  * header parse for MP4/ISO-BMFF (tkhd dims + mvhd duration) and
+  * RIFF/WAVE fmt (rate/channels). Only the remaining codec-bound payload
+  * families (progressive/arithmetic JPEG, lossy audio, exotic PNG/GIF
+  * variants) keep a declared stub — and those rows carry
+  * `decoded = false` so a consumer can tell. The Spark-side plumbing is
   * identical either way and is what matters at 100 TB: the binary column is
   * never exploded or copied, feature extraction is a single narrow
   * per-partition pass (no shuffle), and outputs are fixed-width columns so
@@ -677,13 +679,18 @@ object Multimodal {
     val entK = math.round(ent * 1000)
     imageHeader(bytes) match {
       case Some((kind, w, h)) =>
-        // PNG/GIF payloads get a REAL pixel decode when the variant is
-        // supported; otherwise (and for JPEG) header fields are real and
-        // pixels stay undecoded
+        // PNG/GIF/JPEG payloads get a REAL pixel decode when the variant
+        // is supported (JPEG: baseline/extended-sequential Huffman via
+        // [[JpegDecoder]]); otherwise header fields are real and pixels
+        // stay undecoded
         val decodedRaster = kind match {
           case "png" => pngPixels(bytes)
           case "gif" => gifPixels(bytes)
-          case _     => None
+          case "jpeg" =>
+            JpegDecoder.lumaStats(bytes).map(js =>
+              RasterStats("jpeg", js.width, js.height, js.pixels,
+                js.meanLumaX1000, js.peakLuma))
+          case _ => None
         }
         decodedRaster match {
           case Some(rs) =>

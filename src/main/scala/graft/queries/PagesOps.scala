@@ -137,10 +137,18 @@ object PagesOps {
             col("width") === col("exp_w") && col("height") === col("exp_h") &&
             col("sample_rate") === col("exp_rate") &&
             col("channels") === col("exp_ch") &&
-            col("frames") === col("exp_frames") &&
-            col("mean_x1000") === col("exp_mean_x1000") &&
-            col("peak") === col("exp_peak") &&
-            col("decoded") === col("exp_decoded"))
+            col("decoded") === col("exp_decoded") &&
+            // JPEG is lossy: frames (pixel count) stays exact, but the
+            // reconstructed luma stats carry a small bounded compression
+            // error (the fixtures are smooth gradients at quality 0.95,
+            // so the bound is tight); every other kind is bit-exact
+            when(col("exp_kind") === "jpeg" && col("exp_decoded"),
+              col("frames") === col("exp_frames") &&
+                abs(col("mean_x1000") - col("exp_mean_x1000")) <= 1500 &&
+                abs(col("peak") - col("exp_peak")) <= 8)
+              .otherwise(col("frames") === col("exp_frames") &&
+                col("mean_x1000") === col("exp_mean_x1000") &&
+                col("peak") === col("exp_peak")))
           .as("decode_ok"))
       .orderBy(col("url"))
   }

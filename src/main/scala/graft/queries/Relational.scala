@@ -346,7 +346,7 @@ object Relational {
       .agg(max(pk).as("pk"))
       .select(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"),
         coalesce(col("pk") % 2 === 1, lit(true)).as("allowed"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("h"))
   }
 
   /** q61: robots.txt admission with RFC 9309 §2.2.3 WILDCARD rules (`*`
@@ -403,7 +403,7 @@ object Relational {
       .agg(max(pk).as("pk"))
       .select(col("l_orderkey"), col("l_linenumber"), col("h"), col("path"),
         coalesce(col("pk") % 2 === 1, lit(true)).as("allowed"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("h"))
   }
 
   /** q66: crawl-politeness SCHEDULING — after q59/q61 decide *whether* a
@@ -696,7 +696,7 @@ object Relational {
         |    true) AS allowed
         |FROM urls u LEFT JOIN rules r ON u.h = r.h
         |GROUP BY u.l_orderkey, u.l_linenumber, u.h, u.path
-        |ORDER BY u.l_orderkey, u.l_linenumber""".stripMargin,
+        |ORDER BY u.l_orderkey, u.l_linenumber, u.h""".stripMargin,
     "q61_robots_wildcard" ->
       s"""WITH hosts AS (SELECT h FROM range(0, 20) t(h)),
          |rules AS (
@@ -726,7 +726,7 @@ object Relational {
          |    true) AS allowed
          |FROM urls u LEFT JOIN rx r ON u.h = r.h
          |GROUP BY u.l_orderkey, u.l_linenumber, u.h, u.path
-         |ORDER BY u.l_orderkey, u.l_linenumber""".stripMargin,
+         |ORDER BY u.l_orderkey, u.l_linenumber, u.h""".stripMargin,
     "q40_pivot_events" ->
       """SELECT user_id,
         | CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

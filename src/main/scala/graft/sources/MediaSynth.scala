@@ -5,11 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Deterministic synthetic media blobs (spec-valid PNG / JPEG / GIF /
   * WAV / BMP / PPM / MP4 containers with known content) for exercising
   * the REAL parsers in [[graft.functions.Multimodal]]. The pixel/sample
-  * fixtures (PNG with genuine deflated+filtered IDAT, GIF with genuine
-  * LZW, BMP, PPM, PCM WAV) carry deterministic patterns whose expected
-  * stats are computed from the raw values BEFORE encoding, so decoders
-  * are checked through the full byte pipeline; the header-only fixtures
-  * (JPEG, MP4) have every field a parser reads spec-conformant.
+  * fixtures (PNG with genuine deflated+filtered IDAT, JPEG from the
+  * JDK's own independent encoder, GIF with genuine LZW, BMP, PPM, PCM
+  * WAV) carry deterministic patterns whose expected stats are computed
+  * from the raw values BEFORE encoding, so decoders are checked through
+  * the full byte pipeline (JPEG within a small lossy-compression
+  * tolerance — bit-exact truth does not exist for a lossy codec); the
+  * header-only fixtures (scan-less JPEG, MP4) have every field a parser
+  * reads spec-conformant.
   */
 object MediaSynth {
 
@@ -59,6 +62,71 @@ object MediaSynth {
   def gifBytes(w: Int, h: Int): Array[Byte] =
     "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
       Array[Byte](0, 0, 0, 0x3B)
+
+  /** Smooth (low-frequency) pattern for the REAL-pixel JPEG fixtures:
+    * lossy DCT compression reconstructs smooth gradients almost exactly,
+    * so the pre-encoding truth stays a tight bound (q33 uses a small
+    * tolerance — JPEG has no bit-exact truth by design).
+    */
+  def smoothRgbAt(x: Int, y: Int, w: Int, h: Int): (Int, Int, Int) = (
+    x * 255 / math.max(w - 1, 1),
+    y * 255 / math.max(h - 1, 1),
+    (x + y) * 255 / math.max(w + h - 2, 1))
+
+  /** Expected (pixels, meanLumaX1000, peakLuma) of the [[smoothRgbAt]]
+    * pattern (gray = its Rec.709 luma), computed BEFORE encoding.
+    */
+  def jpegTruth(w: Int, h: Int): (Long, Long, Int) = {
+    var sum = 0L
+    var peak = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = smoothRgbAt(x, y, w, h)
+        val l = (2126 * r + 7152 * g + 722 * b) / 10000
+        sum += l
+        if (l > peak) peak = l
+        x += 1
+      }
+      y += 1
+    }
+    val pix = w.toLong * h
+    (pix, (sum * 1000 + pix / 2) / pix, peak)
+  }
+
+  /** GENUINE baseline JPEG bytes (the JDK's ImageIO encoder at quality
+    * 0.95) carrying the [[smoothRgbAt]] pattern — gray renders its
+    * Rec.709 luma into a single-component stream, color a three-component
+    * YCbCr stream (the encoder picks the subsampling). The decoder under
+    * test sees real entropy-coded data from a real independent encoder.
+    */
+  def jpegPixelBytes(w: Int, h: Int, gray: Boolean): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = smoothRgbAt(x, y, w, h)
+      if (gray) {
+        val l = (2126 * r + 7152 * g + 722 * b) / 10000
+        img.getRaster.setSample(x, y, 0, l)
+      } else img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
 
   /** Deterministic 8-bit grayscale pattern for the gray-PNG fixtures. */
   private def grayAt(x: Int, y: Int): Int = (x * 11 + y * 17) % 256
@@ -456,7 +524,7 @@ object MediaSynth {
       val i = id.toInt
       val w = 16 + i * 3
       val h = 9 + i * 2
-      i % 9 match {
+      i % 11 match {
         case 0 => // REAL-pixel PNG, RGB, all five filters exercised
           val (pix, mean, peak) = rasterTruth(w, h)
           MediaDoc(f"media://img/$i%05d.png", pngPixelBytes(w, h, 2), "png",
@@ -489,10 +557,18 @@ object MediaSynth {
           val durMs = 1000L + i * 33
           MediaDoc(f"media://vid/$i%05d.mp4", mp4Bytes(w, h, durMs), "mp4",
             w, h, 0, 0, durMs, 0L, 0, exp_decoded = false)
-        case _ => // RGBA PNG: alpha ignored by the luma stats
+        case 8 => // RGBA PNG: alpha ignored by the luma stats
           val (pix, mean, peak) = rasterTruth(w, h)
           MediaDoc(f"media://img/$i%05d-ra.png", pngPixelBytes(w, h, 6), "png",
             w, h, 0, 0, pix, mean, peak, exp_decoded = true)
+        case 9 => // REAL-pixel grayscale JPEG (single-component stream)
+          val (pix, mean, peak) = jpegTruth(w, h)
+          MediaDoc(f"media://img/$i%05d-g.jpg", jpegPixelBytes(w, h, gray = true),
+            "jpeg", w, h, 0, 0, pix, mean, peak, exp_decoded = true)
+        case _ => // REAL-pixel color JPEG (YCbCr, encoder-chosen subsampling)
+          val (pix, mean, peak) = jpegTruth(w, h)
+          MediaDoc(f"media://img/$i%05d-c.jpg", jpegPixelBytes(w, h, gray = false),
+            "jpeg", w, h, 0, 0, pix, mean, peak, exp_decoded = true)
       }
     }.toDF()
   }

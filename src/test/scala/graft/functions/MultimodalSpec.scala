@@ -401,6 +401,139 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JpegDecoder: baseline gray decode is pixel-exact (±1) vs JDK ImageIO") {
+    import graft.sources.MediaSynth
+    // single-component streams have no chroma upsampling, so the only
+    // legal divergence between two conforming decoders is IDCT rounding
+    // (T.81 Annex K) — assert ≤1 per pixel against the JDK's decoder on
+    // the IDENTICAL bytes, plus dims and the luma-stats contract
+    for ((w, h) <- Seq((1, 1), (8, 8), (16, 9), (43, 27), (64, 64), (81, 57), (200, 120))) {
+      val bytes = MediaSynth.jpegPixelBytes(w, h, gray = true)
+      val Some((dw, dh, px)) = JpegDecoder.decodeRgb(bytes)
+      assert(dw === w && dh === h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "JDK could not read the JPEG fixture — fixture invalid?")
+      var maxD = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        // getRGB gamma-converts TYPE_BYTE_GRAY — compare raw raster samples
+        val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxD) maxD = d
+      }
+      assert(maxD <= 1, s"gray $w x $h: max pixel diff $maxD vs ImageIO")
+      // stats path agrees with the raster path
+      val st = JpegDecoder.lumaStats(bytes).get
+      assert(st.width === w && st.height === h && st.pixels === w.toLong * h)
+    }
+  }
+
+  test("JpegDecoder: color 4:2:0 decode within chroma-interpolation drift of ImageIO") {
+    import graft.sources.MediaSynth
+    // three-component streams diverge where the JDK's fancy (triangular)
+    // chroma upsampling differs from our nearest-neighbor replication —
+    // bounded, largest at tiny-image borders; measured ≤17 max / ≤8.2
+    // mean on these fixtures, pinned with margin
+    for ((w, h) <- Seq((16, 9), (31, 7), (43, 27), (64, 64), (81, 57), (200, 120))) {
+      val bytes = MediaSynth.jpegPixelBytes(w, h, gray = false)
+      val Some((dw, dh, px)) = JpegDecoder.decodeRgb(bytes)
+      assert(dw === w && dh === h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxD = 0
+      var sumD = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = px(y * w + x)
+        val b = ref.getRGB(x, y)
+        for (sh <- Seq(16, 8, 0)) {
+          val d = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+          if (d > maxD) maxD = d
+          sumD += d
+        }
+      }
+      val meanD = sumD.toDouble / (w.toLong * h * 3)
+      assert(maxD <= 24, s"color $w x $h: max pixel diff $maxD vs ImageIO")
+      assert(meanD <= 12.0, s"color $w x $h: mean pixel diff $meanD vs ImageIO")
+      // content stats stay within the lossy bound of the PRE-ENCODING
+      // truth (the q33 contract): frames exact, mean/peak bounded
+      val st = JpegDecoder.lumaStats(bytes).get
+      val (pix, tMean, tPeak) = MediaSynth.jpegTruth(w, h)
+      assert(st.pixels === pix)
+      assert(math.abs(st.meanLumaX1000 - tMean) <= 1500,
+        s"color $w x $h mean drift ${st.meanLumaX1000 - tMean}")
+      assert(math.abs(st.peakLuma - tPeak) <= 8,
+        s"color $w x $h peak drift ${st.peakLuma - tPeak}")
+      // decodeStub surfaces the decode (kind jpeg, decoded=true)
+      val f = Multimodal.decodeStub("u", bytes)
+      assert(f.kind === "jpeg" && f.decoded && f.width === w && f.height === h)
+    }
+  }
+
+  test("JpegDecoder: DRI/RSTn restart markers reset the DC predictor") {
+    // hand-built baseline stream, 16x16 gray = 4 MCUs, restart interval 1:
+    // trivial canonical Huffman tables (DC: len-1 '0'→cat 0, len-2 '10'→
+    // cat 1; AC: len-1 '0'→EOB), q[0]=16, every MCU encodes DC diff +1
+    // then EOB → 4 bits '1010' padded to 0xAF per segment. With correct
+    // per-restart predictor resets every block decodes DC=16 → all pixels
+    // 128 + 16/8 = 130; WITHOUT resets they would ramp 130/132/134/136.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val stream =
+      b(0xFF, 0xD8) ++                                    // SOI
+      b(0xFF, 0xDB, 0, 67, 0) ++ Array.fill(64)(16.toByte) ++ // DQT tq0, all 16
+      b(0xFF, 0xC0, 0, 11, 8, 0, 16, 0, 16, 1, 1, 0x11, 0) ++ // SOF0 16x16 1comp
+      (b(0xFF, 0xC4, 0, 21, 0x00) ++                      // DHT DC0
+        b(1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ b(0, 1)) ++
+      (b(0xFF, 0xC4, 0, 20, 0x10) ++                      // DHT AC0
+        b(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ b(0x00)) ++
+      b(0xFF, 0xDD, 0, 4, 0, 1) ++                        // DRI interval=1
+      b(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) ++        // SOS
+      b(0xAF, 0xFF, 0xD0, 0xAF, 0xFF, 0xD1, 0xAF, 0xFF, 0xD2, 0xAF) ++
+      b(0xFF, 0xD9)                                       // EOI
+    val Some((w, h, px)) = JpegDecoder.decodeRgb(stream)
+    assert(w === 16 && h === 16)
+    assert(px.forall(_ == 0x828282), // 130 everywhere ⇒ predictors reset
+      s"distinct pixel values: ${px.distinct.map(_.toHexString).mkString(",")}")
+    // the JDK's decoder agrees on the same hand-built bytes
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    assert(ref != null)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(ref.getRaster.getSample(x, y, 0) === 130, s"ImageIO at $x,$y")
+    val st = JpegDecoder.lumaStats(stream).get
+    assert(st.pixels === 256L && st.meanLumaX1000 === 130000L && st.peakLuma === 130)
+  }
+
+  test("JpegDecoder: scan-less header, truncation and bit-flip fuzz") {
+    import graft.sources.MediaSynth
+    val hdrOnly = MediaSynth.jpegBytes(33, 21)
+    assert(JpegDecoder.lumaStats(hdrOnly).isEmpty) // no entropy data
+    val f = Multimodal.decodeStub("u", hdrOnly)
+    assert(f.kind === "jpeg" && !f.decoded && f.width === 33 && f.height === 21)
+    // truncation: every prefix must decode-or-refuse without throwing,
+    // and anything cut inside the entropy stream must refuse
+    val base = MediaSynth.jpegPixelBytes(64, 48, gray = false)
+    (0 to base.length).foreach { k =>
+      val cut = java.util.Arrays.copyOf(base, k)
+      val r = JpegDecoder.lumaStats(cut) // no throw
+      // cuts in the last 4 bytes may only remove the EOI marker /
+      // entropy padding and can legitimately still decode; anything
+      // shorter is inside the entropy stream and MUST refuse
+      if (k < base.length - 4) assert(r.isEmpty, s"truncated at $k claimed decoded")
+    }
+    // bit-flip fuzz over header + entropy bytes: None or a decode, never
+    // a throw (2000 cases, seeded)
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val b = base.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      JpegDecoder.lumaStats(b)
+      Multimodal.decodeStub("u", b)
+    }
+    // garbage
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      JpegDecoder.lumaStats(b)
+    }
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)
