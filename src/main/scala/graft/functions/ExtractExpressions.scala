@@ -378,6 +378,8 @@ object GraftExtensions {
     "extract_meta" -> (args => ExtractMeta(args(0), args(1))),
     "html_node_count" -> (args => HtmlNodeCount(args.head)),
     "html_nodes" -> (args => HtmlNodes(args.head)),
+    "html_select" -> (args => HtmlSelect(args(0), args(1))),
+    "html_tables" -> (args => HtmlTables(args.head)),
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),

@@ -427,7 +427,176 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q76: CSS-SELECTOR query surface ([[graft.core.Selector]] through the
+    * `html_select` Generator) — the "give me `article > p a[href]`" API an
+    * HTML-parser user reaches for first. Certification is three-way per
+    * url: (1) the SQL Generator's `a[href]` match count equals the TYPED
+    * `Selector.select` count equals an INDEPENDENT relational derivation
+    * from the full `html_nodes` stream; (2) the same for a `[attr^=]`
+    * prefix test vs a relational LIKE; (3) structural containment
+    * invariants a correct matcher cannot violate (`article > p` ⊆
+    * `article p` ⊆ `p`, `nav li > a` ⊆ `li a`) plus list additivity
+    * (`p, a[href]` = `p` + `a[href]` — disjoint tags). Scale shape: one
+    * scanner pass per page per path, counts aggregate per url, the joins
+    * are url-keyed.
+    */
+  def q76Selectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_sel")
+    val viaSql = s.sql(
+      """SELECT p.url, count(m.idx) AS sql_a_href
+        |FROM pages_sel p LATERAL VIEW OUTER html_select(p.html, 'a[href]') m
+        |GROUP BY p.url""".stripMargin)
+    val rel = s.sql(
+      """SELECT url,
+        |  count(CASE WHEN lower(n.tag) = 'a' AND n.attrs['href'] IS NOT NULL
+        |        THEN 1 END) AS rel_a_href,
+        |  count(CASE WHEN lower(n.tag) = 'a' AND n.attrs['href'] LIKE '/cat/%'
+        |        THEN 1 END) AS rel_cat
+        |FROM pages_sel LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' GROUP BY url""".stripMargin)
+    val typed = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .map { p =>
+        val nodes = HtmlScanner.parse(
+          if (p.html == null) Array.emptyByteArray else p.html)
+        def c(q: String) = graft.core.Selector.select(nodes, q).length
+        (p.url, c("a[href]"), c("a[href^='/cat/']"), c("p"), c("article p"),
+          c("article > p"), c("li a"), c("nav li > a"), c("p, a[href]"))
+      }
+      .toDF("t_url", "t_a_href", "t_cat", "t_p", "t_art_p", "t_art_child_p",
+        "t_li_a", "t_nav_li_a", "t_p_or_a")
+    viaSql.join(rel, Seq("url"))
+      .join(typed, col("url") === col("t_url"))
+      .select(col("url"), col("sql_a_href"), col("t_cat").as("n_cat"),
+        col("t_p").as("n_p"), col("t_art_p").as("n_article_p"),
+        col("t_art_child_p").as("n_article_child_p"),
+        (col("sql_a_href") === col("t_a_href") &&
+          col("t_a_href") === col("rel_a_href") &&
+          col("t_cat") === col("rel_cat") &&
+          col("t_art_child_p") <= col("t_art_p") &&
+          col("t_art_p") <= col("t_p") &&
+          col("t_nav_li_a") <= col("t_li_a") &&
+          col("t_p_or_a") === col("t_p") + col("t_a_href")).as("sel_ok"))
+      .orderBy(col("url"))
+  }
+
+  /** q77: TABLE extraction ([[graft.core.TableExtractor]] through the
+    * `html_tables` Generator) — the structured-data leg of web mining.
+    * Truth is PLANTED: each synthesized doc renders known cell grids in
+    * three markup styles (well-formed with `thead`/`th`, sloppy with NO
+    * `</td>`/`</tr>` closes — the implicit-close path real crawl data
+    * exercises constantly — and colspan'd first columns), and the
+    * extracted (table, row, col, header, text) rows must reproduce the
+    * planted grid exactly, checked by a full-outer join (rows missing
+    * from either side fail the flag). Scale shape: stateless per-row
+    * explode, one (url, grid-key) join at planted-truth granularity.
+    */
+  def q77Tables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    // (url, html, expected cells) — grids are deterministic in the doc id
+    val docs = s.range(0L, 500L).as[Long].map { id =>
+      val sb = new java.lang.StringBuilder()
+      val exp = Seq.newBuilder[(Int, Int, Int, Boolean, String)]
+      sb.append("<html><body><p>prologue ").append(id).append("</p>")
+      val nTables = 1 + (id % 3).toInt
+      var t = 0
+      while (t < nTables) {
+        val rows = 2 + ((id + t) % 3).toInt
+        val cols = 2 + ((id + t) % 2).toInt
+        val style = ((id + t) % 3).toInt
+        sb.append("<table>")
+        if (style == 0) { // well-formed, thead + th header row
+          sb.append("<thead><tr>")
+          var k = 0
+          while (k < cols) {
+            sb.append("<th>h").append(id).append('-').append(t).append('-')
+              .append(k).append("</th>")
+            exp += ((t, 0, k, true, s"h$id-$t-$k"))
+            k += 1
+          }
+          sb.append("</tr></thead><tbody>")
+          var r = 1
+          while (r < rows) {
+            sb.append("<tr>")
+            k = 0
+            while (k < cols) {
+              sb.append("<td>v").append(id).append('-').append(t).append('-')
+                .append(r).append('-').append(k).append("</td>")
+              exp += ((t, r, k, false, s"v$id-$t-$r-$k"))
+              k += 1
+            }
+            sb.append("</tr>")
+            r += 1
+          }
+          sb.append("</tbody>")
+        } else if (style == 1) { // sloppy: no </td>, no </tr>
+          var r = 0
+          while (r < rows) {
+            sb.append("<tr>")
+            var k = 0
+            while (k < cols) {
+              sb.append("<td>v").append(id).append('-').append(t).append('-')
+                .append(r).append('-').append(k)
+              exp += ((t, r, k, false, s"v$id-$t-$r-$k"))
+              k += 1
+            }
+            r += 1
+          }
+        } else { // colspan'd first column: grid cols 0, 2, 3, …
+          var r = 0
+          while (r < rows) {
+            sb.append("<tr>")
+            var k = 0
+            var gc = 0
+            while (k < cols) {
+              if (k == 0) { sb.append("<td colspan=2>"); }
+              else sb.append("<td>")
+              sb.append('v').append(id).append('-').append(t).append('-')
+                .append(r).append('-').append(k).append("</td>")
+              exp += ((t, r, gc, false, s"v$id-$t-$r-$k"))
+              gc += (if (k == 0) 2 else 1)
+              k += 1
+            }
+            sb.append("</tr>")
+            r += 1
+          }
+        }
+        sb.append("</table>")
+        t += 1
+      }
+      sb.append("<p>epilogue &amp; ").append(id).append("</p></body></html>")
+      (s"table://doc/$id", sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        exp.result())
+    }.toDF("url", "html", "exp")
+    docs.createOrReplaceTempView("pages_tbl")
+    val got = s.sql(
+      """SELECT url, t.table_idx, t.row, t.col, t.header, t.text
+        |FROM pages_tbl LATERAL VIEW html_tables(html) t""".stripMargin)
+    val exp = docs.select(col("url").as("e_url"), explode(col("exp")).as("e"))
+      .select(col("e_url"), col("e._1").as("e_tbl"), col("e._2").as("e_row"),
+        col("e._3").as("e_col"), col("e._4").as("e_hdr"), col("e._5").as("e_text"))
+    got.join(exp,
+        col("url") === col("e_url") && col("table_idx") === col("e_tbl") &&
+          col("row") === col("e_row") && col("col") === col("e_col"), "full_outer")
+      .select(
+        coalesce(col("url"), col("e_url")).as("url"),
+        coalesce(col("table_idx"), col("e_tbl")).as("table_idx"),
+        coalesce(col("row"), col("e_row")).as("row"),
+        coalesce(col("col"), col("e_col")).as("col"),
+        coalesce(col("text"), col("e_text")).as("text"),
+        (col("url").isNotNull && col("e_url").isNotNull &&
+          col("header") === col("e_hdr") && col("text") === col("e_text"))
+          .as("tbl_ok"))
+      .orderBy(col("url"), col("table_idx"), col("row"), col("col"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_tables" -> q77Tables _,
+    "q76_selectors" -> q76Selectors _,
     "q74_markdown" -> q74Markdown _,
     "q71_link_graph" -> q71LinkGraph _,
     "q72_link_rank" -> q72LinkRank _,

@@ -56,7 +56,9 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q72_link_rank" -> "rank_ok",
       "q73_frontier" -> "frontier_ok",
       "q74_markdown" -> "md_ok",
-      "q75_compress_quality" -> "compress_ok")
+      "q75_compress_quality" -> "compress_ok",
+      "q76_selectors" -> "sel_ok",
+      "q77_tables" -> "tbl_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
