@@ -594,7 +594,148 @@ object PagesOps {
       .orderBy(col("url"), col("table_idx"), col("row"), col("col"))
   }
 
+  /** q78: RSS/Atom FEED parsing ([[graft.core.FeedParser]]) — the
+    * freshness-discovery leg of a crawl pipeline (poll feeds between full
+    * crawls, frontier the new links). Truth is PLANTED: each synthesized
+    * doc renders a known item list as either RSS 2.0 (CDATA titles,
+    * guid-or-link fallback, pubDate) or Atom (href-attribute links with a
+    * rel=self decoy before the alternate, updated timestamps), and every
+    * parsed field must reproduce the planted item exactly via a
+    * full-outer join on (url, item ordinal). Scale shape: stateless
+    * per-row parse, one planted-grain join.
+    */
+  def q78Feeds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.range(0L, 400L).as[Long].map { id =>
+      val atom = id % 2 == 1
+      val n = 1 + (id % 4).toInt
+      val sb = new java.lang.StringBuilder()
+      val exp = Seq.newBuilder[(Int, String, String, String, String, String)]
+      if (atom) {
+        sb.append("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>feed ")
+          .append(id).append("</title>\n")
+        var k = 0
+        while (k < n) {
+          val link = s"https://f$id.example/e$k"
+          sb.append("<entry><title>entry ").append(id).append('-').append(k)
+            .append("</title><id>tag:f").append(id).append(':').append(k)
+            .append("</id><link href=\"https://f").append(id)
+            .append(".example/self\" rel=\"self\"/><link href=\"").append(link)
+            .append("\" rel=\"alternate\"/><updated>2024-01-0")
+            .append(1 + k % 9).append("T00:00:00Z</updated><summary>s")
+            .append(k).append("</summary></entry>\n")
+          exp += ((k, s"entry $id-$k", link, s"tag:f$id:$k",
+            s"2024-01-0${1 + k % 9}T00:00:00Z", s"s$k"))
+          k += 1
+        }
+        sb.append("</feed>")
+      } else {
+        sb.append("<rss version=\"2.0\"><channel><title>feed ").append(id)
+          .append("</title>\n")
+        var k = 0
+        while (k < n) {
+          val link = s"https://f$id.example/p$k"
+          val hasGuid = k % 2 == 1
+          sb.append("<item><title><![CDATA[post ").append(id).append('-')
+            .append(k).append(" & more]]></title><link>").append(link)
+            .append("</link>")
+          if (hasGuid) sb.append("<guid>g-").append(id).append('-').append(k).append("</guid>")
+          sb.append("<pubDate>Mon, 0").append(1 + k % 9)
+            .append(" Jan 2024 00:00:00 GMT</pubDate><description>d &amp; ")
+            .append(k).append("</description></item>\n")
+          exp += ((k, s"post $id-$k & more", link,
+            if (hasGuid) s"g-$id-$k" else link,
+            s"Mon, 0${1 + k % 9} Jan 2024 00:00:00 GMT", s"d & $k"))
+          k += 1
+        }
+        sb.append("</channel></rss>")
+      }
+      (s"feed://doc/$id", if (atom) "atom" else "rss", s"feed $id",
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        exp.result())
+    }.toDF("url", "exp_kind", "exp_title", "xml", "exp")
+    val parsed = docs.select(col("url").as("p_url"), col("xml")).as[(String, Array[Byte])]
+      .flatMap { case (u, xml) =>
+        val f = graft.core.FeedParser.parse(xml)
+        f.items.zipWithIndex.map { case (it, k) =>
+          (u, f.kind, f.title, k, it.title, it.link, it.id, it.ts, it.summary)
+        }
+      }
+      .toDF("p_url", "kind", "title", "k", "i_title", "i_link", "i_id", "i_ts", "i_sum")
+    val exp = docs.select(col("url"), col("exp_kind"), col("exp_title"),
+        explode(col("exp")).as("e"))
+      .select(col("url"), col("exp_kind"), col("exp_title"),
+        col("e._1").as("e_k"), col("e._2").as("e_title"), col("e._3").as("e_link"),
+        col("e._4").as("e_id"), col("e._5").as("e_ts"), col("e._6").as("e_sum"))
+    exp.join(parsed, col("url") === col("p_url") && col("e_k") === col("k"), "full_outer")
+      .select(
+        coalesce(col("url"), col("p_url")).as("url"),
+        coalesce(col("e_k"), col("k")).as("item"),
+        coalesce(col("i_link"), col("e_link")).as("link"),
+        (col("url").isNotNull && col("p_url").isNotNull &&
+          col("kind") === col("exp_kind") && col("title") === col("exp_title") &&
+          col("i_title") === col("e_title") && col("i_link") === col("e_link") &&
+          col("i_id") === col("e_id") && col("i_ts") === col("e_ts") &&
+          col("i_sum") === col("e_sum")).as("feed_ok"))
+      .orderBy(col("url"), col("item"))
+  }
+
+  /** q79: CHARSET sniff + transcode ([[graft.core.CharsetSniffer]]) made
+    * first-class — real crawl corpora are NOT all UTF-8 (the input_hint's
+    * Common-Crawl shape), and a wrong decode silently corrupts every
+    * downstream hash/dedup/token op. Truth is PLANTED: the same known
+    * text is rendered in five wire forms (bare UTF-8; BOM'd UTF-8 with a
+    * meta tag; meta-declared ISO-8859-1; http-equiv windows-1252 with a
+    * €-sign that only cp1252 maps at 0x80; BOM'd UTF-16LE), and per doc
+    * the sniffed name must equal the planted declaration AND the full
+    * extract(toUtf8(bytes)) must be byte-identical to extracting the
+    * UTF-8 reference rendering — transcode-then-scan equals
+    * native-UTF-8-scan, end to end. Scale shape: stateless per-row.
+    */
+  def q79Charset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(0L, 500L).as[Long].map { id =>
+      val style = (id % 5).toInt
+      // Latin-1-encodable base text; € only where the charset can carry it
+      val text = s"Café número $id - piñata ${id * 7}" +
+        (if (style != 2) " €9" else " E9")
+      def page(decl: String) =
+        s"<html><head>$decl<title>T$id</title></head><body><nav>skip</nav>" +
+          s"<p>$text</p></body></html>"
+      val utf8Ref = page("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (bytes, expSniff) = style match {
+        case 0 => (utf8Ref, "")
+        case 1 =>
+          val body = page("<meta charset=\"utf-8\">")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ body, "utf-8")
+        case 2 =>
+          (page("<meta charset=iso-8859-1>")
+            .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")), "iso-8859-1")
+        case 3 =>
+          (page("<meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=windows-1252\">")
+            .getBytes(java.nio.charset.Charset.forName("windows-1252")), "windows-1252")
+        case _ =>
+          val body = page("").getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          (Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body, "utf-16le")
+      }
+      val sniffed = graft.core.CharsetSniffer.sniff(bytes)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+      val got = graft.core.Extractor.extractBytes(
+        graft.core.CharsetSniffer.toUtf8(bytes)).text
+      val want = graft.core.Extractor.extractBytes(utf8Ref).text
+      // the declaration tag itself must not leak into the extraction
+      (s"charset://doc/$id", style, sniffed, got.length,
+        sniffed == expSniff && got == want && got.contains("Café") &&
+          !got.contains("charset"))
+    }.toDF("url", "style", "sniffed", "text_chars", "charset_ok")
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_charset" -> q79Charset _,
+    "q78_feeds" -> q78Feeds _,
     "q77_tables" -> q77Tables _,
     "q76_selectors" -> q76Selectors _,
     "q74_markdown" -> q74Markdown _,

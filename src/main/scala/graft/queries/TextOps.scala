@@ -802,7 +802,100 @@ object TextOps {
   private val SimBandBits = 16
   private val SimBands = SimBits / SimBandBits
 
+  /** q80: n-gram LANGUAGE IDENTIFICATION (Cavnar & Trenkle 1994 rank-order
+    * profiles — the public classic behind practical langid) as a PURELY
+    * RELATIONAL pipeline: character trigrams via codegen'd
+    * `sequence → transform → explode → substring` (no UDF), per-language
+    * rank profiles from a labeled training half (one (lang, gram)
+    * HashAggregate + a WindowGroupLimit top-K), held-out documents scored
+    * by out-of-place distance (doc-profile join on the BROADCAST language
+    * profiles, one (doc, lang) aggregate, argmin via max_by packing).
+    * Truth is PLANTED: four synthetic languages with deterministic
+    * disjoint-syllable vocabularies generated in-query; `lang_ok` demands
+    * the held-out prediction equal the planted label for EVERY doc (the
+    * languages are separable by construction, so anything below 100% is a
+    * real defect). q18 stays the cheap heuristic; this is the trainable
+    * production path. Scale shape: profiles are K×L rows (broadcast);
+    * the corpus pays one gram aggregate and one profile join — the same
+    * shuffles at any corpus size.
+    */
+  def q80LangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val langs = Array("aa", "bb", "cc", "dd")
+    val syll = Map(
+      "aa" -> Array("ka", "to", "ri", "mu", "sen"),
+      "bb" -> Array("vel", "dor", "ba", "gu", "ne"),
+      "cc" -> Array("zhi", "pa", "lo", "wen", "cu"),
+      "dd" -> Array("fy", "ster", "ej", "ulf", "om"))
+    val docs = s.range(0L, 1200L).as[Long].map { id =>
+      val lang = langs((id % 4).toInt)
+      val sy = syll(lang)
+      val r = new scala.util.Random(id * 2654435761L)
+      val words = (0 until (40 + r.nextInt(40))).map { _ =>
+        // shared connective sprinkled in so separation isn't trivial
+        if (r.nextInt(7) == 0) "na"
+        else (0 to r.nextInt(2) + 1).map(_ => sy(r.nextInt(sy.length))).mkString
+      }
+      // split by id%8 BLOCK so train/held-out each cover all four labels
+      // (an id%2 split would alias with the id%4 label assignment)
+      (id, lang, id % 8 < 4, words.mkString(" "))
+    }.toDF("doc_id", "lang", "is_train", "text")
+      .localCheckpoint() // generated once; grams/profiles reuse it
+    val grams = docs.select(col("doc_id"), col("lang"), col("is_train"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .filter(length(col("gram")) === 3)
+    val kLang = 220
+    val kDoc = 100
+    val wL = Window.partitionBy(col("p_lang"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val langProf = grams.filter(col("is_train"))
+      .groupBy(col("lang").as("p_lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lrank", row_number().over(wL))
+      .filter(col("lrank") <= kLang)
+      .select(col("p_lang"), col("gram"), col("lrank"))
+    val wD = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dcnt").desc, col("gram").asc)
+    val docProf = grams.filter(!col("is_train"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("dcnt"))
+      .withColumn("drank", row_number().over(wD))
+      .filter(col("drank") <= kDoc)
+      .select(col("doc_id"), col("gram"), col("drank"))
+    val docK = docProf.groupBy(col("doc_id")).agg(count(lit(1)).as("dk"))
+    // out-of-place distance per (doc, lang): matched grams contribute
+    // |drank - lrank|, unmatched doc grams the max penalty kLang
+    val scored = docProf
+      .join(broadcast(langProf), Seq("gram"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(abs(col("drank") - col("lrank"))).as("matchedDist"),
+        count(lit(1)).as("matched"))
+      .join(docK, Seq("doc_id"))
+      .select(col("doc_id"), col("p_lang"),
+        (col("matchedDist") + (col("dk") - col("matched")) * kLang).as("oop"))
+    // argmin by packing (lower oop wins; lang index breaks exact ties
+    // deterministically): min over oop*8 + langIdx
+    val langIdx = when(col("p_lang") === "aa", 0).when(col("p_lang") === "bb", 1)
+      .when(col("p_lang") === "cc", 2).otherwise(3)
+    val pred = scored
+      .select(col("doc_id"), (col("oop") * 8 + langIdx).as("packed"))
+      .groupBy(col("doc_id")).agg(min(col("packed")).as("best"))
+      .select(col("doc_id"),
+        element_at(typedLit(langs.toSeq), (col("best") % 8).cast("int") + 1)
+          .as("pred"))
+    docs.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("pred"),
+        (col("pred").isNotNull && col("pred") === col("lang")).as("lang_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_langid_ngram" -> q80LangIdNgram _,
     "q15_dedup_exact" -> q15DedupExact _,
     "q16_token_stats" -> q16TokenStats _,
     "q17_quality_score" -> q17QualityScore _,

@@ -58,7 +58,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q74_markdown" -> "md_ok",
       "q75_compress_quality" -> "compress_ok",
       "q76_selectors" -> "sel_ok",
-      "q77_tables" -> "tbl_ok")
+      "q77_tables" -> "tbl_ok",
+      "q78_feeds" -> "feed_ok",
+      "q79_charset" -> "charset_ok",
+      "q80_langid_ngram" -> "lang_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
