@@ -385,6 +385,7 @@ object GraftExtensions {
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
     "url_canon" -> (args => UrlCanonExpr(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
+    "graft_cms_estimate" -> (args => CmsEstimate(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cos" -> (args => VecCos(args(0), args(1))),
     "vec_sqdist" -> (args => VecSqDist(args(0), args(1))),

@@ -616,6 +616,130 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q81: PII detection + redaction — the scrub every published web-corpus
+    * pipeline runs before release (emails, IPv4 addresses, US-style phone
+    * numbers; cf. the redaction pass described for BigScience ROOTS and
+    * C4's cleanup). The corpus is synthetic and PII-free, so the query
+    * PLANTS deterministic PII derived from doc_id (3 of 4 residue classes
+    * get emails / IPs / phones; class 3 stays clean) — both engines derive
+    * the same wire text, so the DuckDB oracle checks detection counts AND
+    * the md5 of the redacted text byte-for-byte.
+    *
+    * Regex compatibility (Java on the Spark side, RE2 in DuckDB): the
+    * patterns use only shared syntax — explicit classes, bounded repeats,
+    * ASCII `\b` — same discipline as [[WS]]. Redaction order is fixed
+    * (email → IP → phone) and each count is taken at the same stage on
+    * both sides, so partially-overlapping matches cannot diverge.
+    *
+    * Scale: a stateless per-row projection (regex inside whole-stage
+    * codegen); the only shuffle is the ORDER BY at the query edge. At
+    * 100 TB this runs at scan speed alongside extraction.
+    */
+  def q81PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val id = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val planted = when(pmod(id, lit(4)) === 0,
+        concat(col("text"), lit(" Contact bob"), str(id),
+          lit("@mail-example.org or sue.smith+"), str(id),
+          lit("@corp.example.com now.")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(col("text"), lit(" Host 10."), str(pmod(id, lit(200))),
+          lit("."), str(pmod(id * 7, lit(250))),
+          lit(".42 and 192.168.1."), str(pmod(id, lit(255))), lit(" up.")))
+      .when(pmod(id, lit(4)) === 2,
+        concat(col("text"), lit(" Call 415-555-"),
+          str(lit(1000) + pmod(id, lit(9000))), lit(" or 212-555-"),
+          str(lit(1000) + pmod(id * 3, lit(9000))), lit(".")))
+      .otherwise(col("text"))
+    val noEmail = regexp_replace(planted, emailRe, "<EMAIL>")
+    val red = regexp_replace(
+      regexp_replace(noEmail, ipRe, "<IP>"), phoneRe, "<PHONE>")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), planted.as("t"), noEmail.as("ne"), red.as("red"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("ne"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("red"), lit("<PHONE>")).cast("long").as("n_phone"),
+        length(col("red")).cast("long").as("red_chars"),
+        md5s(col("red")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q82: heavy-hitter tokens via a COUNT-MIN-SKETCH pre-filter
+    * ([[graft.functions.CmsBuild]]) in front of the exact aggregate — the
+    * frequency analog of q64's Bloom join pruning, and the shape a 100 TB
+    * vocabulary scan needs: the exact "count every token, keep cnt ≥ T"
+    * plan shuffles the ENTIRE corpus on a key space as large as the
+    * vocabulary; this plan builds a constant-size sketch in one
+    * map-combined pass (32 KB state, elementwise-add merge), broadcasts
+    * it as a scalar, and drops every token occurrence whose estimated
+    * count is below T INSIDE the scan stage (`graft_cms_estimate` is
+    * codegen'd) — only candidate-token rows reach the groupBy shuffle.
+    *
+    * Exactness is structural: CMS never underestimates, so the estimate
+    * filter passes a SUPERSET of the true heavy hitters, and the exact
+    * count + HAVING downstream removes the false positives — the DuckDB
+    * oracle is the PLAIN exact aggregate, and oracle equality IS the
+    * no-false-negative proof (same certification pattern as q64).
+    */
+  def q82CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val thr = 40L
+    val tk = tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = tk.agg(graft.functions.CmsBuild
+      .udafColumn(xxhash64(col("tok")), depth = 4, width = 1024).as("cms"))
+    tk.crossJoin(broadcast(sketch))
+      .where(call_function("graft_cms_estimate", col("cms"), xxhash64(col("tok"))) >= thr)
+      .drop("cms")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .orderBy(col("tok"))
+  }
+
+  /** q84: held-out-LM perplexity quality scoring — the CCNet-style filter
+    * (Wenzek et al., LREC 2020): train a unigram LM on a deterministic
+    * 80% split (doc_id % 5 != 0), score EVERY document's cross-entropy
+    * under add-one smoothing, and flag low-perplexity docs as kept.
+    * Unlike q55 (self-corpus surprisal), the model here is held-out, so
+    * out-of-vocabulary tokens exist and are charged the smoothed floor
+    * probability 1/(total+V) — the `oov` column counts them.
+    *
+    * Integer determinism: bits = bitlen(total+V) − bitlen(cnt+1), the
+    * same floor-log₂ surrogate q55 established (identical `bin()` in
+    * Spark and DuckDB); ratios ship as `*_x100` BIGINTs.
+    *
+    * Scale: the vocabulary side is explicitly BROADCAST (Zipf-head skew —
+    * same defense as q55/q56, plan-asserted in QueriesSpec); the corpus
+    * pays one explode and one doc-keyed map-combined aggregate regardless
+    * of model size. If the vocab outgrows broadcast range, salt the hot
+    * head (the implemented [[AdvancedOps.saltedJoin]] fallback).
+    */
+  def q84Perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val tk = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tk.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // model-size stats from the vocab table, not a corpus re-scan
+    val stats = freq.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    val bits = length(bin(col("total") + col("vocab"))) -
+      length(bin(coalesce(col("cnt"), lit(0L)) + 1))
+    tk.join(broadcast(freq), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"),
+        sum(when(col("cnt").isNull, 1).otherwise(0)).cast("long").as("oov"),
+        sum(bits.cast("long")).as("ppl_bits"))
+      .select(col("doc_id"), col("words"), col("oov"), col("ppl_bits"),
+        round(lit(100.0) * col("ppl_bits") / col("words"))
+          .cast("long").as("avg_bits_x100"))
+      .withColumn("kept", col("avg_bits_x100") <= 1100)
+      .orderBy(col("doc_id"))
+  }
+
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
@@ -921,6 +1045,9 @@ object TextOps {
     "q67_stratified_sample" -> q67StratifiedSample _,
     "q69_crawl_delta" -> q69CrawlDelta _,
     "q70_span_dedup" -> q70SpanDedup _,
+    "q81_pii_redact" -> q81PiiRedact _,
+    "q82_cms_heavy" -> q82CmsHeavy _,
+    "q84_perplexity" -> q84Perplexity _,
   )
 
   private val dkTokens = """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -1147,6 +1274,48 @@ object TextOps {
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
     "q64_bloom_decontaminate" -> decontamOracleSql,
+    "q81_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN text || ' Contact bob' || doc_id || '@mail-example.org or sue.smith+' || doc_id || '@corp.example.com now.'
+        |      WHEN 1 THEN text || ' Host 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 250) || '.42 and 192.168.1.' || (doc_id % 255) || ' up.'
+        |      WHEN 2 THEN text || ' Call 415-555-' || (1000 + doc_id % 9000) || ' or 212-555-' || (1000 + (doc_id * 3) % 9000) || '.'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(ne, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(red, '<PHONE>')) AS BIGINT) AS n_phone,
+        |  CAST(length(red) AS BIGINT) AS red_chars,
+        |  md5(red) AS red_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q82_cms_heavy" ->
+      s"""WITH tk AS (SELECT unnest($dkTokens) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS cnt FROM tk
+         |GROUP BY tok HAVING COUNT(*) >= 40 ORDER BY tok""".stripMargin,
+    "q84_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk WHERE doc_id % 5 <> 0 GROUP BY tok),
+         |st AS (SELECT SUM(cnt) + COUNT(*) AS tv FROM freq),
+         |sc AS (
+         |  SELECT tk.doc_id, COUNT(*) AS words,
+         |    CAST(SUM(CASE WHEN f.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+         |    CAST(SUM(length(bin((SELECT tv FROM st))) - length(bin(COALESCE(f.cnt, 0) + 1))) AS BIGINT) AS ppl_bits
+         |  FROM tk LEFT JOIN freq f USING (tok)
+         |  GROUP BY tk.doc_id)
+         |SELECT doc_id, words, oov, ppl_bits,
+         |  CAST(round(100.0 * ppl_bits / words) AS BIGINT) AS avg_bits_x100,
+         |  (CAST(round(100.0 * ppl_bits / words) AS BIGINT) <= 1100) AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q70_span_dedup" ->
       s"""WITH b AS (
          |  SELECT doc_id, $dkTokens AS tk, len($dkTokens) AS n FROM documents),

@@ -277,6 +277,57 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     BloomOps.contains(new Array[Byte](24), -7L) // all-zero words: no throw
   }
 
+  test("cms sketch: never underestimates, merge-safe, mostly-exact when sparse") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    // Zipf-ish multiset: key i appears ~1000/(i+1) times
+    val keys = (0 until 200).flatMap(i => Seq.fill(1000 / (i + 1))(rnd.nextLong()
+      * 0 + i * 0x9E3779B97F4A7C15L)) // deterministic distinct hashes
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // distributed build across 8 partitions == the merge path is exercised
+    val sketch = keys.toDF("h").repartition(8)
+      .agg(CmsBuild.udafColumn(org.apache.spark.sql.functions.col("h"),
+        depth = 4, width = 1024))
+      .collect()(0).getAs[Array[Byte]](0)
+    // the exactness contract: estimate >= true count, ALWAYS
+    truth.foreach { case (h, n) =>
+      assert(CmsOps.estimate(sketch, h) >= n, s"underestimate on $h") }
+    // sparse load (200 distinct keys into 4x1024 counters): most estimates
+    // exact; overestimate bounded by the total stream length
+    val total = keys.size.toLong
+    val exact = truth.count { case (h, n) => CmsOps.estimate(sketch, h) == n }
+    assert(exact >= 180, s"only $exact/200 exact at sparse load")
+    truth.foreach { case (h, n) =>
+      assert(CmsOps.estimate(sketch, h) <= n + total, s"wild overestimate on $h") }
+    // single-partition build == merged build (addition is order-free)
+    val one = keys.toDF("h").coalesce(1)
+      .agg(CmsBuild.udafColumn(org.apache.spark.sql.functions.col("h"),
+        depth = 4, width = 1024))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sketch, one), "merge path diverges from single build")
+    // malformed sketches answer permissive MaxValue (pre-filter may never
+    // drop a potential heavy hitter)
+    assert(CmsOps.estimate(null, 1L) == Long.MaxValue)
+    assert(CmsOps.estimate(Array[Byte](1, 2, 3), 1L) == Long.MaxValue)
+    assert(CmsOps.estimate(new Array[Byte](24), -7L) == Long.MaxValue) // d=0
+  }
+
+  test("q82 cms pre-filter returns exactly the plain exact aggregate; probe in codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exactDf = docs
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 40).orderBy(col("tok"))
+    val a = exactDf.collect().map(_.toSeq).toSeq
+    val b = TextOps.q82CmsHeavy(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+    val plan = TextOps.q82CmsHeavy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_estimate"), plan.take(800))
+  }
+
   test("q64 bloom pre-filter returns exactly q60's rows; probe stays in codegen") {
     val a = TextOps.q60Decontaminate(spark, sfDir).collect().map(_.toSeq).toSeq
     val b = TextOps.q64BloomDecontaminate(spark, sfDir).collect().map(_.toSeq).toSeq
