@@ -56,6 +56,9 @@ object ExtractOps {
   def urlCanon(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.UrlCanon.canonicalize(s.toString))
 
+  def surtKey(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.Surt.key(s.toString))
+
   def nfcNormalize(s: UTF8String): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
@@ -355,6 +358,29 @@ case class UrlCanonExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `surt_key(s string) → string` — web-archive SURT key
+  * ([[graft.core.Surt]]): canonicalize, drop scheme/userinfo, strip one
+  * leading `www.`, reverse host labels comma-joined, keep non-default
+  * port, then `)path?query`. The sort key CDX(J) indexes use so one
+  * domain's URLs are one contiguous key range. Codegen'd, never throws.
+  */
+case class SurtKey(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "surt_key"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.surtKey(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.surtKey($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SurtKey =
+    copy(child = newChild)
+}
+
 /** Registers the extraction functions into a session's FunctionRegistry —
   * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
   * SQL-first users of the engine.
@@ -384,6 +410,7 @@ object GraftExtensions {
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
     "url_canon" -> (args => UrlCanonExpr(args.head)),
+    "surt_key" -> (args => SurtKey(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
     "graft_cms_estimate" -> (args => CmsEstimate(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),

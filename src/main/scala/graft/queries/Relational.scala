@@ -600,8 +600,42 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q83: SURT index keys ([[graft.core.Surt]], codegen'd `surt_key`) —
+    * the web-archive sort key CDX(J) indexes use: reversed comma-joined
+    * host after canonicalization, `www.` alias stripped, non-default port
+    * kept, scheme dropped. Planted urls exercise every rule: mixed-case
+    * scheme/host, a `www.` prefix on doc%3==0, a 4th host label on %5==0,
+    * `:80` (dropped) vs `:8080` (kept), and percent-encodings the
+    * canonicalizer must normalize (`%2f`→`%2F`, `%7e`→`~`). The DuckDB
+    * oracle derives the key INDEPENDENTLY — generic
+    * `list_reverse(string_split(host,'.'))`, not a hard-coded literal —
+    * so label reversal, www-strip, port policy, and the embedded
+    * canonicalization are all value-checked per row.
+    *
+    * Scale: stateless per-row projection (WSCG); sorting by `surt`
+    * instead of raw url is what turns "all of example.com" into one
+    * contiguous range scan of a 100 TB crawl index.
+    */
+  def q83SurtKeys(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val www = when(col("l_orderkey") % 3 === 0, lit("www.")).otherwise(lit(""))
+    val sub = when(col("l_orderkey") % 5 === 0, lit("Static.")).otherwise(lit(""))
+    val port = when(col("l_orderkey") % 4 === 0, lit(":8080"))
+      .when(col("l_orderkey") % 4 === 1, lit(":80")).otherwise(lit(""))
+    val url = concat(lit("HTTP://"), www, sub,
+      lit("Sup"), (col("l_suppkey") % 50).cast("string"), lit(".Example.COM"),
+      port, lit("/o%2fr%7e/"), col("l_orderkey").cast("string"),
+      lit("?item="), col("l_linenumber").cast("string"))
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        call_function("surt_key", url).as("surt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_politeness_schedule" -> q66PolitenessSchedule _,
+    "q83_surt_keys" -> q83SurtKeys _,
     "q73_frontier" -> q73Frontier _,
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
@@ -631,6 +665,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_surt_keys" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    lower(CASE WHEN l_orderkey % 5 = 0 THEN 'static.' ELSE '' END
+        |      || 'sup' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com') AS host,
+        |    CASE WHEN l_orderkey % 4 = 0 THEN ':8080' ELSE '' END AS prt,
+        |    '/o%2Fr~/' || CAST(l_orderkey AS VARCHAR) ||
+        |      '?item=' || CAST(l_linenumber AS VARCHAR) AS rest
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  array_to_string(list_reverse(string_split(host, '.')), ',')
+        |    || prt || ')' || rest AS surt
+        |FROM u ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q66_politeness_schedule" ->
       """WITH d AS (
         |  SELECT h, CASE WHEN h % 4 = 0 THEN 9000
