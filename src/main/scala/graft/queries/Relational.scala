@@ -633,9 +633,44 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q85: SURT-index build + pruned prefix lookup
+    * ([[graft.sources.SurtIndex]]) — the same url derivation as q83 is
+    * range-shuffled into a SURT-sorted parquet index with a per-file
+    * key-range manifest, then "every URL of host sup7.example.com and its
+    * subdomains" is answered by reading ONLY the manifest-qualifying
+    * files. The DuckDB oracle recomputes the SURT keys independently
+    * (q83's generic derivation) and applies the prefix as a LIKE over the
+    * FULL table — oracle equality proves the pruned read loses nothing.
+    * SurtIndexSpec additionally asserts the pruning itself (subset of
+    * files touched, disjoint manifest ranges).
+    *
+    * Scale: one range shuffle at build; lookups schedule tasks for the
+    * 2–3 matching files of a 100 TB index, not all of them.
+    */
+  def q85SurtLookup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val www = when(col("l_orderkey") % 3 === 0, lit("www.")).otherwise(lit(""))
+    val sub = when(col("l_orderkey") % 5 === 0, lit("Static.")).otherwise(lit(""))
+    val port = when(col("l_orderkey") % 4 === 0, lit(":8080"))
+      .when(col("l_orderkey") % 4 === 1, lit(":80")).otherwise(lit(""))
+    val url = concat(lit("HTTP://"), www, sub,
+      lit("Sup"), (col("l_suppkey") % 50).cast("string"), lit(".Example.COM"),
+      port, lit("/o%2fr%7e/"), col("l_orderkey").cast("string"),
+      lit("?item="), col("l_linenumber").cast("string"))
+    val src = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), url.as("url"))
+    val out = java.nio.file.Files.createTempDirectory("graft-surtindex")
+      .toString
+    graft.sources.SurtIndex.build(s, src, "url", out, 8)
+    graft.sources.SurtIndex.lookupPrefix(s, out, "com,example,sup7")
+      .select(col("l_orderkey"), col("l_linenumber"), col("surt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_politeness_schedule" -> q66PolitenessSchedule _,
     "q83_surt_keys" -> q83SurtKeys _,
+    "q85_surt_lookup" -> q85SurtLookup _,
     "q73_frontier" -> q73Frontier _,
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
@@ -665,6 +700,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_surt_lookup" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    lower(CASE WHEN l_orderkey % 5 = 0 THEN 'static.' ELSE '' END
+        |      || 'sup' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com') AS host,
+        |    CASE WHEN l_orderkey % 4 = 0 THEN ':8080' ELSE '' END AS prt,
+        |    '/o%2Fr~/' || CAST(l_orderkey AS VARCHAR) ||
+        |      '?item=' || CAST(l_linenumber AS VARCHAR) AS rest
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    array_to_string(list_reverse(string_split(host, '.')), ',')
+        |      || prt || ')' || rest AS surt
+        |  FROM u)
+        |SELECT l_orderkey, l_linenumber, surt FROM k
+        |WHERE surt LIKE 'com,example,sup7%'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q83_surt_keys" ->
       """WITH u AS (
         |  SELECT l_orderkey, l_linenumber,
