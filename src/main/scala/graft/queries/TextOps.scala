@@ -198,6 +198,102 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Distributed sequence packing — the "concat-and-chunk" layout step
+    * that turns a curated corpus into fixed-length training sequences:
+    * documents are concatenated in global `doc_id` order and the token
+    * stream is cut every `seqLen` tokens, so each document occupies
+    * `[start_off, start_off+tok_len)` of the stream and spans sequences
+    * `first_seq..last_seq`.
+    *
+    * The global running offset is a prefix sum, computed in the SCALABLE
+    * two-level form instead of one `Window.orderBy(doc_id)` (which moves
+    * the whole corpus to a single reducer): documents land in contiguous
+    * doc_id-range buckets, each bucket computes its local cumulative sum
+    * in parallel, and only the B bucket TOTALS (B ≈ parallelism, a
+    * few-hundred-row table) pay a single-partition window before being
+    * broadcast back as per-bucket offsets. The DuckDB oracle computes the
+    * straight global window — equality proves the decomposition exact.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, buckets: Int): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("tok_len"))
+    val r = lens.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) return lens.select(col("doc_id"), col("tok_len"),
+      lit(0L).as("start_off"), lit(0L).as("first_seq"),
+      lit(0L).as("last_seq"), lit(0L).as("n_seqs"))
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    val bucketed = lens.withColumn("bucket",
+      expr(s"((doc_id - $lo) * $buckets) div $span"))
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val local = bucketed.withColumn("local_end",
+      sum(col("tok_len")).over(localW))
+    // B rows total: the only single-partition window in the plan
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("tok_len")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(offW), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("start_off", col("boff") + col("local_end") - col("tok_len"))
+      .withColumn("first_seq", expr(s"start_off div ${seqLen}L"))
+      .withColumn("last_seq", when(col("tok_len") > 0,
+        expr(s"(start_off + tok_len - 1) div ${seqLen}L"))
+        .otherwise(col("first_seq")))
+      .withColumn("n_seqs", when(col("tok_len") > 0,
+        col("last_seq") - col("first_seq") + 1).otherwise(lit(0L)))
+      .select(col("doc_id"), col("tok_len"), col("start_off"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+  }
+
+  /** q86: sequence packing over the documents table at seqLen=512 —
+    * see [[packSequences]]; the oracle is the straight global-window
+    * form, so every offset/boundary of the distributed decomposition is
+    * value-checked.
+    */
+  def q86SeqPack(s: SparkSession, dir: String): DataFrame =
+    packSequences(tbl(s, dir, "documents"), 512, 8)
+      .orderBy(col("doc_id"))
+
+  /** q87: HyperLogLog distinct sketches
+    * ([[graft.functions.HllBuild]]/[[graft.functions.HllUnion]]) — per
+    * (lang, source) distinct-text cardinality as a constant-size mergeable
+    * sketch, PLUS a total row whose sketch is the UNION of the group
+    * sketches (never re-reads the documents — the manifest-rollup path).
+    * The exact `countDistinct` twin rides along only as verification:
+    * `hll_ok` asserts every estimate within 5 % (+3 absolute for tiny
+    * groups) of exact, including the rolled-up total. Production keeps the
+    * sketch column and drops the exact twin — that is the point: at 100 TB
+    * the exact form shuffles every distinct key, the sketch form shuffles
+    * 4 KiB per group and yesterday's sketches union with today's for free.
+    */
+  def q87HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val d = tbl(s, dir, "documents")
+      .select(col("lang"), col("source"), xxhash64(col("text")).as("h"))
+    val groups = d.groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("h")).as("exact_distinct"),
+        graft.functions.HllBuild.udafColumn(col("h"), 12).as("sketch"))
+    val globalExact = d.agg(countDistinct(col("h")).as("exact_distinct"))
+    val total = groups
+      .agg(graft.functions.HllUnion.udafColumn(col("sketch")).as("sketch"))
+      .crossJoin(globalExact) // both sides are ONE row
+      .select(lit("*").as("lang"), lit("*").as("source"),
+        col("exact_distinct"), col("sketch"))
+    groups.select(col("lang"), col("source"), col("exact_distinct"), col("sketch"))
+      .unionByName(total)
+      .withColumn("est", call_function("hll_estimate", col("sketch")))
+      .withColumn("hll_ok",
+        abs(col("est") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05 + 3)
+      .select(col("lang"), col("source"), col("exact_distinct"),
+        col("est"), col("hll_ok"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Deterministic train/val/test split assignment — the held-out-split
     * operator every training pipeline needs: bucket = first 16 md5 bits of
     * the doc id mod 100, split by 80/10/10 ranges. Hash-based (not random)
@@ -1034,6 +1130,8 @@ object TextOps {
     "q50_quality_gopher" -> q50QualityGopher _,
     "q51_corpus_kept" -> q51CorpusKept _,
     "q54_hash_split" -> q54HashSplit _,
+    "q86_seq_pack" -> q86SeqPack _,
+    "q87_hll_distinct" -> q87HllDistinct _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
@@ -1201,6 +1299,25 @@ object TextOps {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q86_seq_pack" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS tok_len
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok_len,
+         |    CAST(sum(tok_len) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_len
+         |      AS BIGINT) AS start_off
+         |  FROM l)
+         |SELECT doc_id, tok_len, start_off,
+         |  CAST(start_off // 512 AS BIGINT) AS first_seq,
+         |  CAST(CASE WHEN tok_len > 0 THEN (start_off + tok_len - 1) // 512
+         |       ELSE start_off // 512 END AS BIGINT) AS last_seq,
+         |  CAST(CASE WHEN tok_len > 0
+         |       THEN (CASE WHEN tok_len > 0 THEN (start_off + tok_len - 1) // 512
+         |                  ELSE start_off // 512 END) - start_off // 512 + 1
+         |       ELSE 0 END AS BIGINT) AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q55_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
