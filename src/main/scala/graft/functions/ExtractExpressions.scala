@@ -412,6 +412,7 @@ object GraftExtensions {
     "url_canon" -> (args => UrlCanonExpr(args.head)),
     "surt_key" -> (args => SurtKey(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
+    "hll_estimate" -> (args => HllEstimate(args.head)),
     "graft_cms_estimate" -> (args => CmsEstimate(args(0), args(1))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cos" -> (args => VecCos(args(0), args(1))),

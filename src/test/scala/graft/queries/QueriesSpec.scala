@@ -61,7 +61,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q77_tables" -> "tbl_ok",
       "q78_feeds" -> "feed_ok",
       "q79_charset" -> "charset_ok",
-      "q80_langid_ngram" -> "lang_ok")
+      "q80_langid_ngram" -> "lang_ok",
+      "q87_hll_distinct" -> "hll_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
