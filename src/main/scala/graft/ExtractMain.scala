@@ -11,7 +11,7 @@ import graft.sources.PagesSynth
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] \
-  *     [--incremental /path/prev_out] [--curate 1]
+  *     [--incremental /path/prev_out] [--curate 1] [--index 64]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * span-clean → dedup → compact with stage defaults (10 / 0.8 / 128);
@@ -122,6 +122,22 @@ object ExtractMain {
         s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
           s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
       }.getOrElse("")
+    // --index N: build the SURT-ordered crawl index over the corpus (the
+    // deduped kept view when --dedup/--curate produced one, else the raw
+    // extracted table) into <out>/surt_index with N range partitions —
+    // after this, "every url of one domain" is a few-file range read.
+    val indexJson = opts.get("--index").map { n =>
+      val src = {
+        val kept = new java.io.File(DedupStage.keptPath(out))
+        if (kept.isDirectory && kept.list().nonEmpty)
+          spark.read.parquet(DedupStage.keptPath(out))
+        else spark.read.parquet(ExtractJob.extractedPath(out))
+      }
+      val ranges = graft.sources.SurtIndex.build(
+        spark, src.select("url", "text_sha"), "url", s"$out/surt_index", n.toInt)
+      s""","index":{"parts":$n,"files":${ranges.size},""" +
+        s""""rows":${ranges.map(_.rows).sum}}"""
+    }.getOrElse("")
     val compactJson = opts.get("--compact")
       .orElse(if (curate) Some("128") else None).map { mb =>
         val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
@@ -132,7 +148,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$spanJson$dedupJson$compactJson}"
+        s"$deltaJson$spanJson$dedupJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

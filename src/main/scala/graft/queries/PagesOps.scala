@@ -341,6 +341,64 @@ object PagesOps {
       .orderBy(col("url"), col("link_idx"))
   }
 
+  /** q89: ANCHOR-TEXT aggregation per link target — the classic
+    * relevance/quality signal (how the web describes a page) used by
+    * search ranking and by corpus curation as document-level metadata:
+    * for every canonicalized link target, the incoming-link count,
+    * distinct linking pages, nofollow count, and the dominant anchor
+    * text (most frequent; ties broken lexicographically).
+    *
+    * Self-certification (`agg_ok`): the dominant anchor is computed twice
+    * through INDEPENDENT aggregation paths — a per-target window rank
+    * over (target, anchor) counts, and a `min_by` over the inverted sort
+    * key — and must agree row-for-row, with the count invariants
+    * (1 ≤ top_cnt ≤ n_links, n_pages ≤ n_links) asserted alongside.
+    *
+    * Scale: one map-combined (target, anchor) aggregate, then per-target
+    * work only — anchors per target is bounded data (counts, not text
+    * concatenation), so no hot-target blowup; the window runs over the
+    * aggregated counts, not the raw links.
+    */
+  def q89AnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val la = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        graft.core.LinkExtractor.outlinks(bytes).iterator
+          .flatMap(l => graft.core.UrlCanon.resolve(p.url, l.href)
+            .map(abs => (p.url, abs, l.anchor.trim, l.nofollow)))
+      }
+      .toDF("src", "dst", "anchor", "nofollow")
+      .where(col("anchor") =!= "")
+    val counts = la.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("nofollow"), 1L).otherwise(0L)).as("nf"))
+      .localCheckpoint() // one aggregate feeds both top-anchor paths
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+      .orderBy(col("cnt").desc, col("anchor").asc)
+    val viaWindow = counts
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("dst"), col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+    val viaMinBy = counts.groupBy(col("dst"))
+      .agg(min_by(col("anchor"), struct((-col("cnt")).as("nc"), col("anchor")))
+        .as("top_anchor2"),
+        max(col("cnt")).as("top_cnt2"),
+        sum(col("cnt")).as("n_links"), sum(col("nf")).as("n_nofollow"))
+    val pagesPer = la.groupBy(col("dst"))
+      .agg(countDistinct(col("src")).as("n_pages"))
+    viaWindow.join(viaMinBy, Seq("dst")).join(pagesPer, Seq("dst"))
+      .select(col("dst"), col("n_links"), col("n_pages"), col("n_nofollow"),
+        col("top_anchor"), col("top_cnt"),
+        (col("top_anchor") === col("top_anchor2") &&
+          col("top_cnt") === col("top_cnt2") &&
+          col("top_cnt") >= 1 && col("top_cnt") <= col("n_links") &&
+          col("n_pages") <= col("n_links")).as("agg_ok"))
+      .orderBy(col("dst"))
+  }
+
   /** q72: PageRank over the REAL extracted link graph — q53's power
     * iteration applied to q71's resolved edges instead of a synthetic
     * integer table, closing the extract → resolve → rank loop a search /
@@ -741,6 +799,7 @@ object PagesOps {
     "q74_markdown" -> q74Markdown _,
     "q71_link_graph" -> q71LinkGraph _,
     "q72_link_rank" -> q72LinkRank _,
+    "q89_anchor_text" -> q89AnchorText _,
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,

@@ -258,6 +258,42 @@ object TextOps {
     packSequences(tbl(s, dir, "documents"), 512, 8)
       .orderBy(col("doc_id"))
 
+  /** q88: token-budget corpus MIXING — the "data recipe" step of training
+    * set assembly (per-source mixture weights à la The Pile / Dolma): given
+    * a global token budget and per-source weights, compute each source's
+    * deterministic keep-rate and sample by content-stable hash. All
+    * arithmetic is integer (rates in basis points, floor division) so the
+    * DuckDB oracle reproduces every row bit-for-bit; the md5-bucket
+    * sampling is the q54 discipline — adding documents never flips an
+    * existing doc's keep decision, so the recipe is reproducible across
+    * snapshots.
+    *
+    * Scale: one map-combined per-source token aggregate (S rows), the
+    * S-row rate table broadcast back — the corpus itself pays one scan
+    * and no shuffle beyond the aggregate.
+    */
+  def q88MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 200000L
+    val lens = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok_len"))
+    val w = expr("(CAST(substring(source, 4, 10) AS INT) % 4) + 1")
+    val per = lens.groupBy(col("source"))
+      .agg(sum(col("tok_len")).as("toks")).withColumn("w", w)
+    val wsum = per.agg(sum(col("w")).as("wsum"))
+    val rates = per.crossJoin(wsum) // S rows × 1 row
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr(s"(CAST($budget AS BIGINT) * w * 10000) div (wsum * toks)")))
+      .select(col("source"), col("rate_bp"))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 10000).as("bucket")
+    lens.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("tok_len"), bucket,
+        col("rate_bp"))
+      .withColumn("keep", col("bucket") < col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q87: HyperLogLog distinct sketches
     * ([[graft.functions.HllBuild]]/[[graft.functions.HllUnion]]) — per
     * (lang, source) distinct-text cardinality as a constant-size mergeable
@@ -1132,6 +1168,7 @@ object TextOps {
     "q54_hash_split" -> q54HashSplit _,
     "q86_seq_pack" -> q86SeqPack _,
     "q87_hll_distinct" -> q87HllDistinct _,
+    "q88_mixture_sample" -> q88MixtureSample _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
@@ -1318,6 +1355,25 @@ object TextOps {
          |                  ELSE start_off // 512 END) - start_off // 512 + 1
          |       ELSE 0 END AS BIGINT) AS n_seqs
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q88_mixture_sample" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, source, CAST(len($dkTokens) AS BIGINT) AS tok_len
+         |  FROM documents),
+         |t AS (
+         |  SELECT source, CAST(sum(tok_len) AS BIGINT) AS toks,
+         |    (CAST(substr(source, 4) AS INT) % 4) + 1 AS w
+         |  FROM l GROUP BY source),
+         |s AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM t),
+         |r AS (
+         |  SELECT source,
+         |    CAST(least(10000, (200000::BIGINT * w * 10000) // ((SELECT wsum FROM s) * toks))
+         |      AS BIGINT) AS rate_bp
+         |  FROM t)
+         |SELECT l.doc_id, l.source, l.tok_len,
+         |  ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS bucket,
+         |  r.rate_bp,
+         |  (('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000) < r.rate_bp AS keep
+         |FROM l JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "q55_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),

@@ -261,6 +261,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapshot() === beforeRows)
   }
 
+  test("surt index stage: every extracted url findable via its domain prefix, pruned (ExtractMain --index path)") {
+    import org.apache.spark.sql.functions.{col, call_function}
+    val out = Files.createTempDirectory("surtstage").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 150L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val extracted = spark.read.parquet(ExtractJob.extractedPath(out))
+    val ranges = graft.sources.SurtIndex.build(
+      spark, extracted.select("url", "text_sha"), "url", s"$out/surt_index", 6)
+    assert(ranges.map(_.rows).sum === extracted.count())
+    // pick the synthetic corpus's most common host and range-read it back
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val byHost = extracted
+      .select(call_function("surt_key", col("url")).as("surt"))
+      .selectExpr("substring_index(surt, ')', 1) AS rhost")
+      .groupBy("rhost").count().orderBy(col("count").desc).head()
+    val prefix = byHost.getString(0) + ")"
+    val viaIndex = graft.sources.SurtIndex
+      .lookupPrefix(spark, s"$out/surt_index", prefix)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val viaScan = extracted
+      .filter(call_function("surt_key", col("url")).startsWith(prefix))
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaIndex === viaScan)
+    assert(viaIndex.size === byHost.getLong(1))
+    val touched = graft.sources.SurtIndex.filesForPrefix(
+      graft.sources.SurtIndex.manifest(spark, s"$out/surt_index"), prefix)
+    assert(touched.size < ranges.size,
+      s"one host touched ${touched.size}/${ranges.size} files — no pruning")
+  }
+
   test("span-clean stage: cross-doc duplicate spans removed, originals keep theirs") {
     val out = Files.createTempDirectory("spanclean").toString
     val base = PagesSynth.pagesDF(spark, 30L)
