@@ -748,6 +748,143 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q90: the REST of the Gopher rule battery (Rae et al. 2021, Table A1 —
+    * q50 covers the repetition rules): word-count range, mean-word-length
+    * range, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, stop-word floor. The synthetic corpus is a
+    * single-line word salad with none of the trigger characters, so the
+    * query PLANTS the wire text deterministically (same discipline as
+    * q81's PII): tokens are folded into 8-token lines and each doc_id%4
+    * residue class violates exactly one rule — class 1 appends a `####`
+    * symbol word per line, class 2 bullets every line, class 3 ends every
+    * line with `...`, class 0 stays clean. Both engines derive the same
+    * wire text; every ratio is integer (‰ via floor division).
+    *
+    * Scale: stateless per-row projection — the whole battery runs inside
+    * one whole-stage-codegen'd map at scan speed; the only shuffle is the
+    * edge ORDER BY.
+    */
+  def q90GopherBattery(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val rawLine = (i: Column) => array_join(slice(t, i * 8 + 1, lit(8)), " ")
+    val cls = pmod(col("doc_id"), lit(4))
+    val lineOf = (i: Column) =>
+      when(cls === 1, concat(rawLine(i), lit(" ####")))
+        .when(cls === 2, concat(lit("- "), rawLine(i)))
+        .when(cls === 3, concat(rawLine(i), lit(" ...")))
+        .otherwise(rawLine(i))
+    val lines = transform(
+      sequence(lit(0), ((size(t) + 7) / 8).cast("int") - 1), lineOf)
+    val base = tbl(s, dir, "documents").select(
+      col("doc_id"), lines.as("lines"),
+      array_join(lines, "\n").as("wire"))
+    val wtoks = split(col("wire"), WS)
+    val words = size(wtoks).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val cnw = length(regexp_replace(col("wire"), WS, "")).cast("long")
+    val symbols = (length(col("wire")) -
+      length(regexp_replace(col("wire"), "[#…]", ""))).cast("long")
+    val bullets = size(filter(col("lines"),
+      l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("long")
+    val ellip = size(filter(col("lines"),
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaW = size(filter(wtoks, w => w.rlike("[a-z]"))).cast("long")
+    val stopCnt = size(filter(wtoks, w => w.isin(stopwords: _*))).cast("long")
+    base.select(col("doc_id"), words.as("words"),
+        ((cnw * 100) / words).cast("long").as("mean_wlen_x100"),
+        ((symbols * 1000) / words).cast("long").as("symbol_x1000"),
+        ((bullets * 1000) / nLines).cast("long").as("bullet_x1000"),
+        ((ellip * 1000) / nLines).cast("long").as("ellipsis_x1000"),
+        ((alphaW * 1000) / words).cast("long").as("alpha_x1000"),
+        stopCnt.as("stop_cnt"))
+      .withColumn("keep",
+        col("words").between(50, 100000) &&
+          col("mean_wlen_x100").between(300, 1000) &&
+          col("symbol_x1000") <= 100 &&
+          col("bullet_x1000") <= 900 &&
+          col("ellipsis_x1000") <= 300 &&
+          col("alpha_x1000") >= 800 &&
+          col("stop_cnt") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q91: within-document duplicate-LINE removal — the line-grain cousin
+    * of q70's corpus-level span dedup (C4 keeps only lines ending in
+    * punctuation; CCNet/FineWeb drop repeated lines within a page —
+    * navigation chrome, cookie banners). The corpus has no line structure,
+    * so lines are PLANTED deterministically: line i of a doc is the
+    * 6-token slice starting at `(i mod 5)*6`, so any doc with more than 5
+    * lines provably repeats earlier lines. First occurrence (by position)
+    * wins; the document text is REBUILT from surviving lines in original
+    * order and fingerprinted, so the oracle checks the edit itself, not
+    * just counts.
+    *
+    * Scale: dedup state is per-document — explode lands on a (doc, line)
+    * window whose partitions are single documents, so there is no global
+    * shuffle key hotter than the largest single page; the rebuild is one
+    * doc-keyed aggregate. At 100 TB this is one explode → one doc-keyed
+    * exchange.
+    */
+  def q91LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val lineOf = (i: Column) =>
+      array_join(slice(t, pmod(i, lit(5)) * 6 + 1, lit(6)), " ")
+    val lines = transform(
+      sequence(lit(0), ((size(t) + 5) / 6).cast("int") - 1), lineOf)
+    val ex = tbl(s, dir, "documents")
+      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("doc_id"), col("line"))
+    val marked = ex.withColumn("first_pos", min(col("pos")).over(w))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("pos") === col("first_pos"), 1L).otherwise(0L))
+          .as("n_kept"),
+        md5s(array_join(transform(
+          array_sort(collect_list(when(col("pos") === col("first_pos"),
+            struct(col("pos"), col("line"))))),
+          st => st.getField("line")), "\n")).as("rebuilt_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q92: BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) —
+    * the ranking function of every search-indexed corpus, here over a
+    * fixed three-term query. All arithmetic is integer so the DuckDB
+    * oracle reproduces every score bit-for-bit: IDF uses the floor-log₂
+    * bits surrogate (`length(bin(N)) - length(bin(df))`, q84's
+    * discipline) and the tf saturation is evaluated as one integer
+    * fraction — score_x1000 = idf_bits * (22000·tf·avgdl) div
+    * (10·avgdl·tf + 3·avgdl + 9·dl), exactly k1/b scaled by 10/4.
+    *
+    * Scale: the document-frequency side is THREE rows — broadcast; doc
+    * lengths and term frequencies are one map-combined aggregate each;
+    * the final top-k plans as TakeOrderedAndProject (no global sort).
+    */
+  def q92Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "line", "query")
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot div n_docs").as("avgdl"))
+    val tf = tk.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        expr("""(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT)
+                |  * 22000 * tf * avgdl)
+                | div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"""
+          .stripMargin).as("term_score"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_x1000"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** q81: PII detection + redaction — the scrub every published web-corpus
     * pipeline runs before release (emails, IPv4 addresses, US-style phone
     * numbers; cf. the redaction pass described for BigScience ROOTS and
@@ -1169,6 +1306,9 @@ object TextOps {
     "q86_seq_pack" -> q86SeqPack _,
     "q87_hll_distinct" -> q87HllDistinct _,
     "q88_mixture_sample" -> q88MixtureSample _,
+    "q90_gopher_battery" -> q90GopherBattery _,
+    "q91_line_dedup" -> q91LineDedup _,
+    "q92_bm25_topk" -> q92Bm25 _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
@@ -1374,6 +1514,92 @@ object TextOps {
          |  r.rate_bp,
          |  (('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000) < r.rate_bp AS keep
          |FROM l JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "q90_gopher_battery" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $dkTokens AS t, CAST(doc_id % 4 AS INT) AS cls
+         |  FROM documents),
+         |ln AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, CAST((len(t)+7)//8 AS INT)-1),
+         |      i -> CASE cls
+         |        WHEN 1 THEN array_to_string(t[i*8+1:i*8+8], ' ') || ' ####'
+         |        WHEN 2 THEN '- ' || array_to_string(t[i*8+1:i*8+8], ' ')
+         |        WHEN 3 THEN array_to_string(t[i*8+1:i*8+8], ' ') || ' ...'
+         |        ELSE array_to_string(t[i*8+1:i*8+8], ' ') END) AS lines
+         |  FROM b),
+         |m AS (
+         |  SELECT doc_id, lines, array_to_string(lines, chr(10)) AS wire,
+         |    regexp_split_to_array(array_to_string(lines, chr(10)),
+         |      '[ \\t\\n\\f\\r\\x0B]+') AS wt
+         |  FROM ln),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(wt) AS BIGINT) AS words,
+         |    (CAST(length(regexp_replace(wire, '[ \\t\\n\\f\\r\\x0B]+', '', 'g'))
+         |       AS BIGINT) * 100) // len(wt) AS mean_wlen_x100,
+         |    (CAST(length(wire) - length(regexp_replace(wire, '[#…]', '', 'g'))
+         |       AS BIGINT) * 1000) // len(wt) AS symbol_x1000,
+         |    (CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+         |       OR starts_with(l, '* ') OR starts_with(l, '• ')))
+         |       AS BIGINT) * 1000) // len(lines) AS bullet_x1000,
+         |    (CAST(len(list_filter(lines, l -> ends_with(l, '...')
+         |       OR ends_with(l, '…'))) AS BIGINT) * 1000) // len(lines)
+         |       AS ellipsis_x1000,
+         |    (CAST(len(list_filter(wt, x -> regexp_matches(x, '[a-z]')))
+         |       AS BIGINT) * 1000) // len(wt) AS alpha_x1000,
+         |    CAST(len(list_filter(wt,
+         |       x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |       AS stop_cnt
+         |  FROM m)
+         |SELECT *,
+         |  (words BETWEEN 50 AND 100000 AND mean_wlen_x100 BETWEEN 300 AND 1000
+         |   AND symbol_x1000 <= 100 AND bullet_x1000 <= 900
+         |   AND ellipsis_x1000 <= 300 AND alpha_x1000 >= 800
+         |   AND stop_cnt >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q91_line_dedup" ->
+      s"""WITH b AS (SELECT doc_id, $dkTokens AS t FROM documents),
+         |ln AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, CAST((len(t)+5)//6 AS INT)-1),
+         |      i -> array_to_string(t[(i%5)*6+1:(i%5)*6+6], ' ')) AS lines
+         |  FROM b),
+         |ex AS (
+         |  SELECT doc_id, UNNEST(generate_series(1, len(lines))) AS pos,
+         |    UNNEST(lines) AS line
+         |  FROM ln),
+         |k AS (
+         |  SELECT doc_id, pos, line,
+         |    min(pos) OVER (PARTITION BY doc_id, line) AS first_pos
+         |  FROM ex)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(string_agg(CASE WHEN pos = first_pos THEN line END, chr(10)
+         |    ORDER BY pos)) AS rebuilt_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+         |       FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN ('dup','line','query') GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    (CAST(length(bin((SELECT n_docs FROM st)))
+         |       - length(bin(df.df)) AS BIGINT)
+         |     * 22000 * tf.tf * (SELECT avgdl FROM st))
+         |    // (10 * (SELECT avgdl FROM st) * tf.tf
+         |        + 3 * (SELECT avgdl FROM st) + 9 * dl.dl) AS term_score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id))
+         |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_x1000,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_x1000 DESC, doc_id LIMIT 20""".stripMargin,
     "q55_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),

@@ -90,6 +90,13 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q92 plans as TakeOrderedAndProject with a broadcast df side (no global sort)") {
+    val plan = SparkEntry.queries("q92_bm25_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q92 lost its top-k plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q92 lost the broadcast df join:\n$plan")
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
