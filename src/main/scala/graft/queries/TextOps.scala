@@ -1309,6 +1309,7 @@ object TextOps {
     "q90_gopher_battery" -> q90GopherBattery _,
     "q91_line_dedup" -> q91LineDedup _,
     "q92_bm25_topk" -> q92Bm25 _,
+    "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
