@@ -297,6 +297,77 @@ object VectorOps {
       .limit(topK)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with the SAME k-means coarse quantizer the IVF index trains
+    * ([[kmeansCentroids]]/[[assign]]), then deduplicate ONLY within
+    * clusters — a vector is dropped when a lower-id vector in its cluster
+    * has cosine ≥ τ (deterministic min-id keeper, replacing the paper's
+    * arbitrary keeper choice).
+    *
+    * Scale shape: the cluster bound is the whole point — candidate pairs
+    * are Σ|cluster|² instead of n², and k grows with the corpus so
+    * |cluster| stays bounded (the paper uses k ≈ √n; the assignment is
+    * the zero-shuffle centroid-literal projection). The pair join keys on
+    * cid and ships (id, vector) once per side; drops reduce by one
+    * distinct + one anti-join, both on ids.
+    */
+  private[queries] def semDedupAssigned(assigned: DataFrame,
+                                        tauX1000: Long): DataFrame = {
+    val a = assigned.select(col("vec_id"), col("e"), col("cid"))
+    a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        x1000(cosine(col("x.e"), col("y.e"))).as("cos"))
+      .where(col("cos") >= tauX1000)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos_x1000"))
+  }
+
+  /** Production entry: the KEPT view after semantic dedup. */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int,
+               tauX1000: Long): DataFrame = {
+    val assigned = assign(vecs, kmeansCentroids(vecs, k, iters))
+    assigned.join(semDedupAssigned(assigned, tauX1000),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** q94: SemDeDup decisions over the harness embeddings (k=8, τ=0.30 —
+    * the synthetic vectors are near-orthogonal, so τ matches q26's
+    * near-dup band rather than the ~0.95 of real text embeddings).
+    * Rows-only (k-means is iterative); `sem_ok` certifies each decision
+    * through a genuinely INDEPENDENT second path: the per-cluster
+    * collect + `exists` higher-order fold recomputes "some lower-id
+    * member within τ" without any join, and must agree row-for-row with
+    * the production pair-join path. (The fold twin materializes a cluster
+    * per row, so it is the certification path, not the scale path.)
+    */
+  def q94SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 300L
+    val vecs = emb(s, dir).select(col("vec_id"), col("e"))
+    val assigned = assign(vecs, kmeansCentroids(vecs, k = 8, iters = 4))
+      .localCheckpoint() // one assignment feeds both decision paths
+    val dropped = semDedupAssigned(assigned, tau)
+    val twin = assigned
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("ms"))
+      .select(col("cid"), explode(col("ms")).as("m"), col("ms"))
+      .select(col("cid"), col("m.vec_id").as("vec_id"),
+        exists(col("ms"), o =>
+          o.getField("vec_id") < col("m.vec_id") &&
+            x1000(cosine(o.getField("e"), col("m.e"))) >= lit(tau))
+          .as("dropped_twin"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .join(twin.select(col("vec_id"), col("dropped_twin")), "vec_id")
+      .select(col("vec_id"), col("cid"),
+        col("max_cos_x1000").isNotNull.as("dropped"),
+        coalesce(col("max_cos_x1000"), lit(0L)).as("max_cos_x1000"),
+        (col("max_cos_x1000").isNotNull === col("dropped_twin")).as("sem_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label vector stats on exact integer norms. */
   def q27VectorStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -312,6 +383,7 @@ object VectorOps {
     "q26_embed_neardup" -> q26EmbedNeardup _,
     "q27_vector_stats" -> q27VectorStats _,
     "q52_ann_ivf" -> q52AnnIvf _,
+    "q94_semdedup" -> q94SemDedup _,
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =

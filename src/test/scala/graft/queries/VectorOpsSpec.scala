@@ -235,4 +235,77 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r2 === 1.0, s"q$qid: nprobe=2 recall $r2 — straddled cluster not recovered")
     }
   }
+
+  test("SemDeDup: planted jittered copies dropped (min-id keeper), ordinary cluster-mates kept") {
+    val s = spark
+    import s.implicits._
+    val dims = 32
+    val tau = 930L
+    val centers = (0 until 4).map { c =>
+      val r = new scala.util.Random(7000 + c)
+      Array.fill(dims)(r.nextGaussian() * 2.0)
+    }
+    // 40 base members per cluster (σ=1 noise: cluster-mate cos ≈ 0.8) +
+    // for every base id % 10 == 0, two σ=0.05 jitter copies (cos ≈ 0.999)
+    val base = (0L until 160L).map { id =>
+      val r = new scala.util.Random(id)
+      val c = (id % 4).toInt
+      (id, centers(c).map(_ + r.nextGaussian() * 1.0).toSeq)
+    }
+    val copies = base.filter(_._1 % 10 == 0).flatMap { case (id, v) =>
+      (1 to 2).map { j =>
+        val r = new scala.util.Random(id * 100 + j)
+        (1000L + id * 10 + j, v.map(_ + r.nextGaussian() * 0.05).toSeq)
+      }
+    }
+    val all = base ++ copies
+    val vecsDf = all.toDF("vec_id", "e").localCheckpoint()
+    val assigned = VectorOps
+      .assign(vecsDf, VectorOps.kmeansCentroids(vecsDf, k = 4, iters = 4))
+      .localCheckpoint()
+
+    // plain-Scala within-cluster reference on the SAME assignment
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def cosX1000(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.round(1000.0 * dot /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val expDropped = rows.filter { case (id, v, c) =>
+      rows.exists { case (id2, v2, c2) =>
+        id2 < id && c2 == c && cosX1000(v2, v) >= tau }
+    }.map(_._1).toSet
+
+    // every planted copy must be dropped (it has a lower-id original in
+    // its cluster); a few σ=1 base pairs may legitimately cross τ too, so
+    // containment + the exact reference equality below is the contract
+    assert(copies.map(_._1).toSet.subsetOf(expDropped),
+      s"planting broken: expected drops ${expDropped.toSeq.sorted}")
+    assert((expDropped -- copies.map(_._1).toSet).size <= 5,
+      "far more natural near-dups than the noise tail should produce")
+
+    val gotDropped = VectorOps.semDedupAssigned(assigned, tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotDropped === expDropped)
+
+    val kept = VectorOps.semDedup(vecsDf, k = 4, iters = 4, tauX1000 = tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === rows.map(_._1).toSet -- expDropped)
+  }
+
+  test("SemDeDup: exact duplicates always dedup to the single min-id copy") {
+    val s = spark
+    import s.implicits._
+    val v = Seq.fill(8)(1.0) // one direction, four exact copies + noise ids
+    val data = Seq(
+      (5L, v), (9L, v), (12L, v), (3L, v),
+      (20L, Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)))
+    val df = data.toDF("vec_id", "e").localCheckpoint()
+    val kept = VectorOps.semDedup(df, k = 2, iters = 2, tauX1000 = 999L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && kept.contains(20L))
+    assert(!kept.exists(Set(5L, 9L, 12L)), s"kept $kept")
+  }
 }
