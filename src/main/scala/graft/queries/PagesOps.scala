@@ -399,6 +399,99 @@ object PagesOps {
       .orderBy(col("dst"))
   }
 
+  /** Nofollow-excluded, canonicalized, distinct extracted edges — the
+    * shared input of q72 (PageRank) and q95 (HITS). */
+  private def linkEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0))
+      .as[PageSlice]
+      .flatMap { p =>
+        val bytes = if (p.html == null) Array.emptyByteArray else p.html
+        graft.core.LinkExtractor.outlinks(bytes).iterator
+          .filter(!_.nofollow)
+          .flatMap(l => graft.core.UrlCanon.resolve(p.url, l.href)
+            .map(abs => (p.url, abs)))
+      }
+      .toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** q95: HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over the same extracted link graph as
+    * q72 — the other classic link-quality signal (a good hub links to good
+    * authorities; a good authority is linked from good hubs). Three
+    * mutual-reinforcement iterations, L1-normalized each half-step with
+    * q72's 1e-9 grid snap (the accepted determinism contract for floating
+    * aggregation).
+    *
+    * Rows-only; `hits_ok` certifies: scores in [0, 1], both score vectors
+    * L1-sum to 1 within grid slack, a node with no in-edges has authority
+    * exactly 0 and a node with no out-edges has hub exactly 0.
+    * LinkGraphSpec replays the full iteration against an independent
+    * driver-side model, node-for-node.
+    *
+    * Scale shape: per half-step one equi-join + one groupBy on the edge
+    * key (exactly PageRank's shape ×2) and an O(1)-row normalization
+    * aggregate broadcast back; edges distinct once and checkpointed.
+    */
+  def q95Hits(s: SparkSession, dir: String): DataFrame = {
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = linkEdges(s)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nn = nodes.count().toDouble
+    var h = nodes.select(col("node"), round9(lit(1.0) / nn).as("h"))
+      .localCheckpoint()
+    var a = nodes.select(col("node"), lit(0.0).as("a"))
+    for (_ <- 1 to 3) {
+      val rawA = e.join(h, col("src") === col("node"))
+        .groupBy(col("dst")).agg(round9(sum(col("h"))).as("ra"))
+      val aTot = rawA.agg(round9(sum(col("ra"))).as("tot"))
+      a = nodes.join(rawA, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          round9(coalesce(col("ra"), lit(0.0)) / col("tot")).as("a"))
+        .localCheckpoint()
+      val rawH = e.join(a, col("dst") === col("node"))
+        .groupBy(col("src")).agg(round9(sum(col("a"))).as("rh"))
+      val hTot = rawH.agg(round9(sum(col("rh"))).as("tot"))
+      h = nodes.join(rawH, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          round9(coalesce(col("rh"), lit(0.0)) / col("tot")).as("h"))
+        .localCheckpoint()
+    }
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val scored = nodes
+      .join(a, "node").join(h, "node")
+      .join(inDeg, col("node") === col("dst"), "left").drop("dst")
+      .join(outDeg, col("node") === col("src"), "left").drop("src")
+      .select(col("node"),
+        round(col("a") * 1e9).cast("long").as("auth_x1e9"),
+        round(col("h") * 1e9).cast("long").as("hub_x1e9"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+    val totals = scored.agg(sum(col("auth_x1e9")).as("ta"),
+      sum(col("hub_x1e9")).as("th"))
+    val slack = 1000L // 1e-9 grid residue over ≤1e6 nodes
+    scored.crossJoin(broadcast(totals))
+      .select(col("node"), col("auth_x1e9"), col("hub_x1e9"),
+        col("in_deg"), col("out_deg"),
+        (col("auth_x1e9").between(0L, 1000000000L) &&
+          col("hub_x1e9").between(0L, 1000000000L) &&
+          (col("in_deg") > 0 || col("auth_x1e9") === 0L) &&
+          (col("out_deg") > 0 || col("hub_x1e9") === 0L) &&
+          abs(col("ta") - 1000000000L) <= slack &&
+          abs(col("th") - 1000000000L) <= slack).as("hits_ok"))
+      .orderBy(col("auth_x1e9").desc, col("hub_x1e9").desc, col("node"))
+  }
+
   /** q72: PageRank over the REAL extracted link graph — q53's power
     * iteration applied to q71's resolved edges instead of a synthetic
     * integer table, closing the extract → resolve → rank loop a search /
@@ -413,22 +506,8 @@ object PagesOps {
     * shape); node count is the only collect.
     */
   def q72LinkRank(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
-    val e = pages(s).select(col("url"), col("html"))
-      .withColumn("part_id", lit(0))
-      .as[PageSlice]
-      .flatMap { p =>
-        val bytes = if (p.html == null) Array.emptyByteArray else p.html
-        graft.core.LinkExtractor.outlinks(bytes).iterator
-          .filter(!_.nofollow)
-          .flatMap(l => graft.core.UrlCanon.resolve(p.url, l.href)
-            .map(abs => (p.url, abs)))
-      }
-      .toDF("src", "dst")
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val e = linkEdges(s)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -800,6 +879,7 @@ object PagesOps {
     "q71_link_graph" -> q71LinkGraph _,
     "q72_link_rank" -> q72LinkRank _,
     "q89_anchor_text" -> q89AnchorText _,
+    "q95_hits" -> q95Hits _,
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,

@@ -86,6 +86,51 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the header targets on top, got $top")
   }
 
+  test("q95 HITS equals an independent driver-side model exactly") {
+    val df = PagesOps.q95Hits(spark, "unused")
+    assert(df.filter(!col("hits_ok")).count() === 0L)
+    val got = df.select("node", "auth_x1e9", "hub_x1e9").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // independent model: same edges from the sequential extractor, same
+    // L1-normalized mutual reinforcement with the same 1e-9 grid snaps
+    val edges = (0L until PagesOps.VerifyDocs).flatMap { id =>
+      val url = PagesSynth.urlFor(id)
+      LinkExtractor.outlinks(PagesSynth.htmlFor(id).getBytes(UTF_8)).iterator
+        .filter(!_.nofollow)
+        .flatMap(l => UrlCanon.resolve(url, l.href).map(url -> _))
+    }.distinct.filter(e => e._1 != e._2)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val nn = nodes.size.toDouble
+    def snap9(x: Double): Double = math.round(x * 1e9) / 1e9
+    var h = nodes.map(_ -> snap9(1.0 / nn)).toMap
+    var a = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 3) {
+      val ra = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d) => ra(d) += h(s) }
+      val raS = ra.map { case (n, v) => n -> snap9(v) }
+      val aTot = snap9(raS.values.sum)
+      a = nodes.map(n => n -> snap9(raS.getOrElse(n, 0.0) / aTot)).toMap
+      val rh = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d) => rh(s) += a(d) }
+      val rhS = rh.map { case (n, v) => n -> snap9(v) }
+      val hTot = snap9(rhS.values.sum)
+      h = nodes.map(n => n -> snap9(rhS.getOrElse(n, 0.0) / hTot)).toMap
+    }
+    val model = nodes.map(n =>
+      n -> (math.round(a(n) * 1e9), math.round(h(n) * 1e9))).toMap
+    assert(got.keySet === model.keySet)
+    val diffs = model.count { case (n, v) => got(n) != v }
+    assert(diffs === 0, s"$diffs nodes differ from the model")
+    // structure sanity: the universally-linked header targets are the top
+    // authorities, and leaf pages (linked-to only) have hub exactly 0
+    val topAuth = df.limit(2).collect().map(_.getString(0)).toSet
+    assert(topAuth.forall(u => u.endsWith("/") || u.endsWith("/about")),
+      s"expected the header targets as top authorities, got $topAuth")
+  }
+
   test("q73 frontier equals a sequential replay of all four engines") {
     import graft.core.{RobotsTxt, SitemapParser}
     val sfDir = "/root/testdata/sf0.001"

@@ -65,7 +65,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q87_hll_distinct" -> "hll_ok",
       "q89_anchor_text" -> "agg_ok",
       "q93_bpe_train" -> "bpe_ok",
-      "q94_semdedup" -> "sem_ok")
+      "q94_semdedup" -> "sem_ok",
+      "q95_hits" -> "hits_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
