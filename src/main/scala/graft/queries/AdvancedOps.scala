@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HistQuantile
@@ -160,14 +160,95 @@ object AdvancedOps {
       .orderBy(col("k"))
   }
 
+  /** Z-order (Morton) interleave bits used by q96: both dimensions are
+    * first NORMALIZED onto [0, 2^ZBits) — interleaving raw values of
+    * unequal bit widths degrades to a single-column sort at the coarse
+    * end (the wide column owns every high bit), which is why production
+    * Z-ordering interleaves ranks/scaled values, not raw ones. */
+  private[queries] val ZBits = 8
+
+  /** Morton key of (x, y): bit i of x lands at position 2i, bit i of y at
+    * 2i+1 — a closed-form integer expression (constants folded at plan
+    * build; stays inside whole-stage codegen).
+    */
+  private[queries] def zkey(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      val p2 = 1L << i
+      val p4 = 1L << (2 * i)
+      ((x / p2).cast("long") % 2) * p4 + ((y / p2).cast("long") % 2) * (2 * p4)
+    }.reduce(_ + _)
+
+  /** q96: Z-ORDER LAYOUT — the multi-dimensional clustering technique
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY` (Morton-curve
+    * space-filling key): rows are bucketed by Morton key ranges, and the
+    * per-bucket (min, max) envelopes of BOTH dimensions stay narrow, so a
+    * selective filter on EITHER column prunes most buckets from a scan —
+    * unlike a single-column sort, which prunes only its own key.
+    * This query materializes the per-bucket envelope table (the file-stats
+    * manifest a lakehouse table format would keep); ZorderSpec measures
+    * the actual pruning fraction on both dimensions against an x-sorted
+    * control layout.
+    *
+    * Fully oracled: the Morton key is a closed-form integer expression the
+    * DuckDB twin spells out identically; bucket width derives from the
+    * max key, so the layout is data-defined and deterministic.
+    *
+    * Scale shape: one range-style shuffle (the groupBy on the derived
+    * bucket) — exactly the one-time layout cost `OPTIMIZE ZORDER` pays;
+    * queries afterwards prune on the envelope manifest for free.
+    */
+  def q96Zorder(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 32
+    val side = 1L << ZBits
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
+    val stats = li.agg((max(col("x")) + 1).as("mx"), (max(col("y")) + 1).as("my"))
+    // normalize each dim onto [0, 2^ZBits), then interleave: the key
+    // domain is exactly [0, 4^ZBits), so bucket width is a constant
+    li.crossJoin(broadcast(stats))
+      .select(col("x"), col("y"),
+        zkey(expr(s"(x * $side) div mx"), expr(s"(y * $side) div my"))
+          .as("zkey"))
+      .select(expr(s"zkey div ${side * side / buckets}").as("bucket"),
+        col("x"), col("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_zorder" -> q96Zorder _,
     "q42_asof_join" -> q42AsofJoin _,
     "q43_range_join" -> q43RangeJoin _,
     "q44_quantile_udaf" -> q44QuantileUdaf _,
     "q62_salted_join" -> q62SaltedJoin _,
   )
 
+  /** The same closed-form Morton key, spelled out for the DuckDB twin. */
+  private def zkeySql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      val p2 = 1L << i
+      val p4 = 1L << (2 * i)
+      s"(($x // $p2) % 2) * $p4 + (($y // $p2) % 2) * ${2 * p4}"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q96_zorder" ->
+      s"""WITH s AS (
+         |  SELECT max(l_orderkey) + 1 AS mx, max(l_partkey) + 1 AS my
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey AS x, l_partkey AS y,
+         |         (l_orderkey * 256) // (SELECT mx FROM s) AS xn,
+         |         (l_partkey * 256) // (SELECT my FROM s) AS yn
+         |  FROM lineitem),
+         |z AS (SELECT x, y, ${zkeySql("xn", "yn")} AS zkey FROM n)
+         |SELECT zkey // 2048 AS bucket, COUNT(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q62_salted_join" ->
       """WITH ev AS (
         |  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS k,

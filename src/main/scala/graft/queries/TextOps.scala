@@ -885,6 +885,38 @@ object TextOps {
       .limit(20)
   }
 
+  /** q97: POSITIONAL INVERTED INDEX — the search-engine core structure
+    * (token → posting list with in-document positions, term/document
+    * frequencies): one (tok, doc) grain row per posting with the sorted
+    * position list serialized as a comma-joined string (strings hash
+    * identically across engines; array renderings don't).
+    *
+    * Scale shape: one explode → one (tok, doc_id) map-combined aggregate;
+    * the per-token document frequency is a vocabulary-sized second
+    * aggregate broadcast back (the q55/q56 Zipf discipline). Position
+    * lists are bounded by document length — the per-key state is one
+    * posting, never a full token's posting list, so a stop-word token
+    * does not straggle a reducer. (A production index would additionally
+    * block/compress posting lists at the storage layer; the delta
+    * encoding is trivially derivable from the sorted positions.)
+    */
+  def q97InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val postings = tk.groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"),
+        array_join(transform(array_sort(collect_list(col("pos"))),
+          p => p.cast("string")), ",").as("positions"))
+    val dfs = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    postings.join(broadcast(dfs), "tok")
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"),
+        col("first_pos"), col("last_pos"), col("positions"))
+      .orderBy(col("tok"), col("doc_id"))
+  }
+
   /** q81: PII detection + redaction — the scrub every published web-corpus
     * pipeline runs before release (emails, IPv4 addresses, US-style phone
     * numbers; cf. the redaction pass described for BigScience ROOTS and
@@ -1310,6 +1342,7 @@ object TextOps {
     "q91_line_dedup" -> q91LineDedup _,
     "q92_bm25_topk" -> q92Bm25 _,
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
+    "q97_inverted_index" -> q97InvertedIndex _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
@@ -1601,6 +1634,22 @@ object TextOps {
          |  CAST(count(*) AS BIGINT) AS n_terms
          |FROM sc GROUP BY doc_id
          |ORDER BY score_x1000 DESC, doc_id LIMIT 20""".stripMargin,
+    "q97_inverted_index" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, UNNEST(generate_series(0, len($dkTokens)-1)) AS pos,
+         |         UNNEST($dkTokens) AS tok
+         |  FROM documents),
+         |p AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(min(pos) AS BIGINT) AS first_pos,
+         |    CAST(max(pos) AS BIGINT) AS last_pos,
+         |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+         |  FROM tk GROUP BY tok, doc_id),
+         |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY tok)
+         |SELECT p.tok, p.doc_id, p.tf, d.df, p.first_pos, p.last_pos,
+         |  p.positions
+         |FROM p JOIN d USING (tok)
+         |ORDER BY p.tok, p.doc_id""".stripMargin,
     "q55_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
