@@ -98,6 +98,90 @@ object BpeOps {
     merges.result()
   }
 
+  /** Sequential-by-rank BPE encoding of one word (the reference apply
+    * order: each merge applied fully — greedy leftmost — before the next
+    * rank). Plain-JVM hot loop: encoding runs per corpus row, so this is
+    * scanner-grade code, not an expression tree.
+    */
+  def encodeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** JVM-side twin of the tokens() split (same explicit class as
+    * [[TextOps.WS]]). */
+  private def jvmTokens(text: String): Array[String] =
+    text.toLowerCase.trim.split("[ \t\n\f\r\u000B]+").filter(_.nonEmpty)
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** q98: BPE ENCODING with the learned merges — the apply half of the
+    * tokenizer loop (q93 trains, this encodes). Per document: word count,
+    * subword count, words that stayed a single token, and an md5
+    * fingerprint of the full subword sequence.
+    *
+    * Rows-only; `enc_ok` certifies through two INDEPENDENT execution
+    * paths: the typed JVM encoder (the production path — a per-row hot
+    * loop, scanner-grade) and a pure Catalyst HIGHER-ORDER-FUNCTION fold
+    * (`transform` over words, 8 nested `aggregate` merges over the char
+    * array) must produce byte-identical sequence fingerprints and counts
+    * for every document. Scale: encoding is a stateless projection; the
+    * learned merge table (8 rows) rides into both paths as literals.
+    */
+  def q98BpeEncode(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(Q.tbl(s, dir, "documents"), 8)
+      .map(m => (m.left, m.right))
+    import s.implicits._
+    val jvm = Q.tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = jvmTokens(if (text == null) "" else text)
+        val subs = words.map(encodeWord(_, merges))
+        (id, words.length.toLong, subs.map(_.length.toLong).sum,
+          subs.count(_.length == 1).toLong,
+          md5hex(subs.map(_.mkString("\u0001")).mkString("\u0002")))
+      }
+      .toDF("doc_id", "n_words", "n_subwords", "n_whole", "enc_fp")
+    // Catalyst twin: the same encode as a pure expression fold
+    val wordsCol = filter(
+      split(lower(trim(col("text"))), TextOps.WS), w => length(w) > 0)
+    val encExpr = (w: Column) => merges.foldLeft(chars(w)) {
+      case (c, (l, r)) => applyMerge(c, l, r)
+    }
+    val subsCol = transform(wordsCol, w => encExpr(w))
+    val twin = Q.tbl(s, dir, "documents").select(col("doc_id"),
+      size(wordsCol).cast("long").as("t_words"),
+      aggregate(subsCol, lit(0L), (acc, x) => acc + size(x)).as("t_subwords"),
+      size(filter(subsCol, x => size(x) === 1)).cast("long").as("t_whole"),
+      md5(array_join(transform(subsCol, x => array_join(x, "\u0001")),
+        "\u0002").cast("binary")).as("t_fp"))
+    jvm.join(twin, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        col("n_whole"), col("enc_fp"),
+        (col("n_words") === col("t_words") &&
+          col("n_subwords") === col("t_subwords") &&
+          col("n_whole") === col("t_whole") &&
+          col("enc_fp") === col("t_fp") &&
+          col("n_subwords") >= col("n_words")).as("enc_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q93: the learned merge table as a driver query. Rows-only (iterative —
     * not SQL-expressible); `bpe_ok` self-certifies the structural algebra:
     * merged symbol == left‖right, ranks contiguous from 1, counts strictly

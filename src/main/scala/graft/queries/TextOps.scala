@@ -1343,6 +1343,7 @@ object TextOps {
     "q92_bm25_topk" -> q92Bm25 _,
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
+    "q98_bpe_encode" -> BpeOps.q98BpeEncode _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,

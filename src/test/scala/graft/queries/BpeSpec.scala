@@ -124,4 +124,29 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val texts = Seq("a b c a b")
     assert(sparkBpe(texts, 5) === Seq.empty)
   }
+
+  test("encodeWord applies learned merges by rank: the classic low/lower/lowest case") {
+    // 'lo' dominates, then 'low'; unseen suffixes stay characters
+    val texts = Seq("low low low low lower lowest")
+    val merges = sparkBpe(texts, 2).map(m => (m._2, m._3))
+    assert(merges === Seq(("l", "o"), ("lo", "w")))
+    assert(BpeOps.encodeWord("low", merges).toSeq === Seq("low"))
+    assert(BpeOps.encodeWord("lower", merges).toSeq === Seq("low", "e", "r"))
+    assert(BpeOps.encodeWord("lowest", merges).toSeq ===
+      Seq("low", "e", "s", "t"))
+    assert(BpeOps.encodeWord("slow", merges).toSeq === Seq("s", "low"))
+    assert(BpeOps.encodeWord("", merges).toSeq === Seq.empty)
+  }
+
+  test("q98 flag: JVM encoder and the Catalyst HOF fold agree on every doc") {
+    val df = BpeOps.q98BpeEncode(spark, sfDir)
+    assert(df.filter(!org.apache.spark.sql.functions.col("enc_ok")).count() === 0L)
+    // and encoding genuinely compresses: merges fire somewhere
+    val r = df.agg(
+      org.apache.spark.sql.functions.sum("n_words"),
+      org.apache.spark.sql.functions.sum("n_subwords"),
+      org.apache.spark.sql.functions.sum("n_whole")).head()
+    assert(r.getLong(2) > 0, "no word was fully merged — training is off")
+    assert(r.getLong(1) > r.getLong(0), "every word collapsed to one token")
+  }
 }

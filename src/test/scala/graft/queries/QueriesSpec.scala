@@ -66,7 +66,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q89_anchor_text" -> "agg_ok",
       "q93_bpe_train" -> "bpe_ok",
       "q94_semdedup" -> "sem_ok",
-      "q95_hits" -> "hits_ok")
+      "q95_hits" -> "hits_ok",
+      "q98_bpe_encode" -> "enc_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
