@@ -820,31 +820,31 @@ object TextOps {
     * order and fingerprinted, so the oracle checks the edit itself, not
     * just counts.
     *
-    * Scale: dedup state is per-document — explode lands on a (doc, line)
-    * window whose partitions are single documents, so there is no global
-    * shuffle key hotter than the largest single page; the rebuild is one
-    * doc-keyed aggregate. At 100 TB this is one explode → one doc-keyed
-    * exchange.
+    * Scale: dedup state is per-document, so no shuffle is needed AT ALL —
+    * the keep-first fold runs as a stateless per-row projection (a HOF
+    * `aggregate` over the line array; O(L²) membership checks against
+    * bounded per-page line counts). The only exchange in the plan is the
+    * edge ORDER BY. (The relational explode → (doc, line) window → doc
+    * re-aggregate form computes the same thing with two doc-keyed
+    * exchanges — the right shape only once dedup crosses documents, which
+    * is q70's span dedup.)
     */
   def q91LineDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = tokens(col("text"))
     val lineOf = (i: Column) =>
       array_join(slice(t, pmod(i, lit(5)) * 6 + 1, lit(6)), " ")
     val lines = transform(
       sequence(lit(0), ((size(t) + 5) / 6).cast("int") - 1), lineOf)
-    val ex = tbl(s, dir, "documents")
-      .select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-    val w = Window.partitionBy(col("doc_id"), col("line"))
-    val marked = ex.withColumn("first_pos", min(col("pos")).over(w))
-    marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("pos") === col("first_pos"), 1L).otherwise(0L))
-          .as("n_kept"),
-        md5s(array_join(transform(
-          array_sort(collect_list(when(col("pos") === col("first_pos"),
-            struct(col("pos"), col("line"))))),
-          st => st.getField("line")), "\n")).as("rebuilt_fp"))
+    val kept = aggregate(col("lines"),
+      array().cast("array<string>"),
+      (acc, x) => when(array_contains(acc, x), acc)
+        .otherwise(concat(acc, array(x))))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        md5s(array_join(kept, "\n")).as("rebuilt_fp"))
       .orderBy(col("doc_id"))
   }
 
