@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{CompactStage, DedupStage, ExtractJob, IncrementalExtract, LocalManifestCommitter, SpanCleanStage}
+import graft.pipeline.{CompactStage, DedupStage, ExtractJob, IncrementalExtract, LocalManifestCommitter, QualityStage, SpanCleanStage}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -10,11 +10,12 @@ import graft.sources.PagesSynth
   *   spark-submit --class graft.ExtractMain <jar> \
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
-  *     [--dedup 0.8] [--compact 128] [--span-clean 10] \
+  *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--incremental /path/prev_out] [--curate 1] [--index 64]
   *
   * `--curate 1` runs the full production chain in one command: extract →
-  * span-clean → dedup → compact with stage defaults (10 / 0.8 / 128);
+  * quality → span-clean → dedup → compact with stage defaults
+  * (20 / 10 / 0.8 / 128);
   * explicit per-stage flags override their parameter. The combined
   * summary lands atomically in `<out>/_curation.json`; every curation
   * stage commits through a [[graft.pipeline.StageManifest]], so a killed
@@ -110,6 +111,16 @@ object ExtractMain {
     // resumable (StageManifest), so a killed --curate run re-invoked
     // resumes mid-chain.
     val curate = opts.contains("--curate")
+    // --quality N: document-level gate scoring (word bounds from N,
+    // Gopher repetition, compression band) over the extracted table —
+    // flags + accounting at <out>/quality/scores, resumable
+    val qualityJson = opts.get("--quality")
+      .orElse(if (curate) Some("20") else None).map { n =>
+        val q = QualityStage.run(spark, out, n.toInt)
+        s""","quality":{"min_words":$n,"docs":${q.docs},"kept":${q.kept},""" +
+          s""""fail_len":${q.failLen},"fail_rep":${q.failRep},""" +
+          s""""fail_compress":${q.failCompress}}"""
+      }.getOrElse("")
     val spanJson = opts.get("--span-clean")
       .orElse(if (curate) Some("10") else None).map { n =>
         val sc = SpanCleanStage.run(spark, out, n.toInt)
@@ -148,7 +159,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$spanJson$dedupJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$spanJson$dedupJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

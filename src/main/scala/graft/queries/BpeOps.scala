@@ -104,7 +104,10 @@ object BpeOps {
     * scanner-grade code, not an expression tree.
     */
   def encodeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms: Array[String] = w.map(_.toString).toArray
+    // split by CODEPOINT, not UTF-16 unit — Spark's split(w, "") keeps
+    // surrogate pairs together, and the q98 twin flag compares the two
+    var syms: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     merges.foreach { case (l, r) =>
       if (syms.length > 1) {
         val out = Array.newBuilder[String]
@@ -123,7 +126,10 @@ object BpeOps {
   /** JVM-side twin of the tokens() split (same explicit class as
     * [[TextOps.WS]]). */
   private def jvmTokens(text: String): Array[String] =
-    text.toLowerCase.trim.split("[ \t\n\f\r\u000B]+").filter(_.nonEmpty)
+    // Locale.ROOT: Spark's lower() is locale-independent; default-locale
+    // toLowerCase would diverge on Turkish dotted/dotless I
+    text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("[ \t\n\f\r\u000B]+").filter(_.nonEmpty)
 
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -885,6 +885,34 @@ object TextOps {
       .limit(20)
   }
 
+  /** Production quality-gate scoring used by
+    * [[graft.pipeline.QualityStage]]: the document-level keep decision a
+    * curation pipeline applies before dedup — word-count bounds, Gopher
+    * duplicate-token fraction, and the q75 compression band — as one
+    * stateless projection (every gate is per-row; the deflate kernel is
+    * the codegen'd `deflate_ratio_x1000`). Returns one row per input doc
+    * with the per-rule booleans AND the composed `keep`, so accounting
+    * can attribute every drop.
+    */
+  def qualityScores(docs: DataFrame, idCol: String,
+                    minWords: Int = 20): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val t = tokens(col("text"))
+    docs
+      .select(col(idCol), size(t).cast("long").as("words"),
+        size(array_distinct(t)).cast("long").as("uniq"),
+        expr("deflate_ratio_x1000(text)").as("ratio_x1000"))
+      .select(col(idCol), col("words"),
+        when(col("words") > 0,
+          (lit(1000L) * (col("words") - col("uniq")) / col("words"))
+            .cast("long")).otherwise(1000L).as("dup_tok_x1000"),
+        col("ratio_x1000"))
+      .withColumn("len_ok", col("words").between(minWords, 100000L))
+      .withColumn("rep_ok", col("dup_tok_x1000") <= 600L)
+      .withColumn("compress_ok", col("ratio_x1000").between(200L, 1100L))
+      .withColumn("keep", col("len_ok") && col("rep_ok") && col("compress_ok"))
+  }
+
   /** q97: POSITIONAL INVERTED INDEX — the search-engine core structure
     * (token → posting list with in-document positions, term/document
     * frequencies): one (tok, doc) grain row per posting with the sorted

@@ -291,6 +291,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one host touched ${touched.size}/${ranges.size} files — no pruning")
   }
 
+  test("quality stage: gates match an independent driver-side reference; resumable; accounting exact") {
+    val out = Files.createTempDirectory("quality").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 120L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val q = QualityStage.run(spark, out, minWords = 20)
+    assert(q.docs === 120L)
+    assert(q.kept === q.docs - spark.read.parquet(QualityStage.scoresPath(out))
+      .filter(!col("keep")).count())
+
+    // independent reference: collect texts, recompute every gate in plain
+    // Scala (word split, distinct fraction, the shared deflate kernel)
+    val texts = spark.read.parquet(ExtractJob.extractedPath(out))
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expKeep = texts.map { case (url, text) =>
+      val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val words = toks.length.toLong
+      val dup = if (words > 0) 1000L * (words - toks.distinct.length) / words
+                else 1000L
+      val ratio = graft.functions.ExtractOps.deflateRatioX1000(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      url -> (words >= 20 && words <= 100000 && dup <= 600 &&
+        ratio >= 200 && ratio <= 1100)
+    }
+    val gotKeep = spark.read.parquet(QualityStage.scoresPath(out))
+      .select("url", "keep").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(gotKeep === expKeep)
+    assert(q.kept === expKeep.count(_._2).toLong)
+
+    // resume: second run answers from the manifest without recompute
+    val scoreFile = new java.io.File(QualityStage.scoresPath(out))
+      .listFiles().filter(_.getName.startsWith("part_id=")).head
+    val mtime = scoreFile.lastModified()
+    val q2 = QualityStage.run(spark, out, minWords = 20)
+    assert(q2 === q)
+    assert(scoreFile.lastModified() === mtime, "resume rewrote committed scores")
+    // changed parameter -> new fingerprint -> recompute
+    val q3 = QualityStage.run(spark, out, minWords = 1)
+    assert(q3.failLen < q.failLen || q3.kept >= q.kept)
+  }
+
   test("span-clean stage: cross-doc duplicate spans removed, originals keep theirs") {
     val out = Files.createTempDirectory("spanclean").toString
     val base = PagesSynth.pagesDF(spark, 30L)
