@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber-Myers 1990), and
+  * the exact-substring repeat detection built on it — the suffix-array
+  * half of Lee et al. 2021's "Deduplicating Training Data Makes Language
+  * Models Better" ExactSubstr dedup (the sketch half is q63's winnowing).
+  *
+  * The corpus is concatenated in doc_id order with a NUL (U+0000) separator
+  * (document text never contains NUL, so no within-document L-gram can
+  * equal a boundary-crossing one). Global character positions come from
+  * the same two-level prefix sum as [[TextOps.packSequences]] — no
+  * single-reducer window anywhere:
+  *
+  *   - round k: every position pairs its rank with the rank k ahead
+  *     (one equi-join on `gpos + k`), and the pair is re-ranked DENSELY
+  *     via [[denseRanks]] — distinct keys only, bucketed by the OLD rank
+  *     (the primary sort component, so buckets are ordered and the
+  *     bucket-local row_number + broadcast offsets compose a global
+  *     dense rank without a global window;
+  *   - ranks double their reach each round: log2(longest repeat) rounds,
+  *     each ONE join + ONE distinct + ONE bucketed window, then an O(1)
+  *     distinctness read-back stops the loop (same contract as the
+  *     dedup-closure fixpoint);
+  *   - every round localCheckpoints — flat lineage, the PageRank
+  *     discipline.
+  *
+  * Repeat detection: a run of suffixes sharing an L-prefix is contiguous
+  * in suffix order, so EVERY position participating in a repeat is an
+  * endpoint of at least one ADJACENT pair with LCP ≥ L; conversely a
+  * boundary-crossing suffix cannot share a within-document L-gram (NUL),
+  * so adjacency over the full array is complete for within-document
+  * windows. The LCP ≥ L test is an EXACT equality of the two L-char
+  * windows — extracted for the n adjacent pairs only (never materialized
+  * per position), so the per-pair work is bounded by L at any corpus
+  * size.
+  */
+object SuffixOps {
+  import Q._
+
+  /** Dense ranks 0..|keys|-1 for DISTINCT (k1, k2) keys where k1 is
+    * drawn from a dense domain [0, m): bucket by k1 range (k1 is the
+    * primary sort key, so buckets are ordered), row_number within each
+    * bucket, add broadcast bucket offsets. B ≈ parallelism; only the
+    * B-row offsets table pays a single-partition window.
+    */
+  /** Returns (ranked keys, total distinct count). The per-bucket counts
+    * are COLLECTED (B rows — B ≈ parallelism, an O(1) read-back like the
+    * k-means centroid fetch) and fold back in as literals: that removes
+    * both the broadcast join and a separate count job, and the total
+    * falls out for free — it is next round's key domain size.
+    */
+  private def denseRanks(keys: DataFrame, m: Long,
+                         buckets: Int): (DataFrame, Long) = {
+    val b = keys.withColumn("bucket",
+      expr(s"(k1 * ${buckets}L) div ${math.max(m, 1L)}L"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("k1"), col("k2"))
+    val counts = b.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (bk, off)) =>
+      when(col("bucket") === bk, lit(off)).otherwise(acc)
+    }
+    val ranked = b.withColumn("lr", row_number().over(localW).cast("long"))
+      .select(col("k1"), col("k2"), (offCol + col("lr") - 1).as("nr"))
+    (ranked, counts.map(_._2).sum)
+  }
+
+  /** (gpos, doc_id, off, rank) with dense initial character ranks, plus
+    * the total corpus length (with separators).
+    */
+  private def charTable(docs: DataFrame, buckets: Int): (DataFrame, Long) = {
+    // two-level global offsets of each doc in the concatenated stream
+    val lens = docs.select(col("doc_id"),
+      (length(col("text")) + 1).cast("long").as("clen"))
+    val r = lens.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    val bucketed = lens.withColumn("bucket",
+      expr(s"((doc_id - ${lo}L) * ${buckets}L) div ${span}L"))
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("bucket")).agg(sum(col("clen")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(offW), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val placed = bucketed
+      .withColumn("lend", sum(col("clen")).over(localW))
+      .join(broadcast(offs), "bucket")
+      .select(col("doc_id"), (col("boff") + col("lend") - col("clen")).as("doc_off"))
+    val total = lens.agg(sum(col("clen"))).head().getLong(0)
+    // one char row per position; the separator is char code 0
+    val chars = docs.join(placed, "doc_id")
+      .select(col("doc_id"), col("doc_off"),
+        posexplode(split(concat(col("text"), lit("\u0000")), "")))
+      .select((col("doc_off") + col("pos")).as("gpos"), col("doc_id"),
+        col("pos").cast("long").as("off"), col("col").as("ch"))
+    // dense initial ranks: the alphabet is small — broadcast its sorted ranks
+    val alphabet = chars.select(col("ch")).distinct()
+      .orderBy(col("ch")).collect().map(_.getString(0))
+    val chRank = alphabet.zipWithIndex.toMap
+    val rankCol = alphabet.foldLeft(lit(-1L)) { (acc, c) =>
+      when(col("ch") === lit(c), lit(chRank(c).toLong)).otherwise(acc)
+    }
+    (chars.select(col("gpos"), col("doc_id"), col("off"),
+      rankCol.as("rank")).localCheckpoint(), total)
+  }
+
+  /** Suffix ranks: (gpos, doc_id, off, rank) where rank is the dense
+    * position of the suffix at gpos in sorted suffix order.
+    */
+  private[queries] def suffixRanks(docs: DataFrame,
+                                   buckets: Int = 8): DataFrame = {
+    val (chars0, n) = charTable(docs, buckets)
+    var r = chars0
+    var m = r.agg(max(col("rank"))).head().getLong(0) + 1
+    var k = 1L
+    while (m < n && k < n) {
+      val r2 = r.select((col("gpos") - k).as("gpos"),
+        col("rank").as("rank2"))
+      val paired = r.join(r2, Seq("gpos"), "left")
+        .na.fill(-1L, Seq("rank2"))
+      val keys = paired.select(col("rank").as("k1"), col("rank2").as("k2"))
+        .distinct()
+      val (ranked, distinctKeys) = denseRanks(keys, m, buckets)
+      r = paired.join(ranked,
+          paired("rank") === ranked("k1") && paired("rank2") === ranked("k2"))
+        .select(col("gpos"), col("doc_id"), col("off"),
+          col("nr").as("rank"))
+        // task count tracks the chosen parallelism, not the session's
+        // shuffle width — on a probe-sized input the narrow coalesce is
+        // pure scheduling savings; at scale callers pass larger `buckets`
+        .coalesce(buckets)
+        .localCheckpoint()
+      m = distinctKeys // next domain — no extra job, it fell out of denseRanks
+      k *= 2
+    }
+    r
+  }
+
+  /** Every (doc_id, off) whose L-char window occurs at least twice in the
+    * corpus — the position set ExactSubstr dedup cuts. Exact (no
+    * sketches): suffix order + adjacent-pair window equality.
+    */
+  def repeatPositions(docs: DataFrame, minLen: Int,
+                      buckets: Int = 8): DataFrame =
+    repeatPositionsFromRanks(suffixRanks(docs, buckets), docs, minLen)
+
+  /** Repeat detection over ALREADY-COMPUTED suffix ranks (shared with
+    * whatever else consumed the array — q99 also permutation-checks it).
+    */
+  private[queries] def repeatPositionsFromRanks(sr: DataFrame, docs: DataFrame,
+                                                minLen: Int): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text"))
+    // adjacent pairs in suffix order: rank r joined with rank r+1
+    val a = sr.select(col("rank"), col("doc_id").as("a_doc"), col("off").as("a_off"))
+    val b = sr.select((col("rank") - 1).as("rank"),
+      col("doc_id").as("b_doc"), col("off").as("b_off"))
+    val pairs = a.join(b, "rank")
+    // window extraction for the PAIRS only (bounded L work per pair)
+    val wa = pairs.join(texts.withColumnRenamed("doc_id", "a_doc"), Seq("a_doc"))
+      .withColumn("a_win", expr(s"substring(text, a_off + 1, $minLen)"))
+      .drop("text")
+    val wb = wa.join(texts.withColumnRenamed("doc_id", "b_doc"), Seq("b_doc"))
+      .withColumn("b_win", expr(s"substring(text, b_off + 1, $minLen)"))
+      .drop("text")
+    val eq = wb.where(length(col("a_win")) === minLen &&
+      length(col("b_win")) === minLen &&
+      col("a_win") === col("b_win"))
+    eq.select(col("a_doc").as("doc_id"), col("a_off").as("off"))
+      .union(eq.select(col("b_doc").as("doc_id"), col("b_off").as("off")))
+      .distinct()
+  }
+
+  /** q99: exact-substring repeat accounting over a deterministic corpus
+    * stripe (every 30th doc, text truncated to 120 chars — prefix
+    * doubling rounds are log2(longest repeat) and each round is a fixed
+    * number of shuffles, so the stripe bounds the loop; the full-corpus
+    * production entry is [[repeatPositions]], and the sampling is labeled
+    * exactly as q20's honesty rule requires). Per doc: windowable
+    * positions, positions inside some ≥24-char corpus-wide repeat.
+    *
+    * Rows-only (the suffix array is iterative); `sa_ok` certifies
+    * structurally: suffix ranks are a PERMUTATION (distinct count == n ==
+    * max+1 — checked globally and broadcast into every row) and every
+    * claimed repeat position admits a window (off + L ≤ len). SuffixSpec
+    * carries the exact proof: position set == a brute-force all-windows
+    * reference, and == the rolling-hash span formulation, on planted
+    * corpora.
+    */
+  /** ExactSubstr span CUTTING — the dedup action of Lee et al. 2021 built
+    * on [[repeatPositions]]: every character covered by any corpus-wide
+    * repeated ≥minLen window is removed (ALL occurrences, the paper's
+    * policy), the survivors re-joined in order. Repeat windows are merged
+    * into maximal per-doc spans first (classic island detection: running
+    * max of interval end over a per-doc window — per-doc row counts are
+    * bounded by doc length, so the window key is safe at corpus scale),
+    * then each doc is rebuilt with ONE higher-order `aggregate` fold over
+    * its sorted span list — no UDF, no per-char explode on the rebuild
+    * side.
+    *
+    * Returns (doc_id, text, clean, covered, n_spans); docs with no repeat
+    * pass through with covered = 0.
+    */
+  def exactSubstrClean(docs: DataFrame, minLen: Int,
+                       buckets: Int = 8): DataFrame = {
+    val reps = repeatPositions(docs, minLen, buckets)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val prevEnd = max(col("off") + minLen)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = reps
+      .withColumn("new_run",
+        (prevEnd.isNull || col("off") > prevEnd).cast("long"))
+      .withColumn("run", sum(col("new_run")).over(w))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("off")).as("s"), (max(col("off")) + minLen).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("covered"))
+    val rebuild = expr(
+      """concat(aggregate(ivs,
+        |  named_struct('p', cast(0 as bigint), 'acc', ''),
+        |  (a, iv) -> named_struct('p', iv.e,
+        |    'acc', concat(a.acc,
+        |      substring(text, cast(a.p as int) + 1, cast(iv.s - a.p as int)))),
+        |  a -> concat(a.acc, substring(text, cast(a.p as int) + 1))))""".stripMargin)
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("ivs").isNull, col("text")).otherwise(rebuild).as("clean"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** q100: ExactSubstr span-cut accounting over q99's deterministic
+    * stripe (same sampling honesty rule; [[exactSubstrClean]] is the
+    * full-corpus production entry). Rows-only; `es_ok` certifies the
+    * conservation law per row — cut chars + kept chars == original
+    * chars, spans only where something was covered — and SuffixSpec
+    * carries the exact proof (clean text == the driver-side cut of the
+    * brute-force covered set, on planted corpora).
+    */
+  def q100ExactSubstrCut(s: SparkSession, dir: String): DataFrame = {
+    val minLen = 24
+    val docs = tbl(s, dir, "documents")
+      .where(pmod(col("doc_id"), lit(30)) === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("text"))
+      .localCheckpoint()
+    exactSubstrClean(docs, minLen)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        col("covered"), col("n_spans"),
+        md5(col("clean")).as("clean_md5"),
+        (length(col("clean")).cast("long") + col("covered") ===
+          length(col("text")).cast("long") &&
+          (col("n_spans") === 0) === (col("covered") === 0)).as("es_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q99ExactRepeats(s: SparkSession, dir: String): DataFrame = {
+    val minLen = 24
+    val docs = tbl(s, dir, "documents")
+      .where(pmod(col("doc_id"), lit(30)) === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("text"))
+      .localCheckpoint()
+    val sr = suffixRanks(docs).localCheckpoint()
+    val perm = sr.agg(count(lit(1)).as("n"),
+      countDistinct(col("rank")).as("d"),
+      (max(col("rank")) + 1).as("m1")).head()
+    val isPerm = perm.getLong(0) == perm.getLong(1) &&
+      perm.getLong(0) == perm.getLong(2)
+    val reps = repeatPositionsFromRanks(sr, docs, minLen)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeat_pos"),
+        min(col("off")).as("first_off"), max(col("off")).as("last_off"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("chars"),
+        coalesce(col("n_repeat_pos"), lit(0L)).as("n_repeat_pos"),
+        coalesce(col("first_off"), lit(-1L)).as("first_off"),
+        coalesce(col("last_off"), lit(-1L)).as("last_off"),
+        (lit(isPerm) &&
+          (coalesce(col("n_repeat_pos"), lit(0L)) === 0 ||
+            coalesce(col("last_off"), lit(0L)) + minLen <= col("chars")))
+          .as("sa_ok"))
+      .orderBy(col("doc_id"))
+  }
+}

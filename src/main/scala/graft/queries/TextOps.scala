@@ -1372,6 +1372,8 @@ object TextOps {
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
     "q98_bpe_encode" -> BpeOps.q98BpeEncode _,
+    "q99_exact_repeats" -> SuffixOps.q99ExactRepeats _,
+    "q100_exactsubstr_cut" -> SuffixOps.q100ExactSubstrCut _,
     "q55_surprisal" -> q55Surprisal _,
     "q56_tfidf_top" -> q56TfidfTop _,
     "q57_bpe_tokens" -> q57BpeTokens _,
