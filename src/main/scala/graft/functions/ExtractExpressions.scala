@@ -409,6 +409,10 @@ object GraftExtensions {
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "cdc_chunks" -> (args => CdcChunks(args(0),
+      args(1).eval().asInstanceOf[Number].intValue,
+      args(2).eval().asInstanceOf[Number].intValue,
+      args(3).eval().asInstanceOf[Number].intValue)),
     "url_canon" -> (args => UrlCanonExpr(args.head)),
     "surt_key" -> (args => SurtKey(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),

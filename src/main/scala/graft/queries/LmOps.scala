@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model operators beyond q84's unigram perplexity:
+  * bigram stupid-backoff scoring (Brants et al., EMNLP 2007 — the LM the
+  * original "large LMs for MT" pipeline ran at web scale precisely because
+  * its score needs no normalization pass) and a multinomial Naive-Bayes
+  * document classifier (the model-based quality-filter shape: train on a
+  * labeled split, score every document, keep by predicted class).
+  *
+  * Both follow the repo's exact-integer discipline: probabilities are
+  * floor-log2 bit surrogates (`length(bin(x))`, identical in Spark and
+  * DuckDB — established by q55/q84), backoff penalties are whole bits, so
+  * every score is a BIGINT and the DuckDB oracle reproduces it bit-for-bit.
+  *
+  * Scale shape (both): model tables (vocab/class-conditional counts) are
+  * explicitly BROADCAST — the Zipf-head defense q55/q56/q84 established,
+  * with [[AdvancedOps.saltedJoin]] as the beyond-broadcast fallback; the
+  * corpus pays one explode + one doc-keyed map-combined aggregate
+  * regardless of model size.
+  */
+object LmOps {
+  import Q._
+  import TextOps.WS
+
+  private def tokens(c: Column): Column = split(lower(trim(c)), WS)
+
+  /** q102: bigram stupid-backoff LM scoring (Brants 2007 §3). Train on the
+    * deterministic 80% split (doc_id % 5 != 0): bigram counts c2(w1,w2)
+    * and unigram counts c1(w). Score EVERY document's adjacent pairs:
+    *
+    *   hit      (c2 > 0): bits = bitlen(c1(w1)) - bitlen(c2)
+    *   backoff  (c2 = 0): bits = 2 + bitlen(total+V) - bitlen(c1(w2)+1)
+    *
+    * — the backoff constant alpha = 0.4 is taken as exactly 1/4 (2 whole
+    * bits) so the score stays integral; the unigram fallback is add-one
+    * smoothed exactly as q84 (OOV w2 charged the floor). Documents keep
+    * when their per-bigram average is at most the corpus-typical 4.9 bits.
+    *
+    * The bigram pairing is a per-doc `lead` window (state bounded by one
+    * document — safe at corpus scale); both model sides broadcast.
+    */
+  def q102BigramBackoff(s: SparkSession, dir: String): DataFrame =
+    bigramBackoff(tbl(s, dir, "documents"))
+
+  /** The operator proper, over any (doc_id, text) table. */
+  def bigramBackoff(d: DataFrame): DataFrame = {
+    val tk = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok"), col("nxt"))
+    val trainTk = tk.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val uni = trainTk.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = pairs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c2"))
+    // model-size stats from the vocab table, not a corpus re-scan
+    val stats = uni.agg((sum(col("c1")) + count(lit(1))).as("tv"))
+    val hitBits = length(bin(col("c1w1"))) - length(bin(col("c2")))
+    val backBits = lit(2) + length(bin(col("tv"))) -
+      length(bin(coalesce(col("c1w2"), lit(0L)) + 1))
+    val bits = when(col("c2").isNotNull, hitBits).otherwise(backBits)
+    pairs
+      .join(broadcast(bi), Seq("tok", "nxt"), "left")
+      .join(broadcast(uni.withColumnRenamed("c1", "c1w1")), Seq("tok"), "left")
+      .join(broadcast(uni.toDF("nxt", "c1w2")), Seq("nxt"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bigrams"),
+        sum(when(col("c2").isNull, 1).otherwise(0)).cast("long").as("backoffs"),
+        sum(bits.cast("long")).as("sb_bits"))
+      .select(col("doc_id"), col("bigrams"), col("backoffs"), col("sb_bits"),
+        round(lit(100.0) * col("sb_bits") / col("bigrams"))
+          .cast("long").as("avg_bits_x100"))
+      .withColumn("kept", col("avg_bits_x100") <= 490)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The three planted quality classes and their 4-word vocabularies —
+    * class = doc_id % 3 (0 research-ish / 1 spam / 2 boilerplate). The
+    * wire text is the document text plus 10 class-vocabulary words, word i
+    * selected by the first md5 nibble of the decimal string of
+    * doc_id*31+i — byte-identically derivable in DuckDB, so the planted
+    * corpus (not just the classifier) is oracle-checked.
+    */
+  private val ClassVocab = Seq(
+    Seq("research", "study", "method", "results"),
+    Seq("buy", "cheap", "free", "offer"),
+    Seq("copyright", "reserved", "privacy", "cookie"))
+
+  private def plantedWire(docs: DataFrame): DataFrame = {
+    val cv = when(pmod(col("doc_id"), lit(3)) === 0,
+        array(ClassVocab(0).map(lit): _*))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        array(ClassVocab(1).map(lit): _*))
+      .otherwise(array(ClassVocab(2).map(lit): _*))
+    val word = (i: Int) => element_at(cv,
+      (conv(substring(md5((col("doc_id") * 31 + lit(i))
+        .cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("int") % 4) + 1)
+    docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(3)).cast("long").as("cls_true"),
+      concat(col("text"), lit(" "),
+        concat_ws(" ", (1 to 10).map(word): _*)).as("wire"))
+  }
+
+  /** q105: multinomial Naive-Bayes quality classification — the
+    * model-based filter of FineWeb-Edu/DCLM pipelines, in its exactly-
+    * parallelizable form (all training state is integer counts, so
+    * map-side combine is lossless and the oracle is bit-exact; a
+    * gradient-descent classifier would be order-dependent in float sums).
+    *
+    * Train on the 80% split of the PLANTED corpus ([[plantedWire]]);
+    * score every document against each class: bits(doc, c) = prior bits
+    * (bitlen(totalDocs) - bitlen(docs_c)) plus per-token add-one-smoothed
+    * class-conditional bits (bitlen(ctot_c + V) - bitlen(cnt(tok,c) + 1));
+    * predict the argmin with (bits, class) tie-break. The 3-class scoring
+    * is a 3× crossJoin of a BROADCAST class table — the corpus-side cost
+    * stays one explode + one map-combined aggregate.
+    */
+  def q105NaiveBayes(s: SparkSession, dir: String): DataFrame =
+    naiveBayes(plantedWire(tbl(s, dir, "documents")))
+
+  /** The classifier proper, over any (doc_id, cls_true, wire) table. */
+  def naiveBayes(wirev: DataFrame): DataFrame = {
+    val tk = wirev.select(col("doc_id"), col("cls_true"),
+      explode(tokens(col("wire"))).as("tok"))
+    val tr = tk.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val cw = tr.groupBy(col("cls_true").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = cw.groupBy(col("cls")).agg(sum(col("cnt")).as("ctot"))
+    val v = tr.agg(countDistinct(col("tok")).as("vocab"))
+    val pd = wirev.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("cls_true").as("cls")).agg(count(lit(1)).as("docs"))
+    val pt = pd.agg(sum(col("docs")).as("tdocs"))
+    val classes = ct.join(pd, "cls") // 3 rows — the broadcast model head
+    val tokBits = length(bin(col("ctot") + col("vocab"))) -
+      length(bin(coalesce(col("cnt"), lit(0L)) + 1))
+    val priorBits = length(bin(col("tdocs"))) - length(bin(col("docs")))
+    val sc = tk.crossJoin(broadcast(classes))
+      .join(broadcast(cw), Seq("cls", "tok"), "left")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(pt))
+      .groupBy(col("doc_id"), col("cls_true"), col("cls"))
+      .agg((sum(tokBits.cast("long")) + max(priorBits.cast("long")))
+        .as("bits"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bits"), col("cls"))
+    sc.withColumn("r", row_number().over(rk)).where(col("r") === 1)
+      .select(col("doc_id"), col("cls_true"), col("cls").as("pred"),
+        col("bits").as("pred_bits"), (col("cls") === col("cls_true")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_bigram_backoff" -> q102BigramBackoff _,
+    "q105_naive_bayes" -> q105NaiveBayes _)
+
+  private val dkTokens =
+    """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
+  private val dkWire =
+    """regexp_split_to_array(lower(trim(wire)), '[ \t\n\f\r\x0B]+')"""
+
+  val oracles: Map[String, String] = Map(
+    "q102_bigram_backoff" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |             generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |pr AS (SELECT doc_id, tok,
+         |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tk),
+         |pairs AS (SELECT doc_id, tok, nxt FROM pr WHERE nxt IS NOT NULL),
+         |uni AS (SELECT tok, COUNT(*) AS c1 FROM tk WHERE doc_id % 5 <> 0 GROUP BY tok),
+         |bi AS (SELECT tok, nxt, COUNT(*) AS c2 FROM pairs
+         |       WHERE doc_id % 5 <> 0 GROUP BY tok, nxt),
+         |st AS (SELECT SUM(c1) + COUNT(*) AS tv FROM uni),
+         |sc AS (SELECT p.doc_id, COUNT(*) AS bigrams,
+         |  CAST(SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS backoffs,
+         |  CAST(SUM(CASE WHEN b.c2 IS NOT NULL
+         |       THEN length(bin(u1.c1)) - length(bin(b.c2))
+         |       ELSE 2 + length(bin((SELECT tv FROM st))) - length(bin(COALESCE(u2.c1,0)+1))
+         |       END) AS BIGINT) AS sb_bits
+         |  FROM pairs p LEFT JOIN bi b ON p.tok = b.tok AND p.nxt = b.nxt
+         |  LEFT JOIN uni u1 ON p.tok = u1.tok
+         |  LEFT JOIN uni u2 ON p.nxt = u2.tok
+         |  GROUP BY p.doc_id)
+         |SELECT doc_id, bigrams, backoffs, sb_bits,
+         |  CAST(round(100.0 * sb_bits / bigrams) AS BIGINT) AS avg_bits_x100,
+         |  (CAST(round(100.0 * sb_bits / bigrams) AS BIGINT) <= 490) AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q105_naive_bayes" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN ['research','study','method','results']
+         |      WHEN 1 THEN ['buy','cheap','free','offer']
+         |      ELSE ['copyright','reserved','privacy','cookie'] END AS cv
+         |  FROM documents),
+         |wirev AS (
+         |  SELECT doc_id, doc_id % 3 AS cls_true,
+         |    text || ' ' || array_to_string(
+         |      [cv[1 + CAST(('0x' || substring(md5(CAST(doc_id*31+i AS VARCHAR)),1,1))::BIGINT % 4 AS INT)]
+         |       for i in generate_series(1,10)], ' ') AS wire
+         |  FROM base),
+         |tk AS (SELECT doc_id, cls_true, unnest($dkWire) AS tok FROM wirev),
+         |tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+         |cw AS (SELECT cls_true AS cls, tok, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+         |ct AS (SELECT cls, SUM(cnt) AS ctot FROM cw GROUP BY cls),
+         |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM tr),
+         |pd AS (SELECT cls_true AS cls, COUNT(*) AS docs FROM wirev
+         |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |pt AS (SELECT SUM(docs) AS tdocs FROM pd),
+         |sc AS (
+         |  SELECT t.doc_id, t.cls_true, c.cls,
+         |    CAST(SUM(length(bin(c.ctot + (SELECT vocab FROM v)))
+         |             - length(bin(COALESCE(w.cnt,0)+1))) AS BIGINT)
+         |    + MAX(length(bin((SELECT tdocs FROM pt))) - length(bin(p.docs))) AS bits
+         |  FROM tk t CROSS JOIN ct c
+         |  LEFT JOIN cw w ON w.cls = c.cls AND w.tok = t.tok
+         |  JOIN pd p ON p.cls = c.cls
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY bits, cls) AS r FROM sc)
+         |SELECT doc_id, cls_true, cls AS pred, bits AS pred_bits,
+         |  (cls = cls_true) AS correct
+         |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin)
+}

@@ -1347,7 +1347,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q104: content-defined-chunk dedup accounting over the corpus — the
+    * storage-layer dedup primitive (gear CDC, FastCDC family; see
+    * [[graft.functions.CdcOps]]): chunk every document's UTF-8 bytes at
+    * content-defined boundaries (min 64 / mask 5 bits ≈ 96-byte mean /
+    * max 256), fingerprint each chunk (FNV-1a 64), and account per doc
+    * how many of its chunks (and bytes) occur elsewhere in the corpus.
+    * Unlike fixed-width chunking, an insertion shifts only the chunk it
+    * touches — CdcSpec measures the realignment directly.
+    *
+    * Rows-only (the boundary fold is not SQL-expressible); `cdc_ok`
+    * certifies per row: chunk lengths sum exactly to the document's byte
+    * length, every chunk respects the max, and at most the FINAL chunk
+    * undercuts the min. CdcSpec carries the exact proof (chunks == an
+    * independent sequential implementation; concat reassembles the text).
+    *
+    * Scale: one codegen'd projection per doc (the chunker), one explode,
+    * one hash-keyed count shuffle, one doc-keyed aggregate — the chunk
+    * table is materialized once and the blob never travels with it.
+    */
+  def q104CdcDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    cdcDedup(tbl(s, dir, "documents"))
+  }
+
+  /** The operator proper, over any (doc_id, text) table (caller has
+    * registered the graft functions).
+    */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("tbytes"),
+        explode(call_function("cdc_chunks",
+          col("text"), lit(64), lit(5), lit(256))).as("c"))
+      .select(col("doc_id"), col("tbytes"), col("c.off").as("off"),
+        col("c.len").as("len"), col("c.hash").as("hash"))
+      .localCheckpoint() // one chunk pass; occ-count and per-doc agg share it
+    val occ = ch.groupBy(col("hash")).agg(count(lit(1)).as("occ"))
+    ch.join(occ, "hash")
+      .groupBy(col("doc_id"))
+      .agg(max(col("tbytes")).as("bytes"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("sum_len"),
+        max(col("len")).as("max_len"),
+        sum(when(col("len") < 64, 1).otherwise(0)).cast("long").as("short_cnt"),
+        max(when(col("len") < 64, col("off")).otherwise(lit(-1))).as("short_off"),
+        max(col("off")).as("last_off"),
+        sum(when(col("occ") > 1, 1).otherwise(0)).cast("long").as("dup_chunks"),
+        sum(when(col("occ") > 1, col("len")).otherwise(lit(0L))).as("dup_bytes"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"), col("dup_bytes"),
+        (col("sum_len") === col("bytes") && col("max_len") <= 256 &&
+          col("short_cnt") <= 1 &&
+          (col("short_cnt") === 0 || col("short_off") === col("last_off")))
+          .as("cdc_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_cdc_dedup" -> q104CdcDedup _,
     "q80_langid_ngram" -> q80LangIdNgram _,
     "q15_dedup_exact" -> q15DedupExact _,
     "q16_token_stats" -> q16TokenStats _,
