@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.pipeline.{CompactStage, DedupStage, ExtractJob, IncrementalExtract, LocalManifestCommitter, QualityStage, SpanCleanStage}
+import graft.pipeline.{CompactStage, DedupStage, ExportStage, ExtractJob, IncrementalExtract, LocalManifestCommitter, QualityStage, SpanCleanStage}
 import graft.sources.PagesSynth
 
 /** spark-submit entry point for the extraction job (north_rule: "launched via
@@ -11,7 +11,8 @@ import graft.sources.PagesSynth
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
-  *     [--incremental /path/prev_out] [--curate 1] [--index 64]
+  *     [--incremental /path/prev_out] [--curate 1] [--index 64] \
+  *     [--export tokensPerShard]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -149,6 +150,14 @@ object ExtractMain {
       s""","index":{"parts":$n,"files":${ranges.size},""" +
         s""""rows":${ranges.map(_.rows).sum}}"""
     }.getOrElse("")
+    // --export T: token-bounded JSONL.gz training shards over the final
+    // corpus (deduped kept view when one exists, else the extracted
+    // table) at <out>/export — resumable single-unit stage
+    val exportJson = opts.get("--export").map { t =>
+      val e = ExportStage.run(spark, out, t.toLong)
+      s""","export":{"tokens_per_shard":$t,"docs":${e.docs},"tokens":${e.tokens},""" +
+        s""""shards":${e.shards},"max_shard_tokens":${e.maxShardTokens}}"""
+    }.getOrElse("")
     val compactJson = opts.get("--compact")
       .orElse(if (curate) Some("128") else None).map { mb =>
         val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
@@ -159,7 +168,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$spanJson$dedupJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$spanJson$dedupJson$exportJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators of the data-selection family: DSIR
+  * importance weighting (Xie et al., NeurIPS 2023 — hashed-n-gram
+  * importance resampling, the public method behind targeted pre-training
+  * mixes), domain/source-level quality rollups (the RefinedWeb-style
+  * "judge the site, not just the page" gate), and CCNet-style
+  * SEGMENT-level perplexity cleaning (Wenzek et al., LREC 2020 — score
+  * and drop low-quality spans, keep the rest of the document).
+  *
+  * All three follow the repo's exact-integer discipline (q55/q84
+  * precedent): log-probabilities are floor-log2 bit surrogates
+  * (`length(bin(x))`, bit-identical in Spark and DuckDB), ratios ship as
+  * `*_x100`/`*_x1000` BIGINTs, so every row hash-matches the DuckDB
+  * oracle.
+  *
+  * Scale shape: model sides (256 hash buckets; per-source rollup; the
+  * unigram vocabulary) are explicitly BROADCAST — the Zipf-head defense
+  * established at q55/q56/q84, with [[AdvancedOps.saltedJoin]] the
+  * beyond-broadcast fallback; the corpus pays one explode and one or two
+  * map-combined keyed aggregates regardless of model size.
+  */
+object CurationOps {
+  import Q._
+  import TextOps.WS
+
+  private def tokens(c: Column): Column = split(lower(trim(c)), WS)
+
+  /** Number of hashed feature buckets (DSIR's hashed n-gram space). */
+  private val Buckets = 256
+
+  /** Per-feature average importance (x100) at or above this resamples the
+    * doc in. Fixed constant between the two planted-class medians
+    * (measured −66 vs −36 at sf0.001, −65 vs −38 at sf0.01 — the
+    * floor-log2 surrogate is systematically negative, so 0 is NOT the
+    * neutral point; CurationSpec pins the separation).
+    */
+  private val DsirKeepX100 = -55L
+
+  /** q103: DSIR importance weights — hashed-bigram importance resampling
+    * (Xie et al., NeurIPS 2023): estimate a target distribution and the
+    * raw distribution over [[Buckets]] hashed bigram features, then
+    * weight every document by
+    *
+    *   w_bits(doc) = Σ_f [bitlen(ct_f+1) − bitlen(Ct+B)]
+    *               − [bitlen(cr_f+1) − bitlen(Cr+B)]
+    *
+    * — the floor-log2 surrogate of log p_target(doc) − log p_raw(doc)
+    * under add-one smoothing. `kept` = per-feature average ≥
+    * [[DsirKeepX100]], the deterministic analog of resampling
+    * proportional to the importance ratio.
+    *
+    * The harness corpus is IID word soup (no natural sub-distribution to
+    * steer toward — measured: lang slices are indistinguishable), so the
+    * driver query targets the PLANTED class-0 slice of
+    * [[LmOps.plantedWire]]'s wire corpus — the planted truth makes the
+    * separation itself assertable: CurationSpec pins 100% target recall
+    * at this threshold, and the oracle reproduces every weight exactly.
+    *
+    * Scale: bigram pairing is a per-doc `lead` window (state bounded by
+    * one document); both distributions live in ONE 256-row broadcast
+    * table — the corpus is exploded once and aggregated once per doc.
+    */
+  def q103DsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(
+      LmOps.plantedWire(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("cls_true"), col("wire").as("text")),
+      col("cls_true") === 0)
+
+  /** The operator proper over any (doc_id, text, …) table; `isTarget`
+    * selects the rows whose distribution the corpus is steered toward.
+    */
+  def dsirWeights(d: DataFrame, isTarget: Column): DataFrame = {
+    val tk = d.select(col("doc_id"), isTarget.as("tgt"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val feats = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tgt"),
+        conv(substring(md5(concat(col("tok"), lit(" "), col("nxt"))
+          .cast("binary")), 1, 2), 16, 10).cast("int").as("b"))
+    val dist = feats.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    // model-size stats from the 256-bucket table, not a corpus re-scan
+    val stats = dist.agg(sum(col("ct")).as("sct"), sum(col("cr")).as("scr"))
+    val fbits = length(bin(col("ct") + 1)) - length(bin(col("cr") + 1))
+    val kbits = length(bin(col("scr") + Buckets)) -
+      length(bin(col("sct") + Buckets))
+    feats
+      .join(broadcast(dist), Seq("b"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("feats"),
+        (sum(fbits.cast("long")) + count(lit(1)) * max(kbits.cast("long")))
+          .as("w_bits"))
+      .select(col("doc_id"), col("feats"), col("w_bits"),
+        round(lit(100.0) * col("w_bits") / col("feats"))
+          .cast("long").as("avg_bits_x100"))
+      .withColumn("kept", col("avg_bits_x100") >= DsirKeepX100)
+      .orderBy(col("doc_id"))
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-source median stopword density (x1000) at or above this keeps
+    * the whole source — the domain-level admission floor.
+    */
+  private val DomainFloorX1000 = 55L
+
+  /** q106: domain-level quality rollup + whole-source gate — the
+    * RefinedWeb/Gopher practice of filtering by SITE statistics, because
+    * a source whose median page is junk poisons even its good-looking
+    * pages (SEO farms). Per-doc quality = stopword density x1000 (the
+    * q17 integer signal); per source: doc count, rounded mean, and the
+    * EXACT rank-based median (the value at row ⌊(n+1)/2⌋ ordered by
+    * (q, doc_id) — deterministic under ties); `dom_kept` gates the whole
+    * source at [[DomainFloorX1000]].
+    *
+    * Scale: one map-combined per-source aggregate for the mean; the
+    * median costs one window shuffle keyed by source — at 100 TB the
+    * per-source groups are the unit of parallelism and the rollup output
+    * (one row per registered domain) is broadcast back wherever the gate
+    * is applied.
+    */
+  def q106DomainRollup(s: SparkSession, dir: String): DataFrame = {
+    val stop = Stopwords.map(w => when(col("tok") === w, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val q = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("words"), sum(stop).as("stops"))
+      .select(col("doc_id"), col("source"),
+        round(lit(1000.0) * col("stops") / col("words"))
+          .cast("long").as("q1000"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q1000"), col("doc_id"))
+    q.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        round(sum(col("q1000")).cast("double") / count(lit(1)))
+          .cast("long").as("avg_q_x1000"),
+        max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
+          col("q1000"))).as("med_q_x1000"),
+        min(col("q1000")).as("min_q_x1000"),
+        max(col("q1000")).as("max_q_x1000"))
+      .withColumn("dom_kept", col("med_q_x1000") >= DomainFloorX1000)
+      .orderBy(col("source"))
+  }
+
+  /** Tokens per cleaning segment and the per-segment keep threshold
+    * (average bits x100 per token). The harness LM is near-uniform over
+    * its ~60-word vocabulary, so per-token cost concentrates at exactly
+    * 5.00 bits; 510 cuts precisely the segments carrying rare/OOV tokens
+    * (measured: 24 of 1346 segments at sf0.001).
+    */
+  private val SegTokens = 25
+  private val SegBitsX100 = 510L
+
+  /** q107: CCNet-style segment-level perplexity cleaning (Wenzek 2020
+    * §4.3 — score SPANS under a held-out LM and drop only the bad spans,
+    * instead of q84's whole-document verdict): split each document into
+    * [[SegTokens]]-token segments, score each under the q84 unigram LM
+    * (trained on the doc_id %5 ≠ 0 split, add-one smoothing, integer
+    * bits), drop segments whose per-token average exceeds
+    * [[SegBitsX100]], and rebuild the surviving text in order. The md5
+    * of the rebuilt text crosses to the oracle, so the REBUILD (not just
+    * the counts) is hash-verified; fully-dropped docs ship kept_words=0
+    * with md5("").
+    *
+    * Scale: one explode; the vocabulary joins BROADCAST; one
+    * (doc, seg)-keyed map-combined aggregate for scores and one
+    * doc-keyed rebuild aggregate — the rebuild concatenation is the only
+    * O(doc-length) state and it is bounded by one document per key.
+    */
+  def q107ParagraphClean(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val tk = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("seg", floor(col("pos") / SegTokens).cast("long"))
+    val freq = tk.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = freq.agg((sum(col("cnt")) + count(lit(1))).as("tv"))
+    val bits = length(bin(col("tv"))) -
+      length(bin(coalesce(col("cnt"), lit(0L)) + 1))
+    val scored = tk.join(broadcast(freq), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("seg"), col("pos"), col("tok"),
+        bits.cast("long").as("tb"))
+      .localCheckpoint() // scored once; segment verdicts and rebuild share it
+    val segs = scored.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("w"), sum(col("tb")).as("b"))
+      .select(col("doc_id"), col("seg"),
+        (round(lit(100.0) * col("b") / col("w")).cast("long") <= SegBitsX100)
+          .as("seg_kept"))
+    val stat = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("segs"),
+        sum(when(col("seg_kept"), 0L).otherwise(1L)).as("segs_dropped"))
+    val rebuilt = scored.join(segs.where(col("seg_kept")), Seq("doc_id", "seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_words"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).cast("binary")).as("kept_md5"))
+    stat.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("segs"), col("segs_dropped"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_dsir_weights" -> q103DsirWeights _,
+    "q106_domain_rollup" -> q106DomainRollup _,
+    "q107_paragraph_clean" -> q107ParagraphClean _)
+
+  private val dkTokens =
+    """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
+
+  val oracles: Map[String, String] = Map(
+    "q103_dsir_weights" ->
+      s"""WITH ${LmOps.PlantedWireCtes},
+         |tk AS (SELECT doc_id, (cls_true = 0) AS tgt, unnest(${LmOps.dkWire}) AS tok,
+         |             generate_subscripts(${LmOps.dkWire}, 1) AS pos FROM wirev),
+         |pr AS (SELECT doc_id, tgt, tok,
+         |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tk),
+         |feats AS (SELECT doc_id, tgt,
+         |    ('0x' || substring(md5(tok || ' ' || nxt), 1, 2))::BIGINT AS b
+         |  FROM pr WHERE nxt IS NOT NULL),
+         |dist AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    COUNT(*) AS cr FROM feats GROUP BY b),
+         |st AS (SELECT SUM(ct) AS sct, SUM(cr) AS scr FROM dist),
+         |sc AS (SELECT f.doc_id, COUNT(*) AS feats,
+         |    CAST(SUM(length(bin(d.ct + 1)) - length(bin(d.cr + 1))) AS BIGINT)
+         |    + COUNT(*) * (length(bin((SELECT scr FROM st) + $Buckets))
+         |                  - length(bin((SELECT sct FROM st) + $Buckets))) AS w_bits
+         |  FROM feats f JOIN dist d USING (b) GROUP BY f.doc_id)
+         |SELECT doc_id, feats, w_bits,
+         |  CAST(round(100.0 * w_bits / feats) AS BIGINT) AS avg_bits_x100,
+         |  (CAST(round(100.0 * w_bits / feats) AS BIGINT) >= $DsirKeepX100) AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q106_domain_rollup" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest($dkTokens) AS tok FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    CAST(round(1000.0 * SUM(CASE WHEN tok IN ('the','a','of','and','to','in')
+         |      THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS q1000
+         |  FROM tk GROUP BY doc_id, source),
+         |r AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q1000, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM q)
+         |SELECT source, COUNT(*) AS docs,
+         |  CAST(round(1.0 * SUM(q1000) / COUNT(*)) AS BIGINT) AS avg_q_x1000,
+         |  MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+         |      THEN q1000 END) AS med_q_x1000,
+         |  MIN(q1000) AS min_q_x1000, MAX(q1000) AS max_q_x1000,
+         |  (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+         |      THEN q1000 END) >= $DomainFloorX1000) AS dom_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q107_paragraph_clean" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |             generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk WHERE doc_id % 5 <> 0 GROUP BY tok),
+         |st AS (SELECT SUM(cnt) + COUNT(*) AS tv FROM freq),
+         |sb AS (SELECT tk.doc_id, (tk.pos - 1) // $SegTokens AS seg, tk.pos, tk.tok,
+         |    CAST(length(bin((SELECT tv FROM st)))
+         |         - length(bin(COALESCE(f.cnt, 0) + 1)) AS BIGINT) AS tb
+         |  FROM tk LEFT JOIN freq f USING (tok)),
+         |segs AS (SELECT doc_id, seg, COUNT(*) AS w, SUM(tb) AS b FROM sb GROUP BY 1, 2),
+         |sk AS (SELECT doc_id, seg,
+         |    (CAST(round(100.0 * b / w) AS BIGINT) <= $SegBitsX100) AS seg_kept FROM segs),
+         |stats AS (SELECT doc_id, COUNT(*) AS segs,
+         |    CAST(SUM(CASE WHEN seg_kept THEN 0 ELSE 1 END) AS BIGINT) AS segs_dropped
+         |  FROM sk GROUP BY doc_id),
+         |reb AS (SELECT sb.doc_id, COUNT(*) AS kept_words,
+         |    md5(string_agg(sb.tok, ' ' ORDER BY sb.pos)) AS kept_md5
+         |  FROM sb JOIN sk ON sb.doc_id = sk.doc_id AND sb.seg = sk.seg
+         |  WHERE sk.seg_kept GROUP BY sb.doc_id)
+         |SELECT s.doc_id, s.segs, s.segs_dropped,
+         |  COALESCE(r.kept_words, 0) AS kept_words,
+         |  COALESCE(r.kept_md5, md5('')) AS kept_md5
+         |FROM stats s LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin)
+}

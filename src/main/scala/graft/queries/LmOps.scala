@@ -92,7 +92,7 @@ object LmOps {
     Seq("buy", "cheap", "free", "offer"),
     Seq("copyright", "reserved", "privacy", "cookie"))
 
-  private def plantedWire(docs: DataFrame): DataFrame = {
+  private[queries] def plantedWire(docs: DataFrame): DataFrame = {
     val cv = when(pmod(col("doc_id"), lit(3)) === 0,
         array(ClassVocab(0).map(lit): _*))
       .when(pmod(col("doc_id"), lit(3)) === 1,
@@ -161,8 +161,26 @@ object LmOps {
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
-  private val dkWire =
+  private[queries] val dkWire =
     """regexp_split_to_array(lower(trim(wire)), '[ \t\n\f\r\x0B]+')"""
+
+  /** DuckDB twin of [[plantedWire]] — the `base`/`wirev` CTE pair every
+    * planted-corpus oracle shares (q105; CurationOps q103).
+    */
+  private[queries] val PlantedWireCtes: String =
+    """base AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN ['research','study','method','results']
+      |      WHEN 1 THEN ['buy','cheap','free','offer']
+      |      ELSE ['copyright','reserved','privacy','cookie'] END AS cv
+      |  FROM documents),
+      |wirev AS (
+      |  SELECT doc_id, doc_id % 3 AS cls_true,
+      |    text || ' ' || array_to_string(
+      |      [cv[1 + CAST(('0x' || substring(md5(CAST(doc_id*31+i AS VARCHAR)),1,1))::BIGINT % 4 AS INT)]
+      |       for i in generate_series(1,10)], ' ') AS wire
+      |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q102_bigram_backoff" ->
@@ -190,19 +208,7 @@ object LmOps {
          |  (CAST(round(100.0 * sb_bits / bigrams) AS BIGINT) <= 490) AS kept
          |FROM sc ORDER BY doc_id""".stripMargin,
     "q105_naive_bayes" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    CASE doc_id % 3
-         |      WHEN 0 THEN ['research','study','method','results']
-         |      WHEN 1 THEN ['buy','cheap','free','offer']
-         |      ELSE ['copyright','reserved','privacy','cookie'] END AS cv
-         |  FROM documents),
-         |wirev AS (
-         |  SELECT doc_id, doc_id % 3 AS cls_true,
-         |    text || ' ' || array_to_string(
-         |      [cv[1 + CAST(('0x' || substring(md5(CAST(doc_id*31+i AS VARCHAR)),1,1))::BIGINT % 4 AS INT)]
-         |       for i in generate_series(1,10)], ' ') AS wire
-         |  FROM base),
+      s"""WITH $PlantedWireCtes,
          |tk AS (SELECT doc_id, cls_true, unnest($dkWire) AS tok FROM wirev),
          |tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
          |cw AS (SELECT cls_true AS cls, tok, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),

@@ -870,7 +870,78 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q108: rel=canonical CONSOLIDATION + robots-meta page gate — the
+    * crawl-side dedup a web pipeline must run BEFORE any content dedup:
+    * the site itself declares which of its N urls is the page
+    * (`<link rel="canonical">`), and whether the page may be kept at all
+    * (`<meta name="robots" content="noindex">`). Canonical links and
+    * robots metas are planted deterministically into the synthesized
+    * heads (ids with id%5≠0 point at the id−id%5 master via a RELATIVE
+    * href — exercising RFC 3986 resolution; ids with id%11=0 carry
+    * noindex), then recovered with [[graft.core.LinkExtractor.headDirectives]]
+    * (one early-stop scan bounded by the head) and consolidated: every
+    * page maps to `target` = its resolved canonical (or itself), and the
+    * group size is the variant count a consolidation pass would collapse.
+    *
+    * `cons_ok` certifies four independent ways: the scanner's href
+    * equals a `regexp_extract` twin over the raw html; the noindex bit
+    * equals its substring twin; the resolved absolute target equals the
+    * PLANTED truth reconstructed from url arithmetic alone; and every
+    * non-null target is a `url_canon` fixpoint.
+    *
+    * Scale shape: the directive scan never leaves the narrow map stage
+    * (the html blob is not shuffled — only urls and hrefs travel); the
+    * consolidation is one target-keyed window. At 100 TB the target key
+    * is url-cardinality with bounded group sizes (a site's variant fan-in),
+    * so no hot key; noindex pages drop before the shuffle in a real run.
+    */
+  def q108Canonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val planted = pages(s).select(col("url"), col("html"))
+      .withColumn("part_id", lit(0)).as[PageSlice]
+      .map { p =>
+        val id = p.url.substring(p.url.lastIndexOf('/') + 1).toLong
+        val ins = new java.lang.StringBuilder
+        if (id % 5 != 0)
+          ins.append("<link rel=\"canonical\" href=\"/page/")
+            .append(id - id % 5).append("\">")
+        if (id % 11 == 0)
+          ins.append("<meta name=\"robots\" content=\"noindex, follow\">")
+        val h = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        val at = h.indexOf("<head>") + "<head>".length
+        val out = h.substring(0, at) + ins + h.substring(at)
+        val hd = graft.core.LinkExtractor.headDirectives(
+          out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val abs = hd.canonical.flatMap(c => graft.core.UrlCanon.resolve(p.url, c))
+        (p.url, out, hd.canonical.orNull, abs.orNull, hd.noindex)
+      }.toDF("url", "html_s", "canon_href", "abs_canon", "noindex")
+    val id = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+    val master = (id - pmod(id, lit(5L))).cast("string")
+    val expAbs = when(pmod(id, lit(5L)) =!= 0,
+      concat(regexp_replace(col("url"), "/page/[0-9]+$", "/page/"), master))
+    val rxHref = regexp_extract(col("html_s"),
+      "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
+    val rxNoindex = col("html_s").contains("content=\"noindex")
+    val consOk = (coalesce(col("canon_href"), lit("")) === rxHref) &&
+      (col("noindex") === rxNoindex) &&
+      (col("abs_canon") <=> expAbs) &&
+      (col("noindex") === (pmod(id, lit(11L)) === 0)) &&
+      (col("abs_canon").isNull ||
+        expr("url_canon(abs_canon)") === col("abs_canon"))
+    val perPage = planted.select(col("url"), col("canon_href"),
+      col("abs_canon"), col("noindex"),
+      coalesce(col("abs_canon"), col("url")).as("target"),
+      consOk.as("cons_ok"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("target"))
+    perPage
+      .withColumn("is_master", col("abs_canon").isNull)
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_canonical" -> q108Canonical _,
     "q79_charset" -> q79Charset _,
     "q78_feeds" -> q78Feeds _,
     "q77_tables" -> q77Tables _,

@@ -25,7 +25,7 @@ object TextOps {
     * that must agree with the DuckDB oracle spells the class out (the
     * oracle strings use the literal-backslash RE2 spelling `[ \t\n\f\r\x0B]`).
     */
-  private[queries] val WS = "[ \\t\\n\\f\\r\\x0B]+"
+  private[graft] val WS = "[ \\t\\n\\f\\r\\x0B]+"
 
   private def tokens(c: Column): Column = split(lower(trim(c)), WS)
 
@@ -1402,7 +1402,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q109: training-shard assignment — the driver-checked face of
+    * [[graft.pipeline.ExportStage.shardAssign]]: every document gets a
+    * shard id by global token prefix-sum in (bucket, hash, id) order,
+    * computed with the two-level distributed prefix sum (per-bucket sums
+    * → O(buckets) driver offsets → within-bucket windows in parallel) —
+    * no single-partition window anywhere. The DuckDB oracle recomputes
+    * the SAME order with one global window, so every intermediate
+    * (tok_len, h, b, cum_before) and the final shard id are hash-exact:
+    * the distributed decomposition provably equals the sequential scan.
+    */
+  def q109TrainShards(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ExportStage.shardAssign(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", tokensPerShard = 2000L, buckets = 64)
+      .select(col("doc_id"), col("tok_len"), col("h"), col("b"),
+        col("cum_before"), col("shard"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_train_shards" -> q109TrainShards _,
     "q104_cdc_dedup" -> q104CdcDedup _,
     "q80_langid_ngram" -> q80LangIdNgram _,
     "q15_dedup_exact" -> q15DedupExact _,
@@ -1477,6 +1496,18 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q109_train_shards" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS tok_len,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+         |  FROM documents),
+         |bk AS (SELECT *, h % 64 AS b FROM d),
+         |c AS (SELECT doc_id, tok_len, h, b,
+         |    CAST(COALESCE(SUM(tok_len) OVER (ORDER BY b, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM bk)
+         |SELECT doc_id, tok_len, h, b, cum_before,
+         |  CAST(cum_before // 2000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q15_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, COUNT(*) AS dupes
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,

@@ -62,6 +62,60 @@ class LinkExtractorSpec extends AnyFunSuite {
     assert(LinkExtractor.outlinks(Array.emptyByteArray).isEmpty)
   }
 
+  private def hd(html: String): LinkExtractor.HeadDirectives =
+    LinkExtractor.headDirectives(html.getBytes(UTF_8))
+
+  test("headDirectives: canonical link found in head, entity-decoded, first wins") {
+    val d = hd("""<html><head><title>t</title>
+      |<link rel="stylesheet" href="/s.css">
+      |<link rel="canonical" href="/page?a=1&amp;b=2">
+      |<link rel="canonical" href="/second"></head><body></body></html>""".stripMargin)
+    assert(d === LinkExtractor.HeadDirectives(Some("/page?a=1&b=2"), false, false))
+    // rel token list, any case
+    assert(hd("""<head><link rel="alternate CANONICAL" href="/c"></head>""")
+      .canonical === Some("/c"))
+    // empty/absent href → None
+    assert(hd("""<head><link rel="canonical" href=""></head>""").canonical === None)
+    assert(hd("""<head><link rel="canonical"></head>""").canonical === None)
+  }
+
+  test("headDirectives: scan is head-bounded — body links/metas ignored") {
+    assert(hd("""<head></head><body><link rel="canonical" href="/x">
+      |<meta name="robots" content="noindex"></body>""".stripMargin) ===
+      LinkExtractor.HeadDirectives(None, false, false))
+    // close-of-head bounds it even without <body>
+    assert(hd("""<head></head><link rel="canonical" href="/y">""").canonical === None)
+  }
+
+  test("headDirectives: robots meta bits union across tags; none = both") {
+    assert(hd("""<head><meta name="robots" content="noindex, follow"></head>""") ===
+      LinkExtractor.HeadDirectives(None, true, false))
+    assert(hd("""<head><meta name="ROBOTS" content="NOFOLLOW"></head>""") ===
+      LinkExtractor.HeadDirectives(None, false, true))
+    assert(hd("""<head><meta name="robots" content="none"></head>""") ===
+      LinkExtractor.HeadDirectives(None, true, true))
+    assert(hd("""<head><meta name="robots" content="noindex">
+      |<meta name="robots" content="nofollow"></head>""".stripMargin) ===
+      LinkExtractor.HeadDirectives(None, true, true))
+    // non-robots metas and index,follow don't set bits
+    assert(hd("""<head><meta name="viewport" content="noindex">
+      |<meta name="robots" content="index, follow"></head>""".stripMargin) ===
+      LinkExtractor.HeadDirectives(None, false, false))
+  }
+
+  test("headDirectives: never throws on damaged/binary input; canonicalHref delegates") {
+    val rnd = new scala.util.Random(47)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      LinkExtractor.headDirectives(b) // no throw
+    }
+    assert(LinkExtractor.headDirectives(Array.emptyByteArray) ===
+      LinkExtractor.HeadDirectives(None, false, false))
+    val h = """<head><link rel="canonical" href="/c"></head>"""
+    assert(LinkExtractor.canonicalHref(h.getBytes(UTF_8)) === Some("/c"))
+  }
+
   test("resolve: RFC 3986 merge against the planted base, crawlable edges only") {
     val base = "https://sub.example.org/dir/page.html?x=1"
     assert(UrlCanon.resolve(base, "/cat/3") ===

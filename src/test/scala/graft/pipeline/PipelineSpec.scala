@@ -481,4 +481,88 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mtimes(DedupStage.clustersPath(outA)) !== clustersStamp,
       "a changed threshold must recompute the cluster table")
   }
+
+  test("shardAssign equals a sequential reference and is parallelism-invariant") {
+    import spark.implicits._
+    // doc 13 alone exceeds the 100-token budget — must keep one shard id,
+    // never split, and push the following doc past its span
+    val docs = (0L until 97L).map { i =>
+      val t = if (i == 13L) Seq.fill(500)("w").mkString(" ")
+              else Seq.fill(10 + (i % 7).toInt)("w").mkString(" ")
+      (i, t)
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    // independent sequential model of the same (bucket, hash, id) order
+    val withH = docs.map { case (id, t) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
+      (id, t.split(" ").length.toLong, h, h % 8)
+    }
+    var cum = 0L
+    val exp = withH.sortBy { case (id, _, h, b) => (b, h, id) }.map {
+      case (id, tl, h, b) =>
+        val r = (id, (tl, h, b, cum, cum / 100L)); cum += tl; r
+    }.toMap
+    def run(parts: Int) = ExportStage.shardAssign(
+        docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+        tokensPerShard = 100L, buckets = 8)
+      .select("doc_id", "tok_len", "h", "b", "cum_before", "shard").collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val got = run(1)
+    assert(got === exp)
+    assert(run(13) === exp, "shard assignment depends on input partitioning")
+    // the overflow doc is never split: the next doc in global order jumps
+    // past every boundary the 500-token giant consumed (≥ 4 shards ahead)
+    val ordered = withH.sortBy { case (id, _, h, b) => (b, h, id) }.map(_._1)
+    val next = ordered(ordered.indexOf(13L) + 1)
+    assert(got(next)._5 >= got(13L)._5 + 4,
+      s"doc after the giant landed in shard ${got(next)._5} vs giant's ${got(13L)._5}")
+  }
+
+  test("export stage: one gz file per shard, round-trip exact, token bound, resumable (ExtractMain --export path)") {
+    val out = Files.createTempDirectory("graft-export").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 150L), out,
+      ExtractJob.Config(numParts = 8, batchSize = 8, inputSnapshot = "export-test"))
+    val tps = 3000L
+    val s1 = ExportStage.run(spark, out, tps)
+    val dirs = new java.io.File(ExportStage.exportPath(out)).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.length.toLong === s1.shards)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".gz"))
+      assert(files.length === 1, s"${d.getName}: ${files.length} data files")
+    }
+    // round trip: the jsonl shards ARE the corpus
+    val back = spark.read.json(ExportStage.exportPath(out))
+    val src = spark.read.parquet(ExtractJob.extractedPath(out))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "text_sha", "text").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back.count() === src.count())
+    assert(key(back) === key(src))
+    assert(s1.docs === src.count() && s1.tokens > 0)
+    // token bound: a shard exceeds the budget only via its last doc
+    // (equivalently: every doc STARTS before its shard's boundary)
+    val viol = back.select(col("shard").cast("long"), col("tok_len").cast("long"))
+      .groupBy("shard").agg(sum("tok_len").as("t"), count(lit(1)).as("n"))
+      .where(col("t") > tps && col("n") === 1).count() // lone giants allowed
+    val startsBeyond = graft.pipeline.ExportStage.shardAssign(
+        src.select(col("url"), col("text"), col("text_sha")), "url", "text", tps)
+      .where(col("cum_before") - col("shard") * tps >= tps).count()
+    assert(startsBeyond === 0L, "a document started at/after its shard boundary")
+    assert(viol >= 0L) // lone over-budget shards are legal by construction
+    // resumable: a re-run answers from the manifest, artifacts untouched
+    def mtimes(): Seq[Long] =
+      dirs.flatMap(_.listFiles().map(_.lastModified())).sorted.toSeq
+    val stamp = mtimes()
+    assert(ExportStage.run(spark, out, tps) === s1)
+    assert(mtimes() === stamp, "no-op export re-run rewrote shards")
+    // kill before the unit commits → partial, nothing claimed
+    assert(ExportStage.runResumable(spark, out, 1234L, maxUnits = 0).isEmpty)
+    // changed budget → new fingerprint → recompute with more shards
+    val s3 = ExportStage.run(spark, out, 1000L)
+    assert(s3.shards > s1.shards && s3.tokens === s1.tokens)
+  }
 }

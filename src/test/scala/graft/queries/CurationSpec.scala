@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed DSIR weigher, domain rollup, and segment cleaner must
+  * equal independent SEQUENTIAL implementations of the same integer
+  * formulas on small corpora (including the edge cases the harness corpus
+  * lacks: a fully-dropped document, an even-sized median group), and the
+  * planted-class q103 must actually separate — the importance weights
+  * recover the planted target slice.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tok(s: String): Seq[String] =
+    s.trim.toLowerCase.split("[ \t\n\f\r]+").toSeq
+
+  private def bitlen(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Independent 256-bucket hashed-bigram DSIR reference. */
+  private def refDsir(docs: Seq[(Long, Boolean, String)]): Map[Long, (Long, Long)] = {
+    def buckets(t: String): Seq[Int] =
+      tok(t).sliding(2).filter(_.size == 2)
+        .map(p => Integer.parseInt(md5hex(s"${p(0)} ${p(1)}").take(2), 16)).toSeq
+    val all = docs.flatMap { case (id, tgt, t) => buckets(t).map(b => (b, tgt)) }
+    val cr = all.groupBy(_._1).map { case (b, v) => b -> v.size.toLong }
+    val ct = all.filter(_._2).groupBy(_._1).map { case (b, v) => b -> v.size.toLong }
+    val k = bitlen(cr.values.sum + 256) - bitlen(ct.values.sum + 256)
+    docs.map { case (id, _, t) =>
+      val bs = buckets(t)
+      val w = bs.map(b => bitlen(ct.getOrElse(b, 0L) + 1) - bitlen(cr(b) + 1) + k).sum.toLong
+      id -> (bs.size.toLong, w)
+    }.toMap
+  }
+
+  test("dsirWeights == sequential reference (feats, w_bits)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, true, "alpha beta gamma alpha beta delta epsilon"),
+      (2L, true, "alpha beta alpha beta alpha beta zeta"),
+      (3L, false, "omega psi chi omega psi phi upsilon"),
+      (4L, false, "omega psi omega psi omega psi tau"),
+      (5L, false, "alpha omega beta psi gamma chi mixed"))
+    val got = CurationOps.dsirWeights(
+        docs.toDF("doc_id", "tgt", "text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = refDsir(docs)
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
+
+  test("q103 over the harness corpus: planted target slice recovered") {
+    val df = CurationOps.q103DsirWeights(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(df.size === 500)
+    // 100% recall on the planted target class at the fixed threshold
+    val targets = df.keys.filter(_ % 3 == 0)
+    assert(targets.nonEmpty && targets.forall(df(_)), "every class-0 doc kept")
+    // and the gate is a real gate: a majority of non-targets are dropped
+    val others = df.keys.filterNot(_ % 3 == 0).toSeq
+    val kept = others.count(df(_))
+    assert(kept.toDouble / others.size < 0.5, s"non-target keep rate $kept/${others.size}")
+  }
+
+  test("domain rollup: exact rank-median incl. even group and tie ordering") {
+    val s = spark; import s.implicits._
+    // srcA even (4 docs): lower median = rank 2; srcB has q ties broken by doc_id
+    val docs = Seq(
+      (1L, "srcA", "the the alpha beta"),       // q=500
+      (2L, "srcA", "alpha beta gamma delta"),   // q=0
+      (3L, "srcA", "the alpha beta gamma"),     // q=250
+      (4L, "srcA", "the the the alpha"),        // q=750
+      (5L, "srcB", "the alpha"),                // q=500
+      (6L, "srcB", "a beta"),                   // q=500
+      (7L, "srcB", "gamma delta"))              // q=0
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet("/tmp/graft-curation-docs/documents.parquet")
+    val got = CurationOps.q106DomainRollup(spark, "/tmp/graft-curation-docs")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // srcA sorted q: 0,250,500,750 → rank (4+1)/2=2 → 250; avg=round(1500/4)=375
+    assert(got("srcA") === ((4L, 375L, 250L, 0L, 750L)))
+    // srcB sorted (q,doc_id): (0,7),(500,5),(500,6) → rank 2 → 500
+    assert(got("srcB") === ((3L, 333L, 500L, 0L, 500L)))
+  }
+
+  /** Sequential segment cleaner: same split/LM/threshold/rebuild. */
+  private def refClean(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] = {
+    val train = docs.filter(_._1 % 5 != 0).flatMap(d => tok(d._2))
+    val freq = train.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tv = freq.values.sum + freq.size
+    docs.map { case (id, t) =>
+      val segs = tok(t).zipWithIndex.groupBy(_._2 / 25).toSeq.sortBy(_._1)
+      val verdicts = segs.map { case (_, ws) =>
+        val b = ws.map(w => (bitlen(tv) - bitlen(freq.getOrElse(w._1, 0L) + 1)).toLong).sum
+        val keep = Math.round(100.0 * b / ws.size) <= 510
+        (keep, ws.map(_._1))
+      }
+      val keptToks = verdicts.filter(_._1).flatMap(_._2)
+      id -> (segs.size.toLong, verdicts.count(!_._1).toLong,
+        keptToks.size.toLong, md5hex(keptToks.mkString(" ")))
+    }.toMap
+  }
+
+  test("paragraphClean == sequential reference incl. fully-dropped doc") {
+    val s = spark; import s.implicits._
+    val common = (1 to 30).map(i => s"w${i % 5}").mkString(" ")
+    val docs = Seq(
+      (1L, common + " " + common),                        // all common → kept
+      (2L, (1 to 30).map(i => s"rare$i").mkString(" ")),  // all rare → dropped fully
+      (3L, common + " " + (1 to 25).map(i => s"odd$i").mkString(" ")),
+      (4L, common), (6L, common), (7L, common))           // train mass
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft-curation-docs2/documents.parquet")
+    val got = CurationOps.q107ParagraphClean(spark, "/tmp/graft-curation-docs2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val exp = refClean(docs)
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+    // the edge cases really occurred: a fully-dropped doc ships md5("")
+    assert(got(2L)._3 === 0L && got(2L)._4 === md5hex(""))
+    assert(got(3L)._2 > 0L && got(3L)._3 > 0L) // partial drop + rebuild
+  }
+
+  test("model sides broadcast: dsir dist table and cleaner vocabulary") {
+    for (q <- Seq("q103_dsir_weights", "q107_paragraph_clean")) {
+      val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$q lost its broadcast model side:\n${plan.take(2000)}")
+    }
+  }
+}
