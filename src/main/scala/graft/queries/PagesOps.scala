@@ -419,6 +419,68 @@ object PagesOps {
       .localCheckpoint()
   }
 
+  /** q110: crawl-depth BFS — minimum hop distance from a seed set over
+    * the extracted link graph: the frontier-scheduling computation of a
+    * real crawler (how deep must the crawl go, which pages are reachable
+    * within budget k), run as iterative frontier expansion: per round ONE
+    * equi-join of the edge table against the current frontier + one
+    * distinct + one anti-join against the visited set, localCheckpointed
+    * (flat lineage, the PageRank/closure discipline), with an O(1)
+    * frontier-count read-back deciding termination. Rounds = graph
+    * diameter from the seeds — small on web graphs — and the frontier
+    * SHRINKS once the reachable set saturates, so the per-round cost is
+    * bounded by the edge join, never by round count.
+    *
+    * Seeds are the deterministic id%97==0 slice of the corpus. Rows-only;
+    * `bfs_ok` is a Bellman-Ford OPTIMALITY CERTIFICATE computed inside
+    * the query: a node at hop 0 must be a seed; a node at hop h>0 must
+    * have min(reached in-neighbor hop)+1 == h (both minimality — no
+    * shorter path exists — and validity — some h-1 in-neighbor exists);
+    * and a node with a reached in-neighbor that is itself missing from
+    * the result surfaces as a row with null hop, failing the flag
+    * (completeness). LinkGraphSpec additionally replays the whole BFS
+    * against an independent driver-side model, node-for-node.
+    *
+    * Scale shape: visited-set state is ids-only (urls, never html); at
+    * 100 TB bucket both edge and visited tables on the node key so the
+    * per-round anti-join is co-located ([[graft.sources.BucketedTables]]
+    * is the implemented seam).
+    */
+  def q110CrawlHops(s: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(s)
+    val isSeed =
+      regexp_extract(col("node"), "/page/([0-9]+)$", 1).cast("long") % 97 === 0
+    val seeds = pages(s).select(col("url").as("node"))
+      .where(isSeed).distinct()
+    var dist = seeds.select(col("node"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = dist
+    val MaxHops = 20
+    var h = 1L
+    var more = true
+    while (more && h <= MaxHops) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint()
+      if (next.count() == 0L) more = false // O(1) read-back per round
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+        h += 1
+      }
+    }
+    require(!more || h > MaxHops, "unreachable")
+    val inMin = e
+      .join(dist.select(col("node").as("src"), col("hop").as("sh")), "src")
+      .groupBy(col("dst")).agg(min(col("sh")).as("min_in"))
+    dist.join(inMin, col("node") === col("dst"), "full_outer")
+      .select(coalesce(col("node"), col("dst")).as("node"), col("hop"),
+        coalesce(when(col("hop") === 0, isSeed)
+          .otherwise(col("min_in") + 1 === col("hop")), lit(false)).as("bfs_ok"))
+      .orderBy(col("node"))
+  }
+
   /** q95: HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
     * in a hyperlinked environment") over the same extracted link graph as
     * q72 — the other classic link-quality signal (a good hub links to good
@@ -951,6 +1013,7 @@ object PagesOps {
     "q72_link_rank" -> q72LinkRank _,
     "q89_anchor_text" -> q89AnchorText _,
     "q95_hits" -> q95Hits _,
+    "q110_crawl_hops" -> q110CrawlHops _,
     "q30_extract_pages" -> q30ExtractPages _,
     "q31_node_table" -> q31NodeTable _,
     "q32_tag_histogram" -> q32TagHistogram _,

@@ -665,6 +665,34 @@ object TextOps {
     * the 128-bit gram hash — eval grams are tiny and broadcast; the
     * corpus side is linear in corpus tokens.
     */
+  /** q101: per-document contamination FRACTION — the decision-grade form
+    * of q60's match list (the Dolma/Lee-style rule a pipeline actually
+    * applies): for every document, its distinct 13-gram count, how many
+    * of those appear anywhere in the eval set, the overlap fraction
+    * (x1000), and the strict keep decision (any shared gram ⇒ drop).
+    * q60 tells you WHICH eval items leaked; q101 is the gate that drops
+    * the leaking documents.
+    *
+    * Scale: same shape as q60 — eval grams broadcast (they are the small
+    * side by construction), the corpus pays one gram explode + one
+    * doc-keyed map-combined aggregate; the left join keeps uncontaminated
+    * docs flowing through the same single pass.
+    */
+  def q101ContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val eg = decontamEvalGrams(docs).select(col("eg")).distinct()
+    tokenGrams(docs, "doc_id", 13)
+      .join(broadcast(eg), col("g") === col("eg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("grams"),
+        sum(when(col("eg").isNotNull, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col("doc_id"), col("grams"), col("shared_grams"),
+        round(lit(1000.0) * col("shared_grams") / col("grams"))
+          .cast("long").as("frac_x1000"))
+      .withColumn("kept", col("shared_grams") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
@@ -1454,6 +1482,7 @@ object TextOps {
     "q57_bpe_tokens" -> q57BpeTokens _,
     "q58_winnow" -> q58Winnow _,
     "q60_decontaminate" -> q60Decontaminate _,
+    "q101_contamination_frac" -> q101ContaminationFrac _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1474,8 +1503,9 @@ object TextOps {
 
   // q64 is the SAME decontamination contract as q60 behind a bloom
   // pre-filter with no false negatives, so both share one oracle
-  private lazy val decontamOracleSql: String =
-    s"""WITH ev AS (
+  /** The ev/evg/dg CTE block q60, q64 and q101 share. */
+  private lazy val decontamCtes: String =
+    s"""ev AS (
          |  SELECT doc_id AS eval_id,
          |    array_to_string(($dkTokens)[6:18], ' ') AS text
          |  FROM documents WHERE len($dkTokens) >= 40
@@ -1489,7 +1519,10 @@ object TextOps {
          |  SELECT DISTINCT doc_id,
          |    md5(array_to_string(($dkTokens)[p:p+12], ' ')) AS g
          |  FROM documents, unnest(generate_series(1, len($dkTokens) - 12)) t(p)
-         |  WHERE len($dkTokens) >= 13)
+         |  WHERE len($dkTokens) >= 13)""".stripMargin
+
+  private lazy val decontamOracleSql: String =
+    s"""WITH $decontamCtes
          |SELECT dg.doc_id, evg.eval_id, COUNT(*) AS shared_grams
          |FROM dg JOIN evg ON dg.g = evg.g
          |GROUP BY dg.doc_id, evg.eval_id
@@ -1840,6 +1873,17 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q101_contamination_frac" ->
+      s"""WITH $decontamCtes,
+         |eg AS (SELECT DISTINCT g FROM evg)
+         |SELECT dg.doc_id, COUNT(*) AS grams,
+         |  CAST(SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_grams,
+         |  CAST(round(1000.0 * SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END)
+         |    / COUNT(*)) AS BIGINT) AS frac_x1000,
+         |  (SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) = 0) AS kept
+         |FROM dg LEFT JOIN eg ON dg.g = eg.g
+         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
     "q64_bloom_decontaminate" -> decontamOracleSql,
     "q81_pii_redact" ->
       """WITH p AS (

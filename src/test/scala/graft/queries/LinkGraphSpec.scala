@@ -86,6 +86,41 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the header targets on top, got $top")
   }
 
+  test("q110 crawl-BFS equals an independent driver-side BFS node-for-node") {
+    val df = PagesOps.q110CrawlHops(spark, "unused")
+    assert(df.filter(!col("bfs_ok")).count() === 0L)
+    val got = df.select("node", "hop").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent model: same edges from the sequential extractor, plain
+    // queue BFS from the same id%97==0 seed set
+    val edges = (0L until PagesOps.VerifyDocs).flatMap { id =>
+      val url = PagesSynth.urlFor(id)
+      LinkExtractor.outlinks(PagesSynth.htmlFor(id).getBytes(UTF_8)).iterator
+        .filter(!_.nofollow)
+        .flatMap(l => UrlCanon.resolve(url, l.href).map(url -> _))
+    }.distinct.filter(e => e._1 != e._2)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = (0L until PagesOps.VerifyDocs).filter(_ % 97 == 0)
+      .map(PagesSynth.urlFor).distinct
+    val hop = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var level = 0L
+    var f = seeds.toSet
+    while (f.nonEmpty) {
+      level += 1
+      val next = f.flatMap(adj.getOrElse(_, Nil)).filterNot(hop.contains)
+      next.foreach(hop(_) = level)
+      f = next
+    }
+    assert(got.keySet === hop.keySet)
+    val diffs = hop.count { case (n, h) => got(n) != h }
+    assert(diffs === 0, s"$diffs nodes differ from the BFS model")
+    // structure sanity: seeds at 0, the universally-linked header targets
+    // one hop out, and multiple hop levels actually occur
+    assert(seeds.forall(s => got.get(s).contains(0L)))
+    assert(got.values.toSet.size >= 2, "BFS collapsed to a single level")
+  }
+
   test("q95 HITS equals an independent driver-side model exactly") {
     val df = PagesOps.q95Hits(spark, "unused")
     assert(df.filter(!col("hits_ok")).count() === 0L)

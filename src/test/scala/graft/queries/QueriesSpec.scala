@@ -71,7 +71,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q99_exact_repeats" -> "sa_ok",
       "q100_exactsubstr_cut" -> "es_ok",
       "q104_cdc_dedup" -> "cdc_ok",
-      "q108_canonical" -> "cons_ok")
+      "q108_canonical" -> "cons_ok",
+      "q110_crawl_hops" -> "bfs_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
