@@ -693,6 +693,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q111: cross-source SYNDICATION / mirror detection — the crawl-side
+    * question "which sources republish each other's content": for every
+    * source pair, the number of distinct 10-token spans they share and
+    * the overlap fraction against the smaller span set; pairs at ≥ 5 %
+    * are flagged syndicated (wire-service reprints, scraped mirrors —
+    * the sources a curation run should collapse or down-weight as a
+    * GROUP, complementing doc-level dedup which only sees one pair of
+    * texts at a time).
+    *
+    * Scale shape (the q63 discipline): the span table is materialized
+    * ONCE (localCheckpoint) feeding the per-source sizes, the span-df
+    * aggregate, and both self-join sides; spans present in more than
+    * [[SyndMaxSrcDf]] sources are dropped BEFORE the join (corpus-wide
+    * boilerplate — at web scale a universal span would otherwise pair
+    * every host with every host), bounding every join bucket at
+    * ≤ C(SyndMaxSrcDf, 2) pairs; per-source span sets ride ids-only
+    * (md5, never text).
+    */
+  private val SyndMaxSrcDf = 10
+  def q111Syndication(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 10)
+    val g = tk
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("t")) - 9)).as("p"), col("t"))
+      .select(col("source"),
+        md5s(array_join(slice(col("t"), col("p"), lit(10)), " ")).as("g"))
+      .distinct()
+      .localCheckpoint() // one materialization: sizes + df + both join sides
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val srcDf = g.groupBy(col("g")).agg(count(lit(1)).as("src_df"))
+    val capped = g.join(srcDf.where(col("src_df") <= SyndMaxSrcDf), "g")
+    val pairs = capped.select(col("g"), col("source").as("src_a"))
+      .join(capped.select(col("g"), col("source").as("src_b")), "g")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("spans_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("spans_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_spans"),
+        col("spans_a"), col("spans_b"),
+        round(lit(1000.0) * col("shared_spans") / least(col("spans_a"), col("spans_b")))
+          .cast("long").as("overlap_x1000"))
+      .withColumn("syndicated", col("overlap_x1000") >= 50L)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
@@ -1483,6 +1532,7 @@ object TextOps {
     "q58_winnow" -> q58Winnow _,
     "q60_decontaminate" -> q60Decontaminate _,
     "q101_contamination_frac" -> q101ContaminationFrac _,
+    "q111_syndication" -> q111Syndication _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1873,6 +1923,24 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q111_syndication" ->
+      s"""WITH tk AS (SELECT source, $dkTokens AS t FROM documents),
+         |gr AS (SELECT DISTINCT source, md5(array_to_string(t[p:p+9], ' ')) AS g
+         |  FROM tk, unnest(generate_series(1, len(t) - 9)) s(p) WHERE len(t) >= 10),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM gr GROUP BY source),
+         |sdf AS (SELECT g, COUNT(*) AS src_df FROM gr GROUP BY g),
+         |cap AS (SELECT gr.source, gr.g FROM gr JOIN sdf USING (g)
+         |  WHERE src_df <= $SyndMaxSrcDf),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_spans
+         |  FROM cap a JOIN cap b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_spans, sa.n AS spans_a, sb.n AS spans_b,
+         |  CAST(round(1000.0 * shared_spans / least(sa.n, sb.n)) AS BIGINT)
+         |    AS overlap_x1000,
+         |  (CAST(round(1000.0 * shared_spans / least(sa.n, sb.n)) AS BIGINT) >= 50)
+         |    AS syndicated
+         |FROM p JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q101_contamination_frac" ->
       s"""WITH $decontamCtes,
          |eg AS (SELECT DISTINCT g FROM evg)
