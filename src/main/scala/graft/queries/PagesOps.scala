@@ -971,7 +971,8 @@ object PagesOps {
         if (id % 11 == 0)
           ins.append("<meta name=\"robots\" content=\"noindex, follow\">")
         val h = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-        val at = h.indexOf("<head>") + "<head>".length
+        val headAt = h.indexOf("<head>")
+        val at = if (headAt >= 0) headAt + "<head>".length else 0 // headless: prepend
         val out = h.substring(0, at) + ins + h.substring(at)
         val hd = graft.core.LinkExtractor.headDirectives(
           out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
