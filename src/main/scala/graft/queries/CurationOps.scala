@@ -127,17 +127,23 @@ object CurationOps {
     * (one row per registered domain) is broadcast back wherever the gate
     * is applied.
     */
-  def q106DomainRollup(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc stopword-density quality (x1000) — the q17 integer signal,
+    * shared by q106 and q112.
+    */
+  private def docQuality(d: DataFrame): DataFrame = {
     val stop = Stopwords.map(w => when(col("tok") === w, 1L).otherwise(0L))
       .reduce(_ + _)
-    val q = tbl(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
+    d.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("words"), sum(stop).as("stops"))
       .select(col("doc_id"), col("source"),
         round(lit(1000.0) * col("stops") / col("words"))
           .cast("long").as("q1000"))
+  }
+
+  def q106DomainRollup(s: SparkSession, dir: String): DataFrame = {
+    val q = docQuality(tbl(s, dir, "documents"))
     val w = Window.partitionBy(col("source")).orderBy(col("q1000"), col("doc_id"))
     q.withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -214,10 +220,47 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q112: per-host CRAWL-BUDGET allocation — the frontier-sizing rule a
+    * recurring crawl applies once it has judged its sources (q106): a
+    * source's budget is a deterministic tier of its median quality
+    * (≥70‰ → 15 docs, ≥60‰ → 10, else 5), and within each source the
+    * budget is filled in md5-hash order (the q54/q67 discipline — adding
+    * documents never flips an earlier pick). Output keeps EVERY doc with
+    * its rank, the source tier and the keep flag, so the allocation is
+    * auditable rather than a silent filter.
+    *
+    * Scale: the per-source median costs one source-keyed window (as
+    * q106); the tier table is one row per source, broadcast back; the
+    * ranking is a second source-keyed window over ids-only rows. At
+    * web scale both windows partition on the host — the natural unit —
+    * and no host's group exceeds its own page count.
+    */
+  def q112HostBudget(s: SparkSession, dir: String): DataFrame = {
+    val q = docQuality(tbl(s, dir, "documents")).localCheckpoint()
+    val mw = Window.partitionBy(col("source")).orderBy(col("q1000"), col("doc_id"))
+    val med = q.withColumn("rn", row_number().over(mw))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
+        col("q1000"))).as("med_q_x1000"))
+      .withColumn("budget",
+        when(col("med_q_x1000") >= 70, 15L)
+          .when(col("med_q_x1000") >= 60, 10L).otherwise(5L))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    q.join(broadcast(med), "source")
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .select(col("doc_id"), col("source"), col("med_q_x1000"),
+        col("budget"), col("rnk"),
+        (col("rnk") <= col("budget")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_dsir_weights" -> q103DsirWeights _,
     "q106_domain_rollup" -> q106DomainRollup _,
-    "q107_paragraph_clean" -> q107ParagraphClean _)
+    "q107_paragraph_clean" -> q107ParagraphClean _,
+    "q112_host_budget" -> q112HostBudget _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -244,6 +287,30 @@ object CurationOps {
          |  CAST(round(100.0 * w_bits / feats) AS BIGINT) AS avg_bits_x100,
          |  (CAST(round(100.0 * w_bits / feats) AS BIGINT) >= $DsirKeepX100) AS kept
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q112_host_budget" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest($dkTokens) AS tok FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    CAST(round(1000.0 * SUM(CASE WHEN tok IN ('the','a','of','and','to','in')
+         |      THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS q1000
+         |  FROM tk GROUP BY doc_id, source),
+         |r AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q1000, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM q),
+         |med AS (SELECT source,
+         |    MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+         |        THEN q1000 END) AS med_q_x1000
+         |  FROM r GROUP BY source),
+         |b AS (SELECT source, med_q_x1000,
+         |    CAST(CASE WHEN med_q_x1000 >= 70 THEN 15
+         |         WHEN med_q_x1000 >= 60 THEN 10 ELSE 5 END AS BIGINT) AS budget
+         |  FROM med),
+         |rk AS (SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+         |  FROM q)
+         |SELECT rk.doc_id, rk.source, b.med_q_x1000, b.budget, rk.rnk,
+         |  (rk.rnk <= b.budget) AS kept
+         |FROM rk JOIN b USING (source) ORDER BY rk.doc_id""".stripMargin,
     "q106_domain_rollup" ->
       s"""WITH tk AS (SELECT doc_id, source, unnest($dkTokens) AS tok FROM documents),
          |q AS (SELECT doc_id, source,

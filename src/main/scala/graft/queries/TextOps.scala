@@ -742,6 +742,51 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** The invisible/control characters a curation pass must strip before
+    * training: zero-width (ZWSP/ZWNJ/ZWJ/BOM), bidirectional override and
+    * isolate controls (the Trojan-Source spoofing vectors, CVE-2021-42574
+    * class), and C0/DEL controls other than \t \n \r. One Java/RE2
+    * character class, identical in both engines.
+    */
+  private val InvisibleClass =
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}" +
+      "\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+
+  /** q113: TEXT SANITIZATION — strip zero-width, bidi-control and C0
+    * characters from every document (the Dolma/CCNet cleanup step, and
+    * the defense against Trojan-Source-style bidi spoofing in training
+    * text). The harness corpus is clean ASCII, so the dirt is PLANTED
+    * deterministically per doc_id residue (RLO prefix / embedded ZWSP /
+    * trailing C0 control / untouched), then removed; the md5 of the
+    * cleaned text crosses to the oracle, so the exact rebuilt bytes are
+    * verified, and the removed-count column pins that each class was
+    * actually present and actually stripped.
+    *
+    * Scale: a stateless codegen'd projection — no shuffle at all beyond
+    * the ORDER BY the driver contract requires.
+    */
+  def q113TextSanitize(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    // NB literal codepoints, NOT Spark SQL char(n): char() wraps at n%256
+    // (char(8238) is '.'), where DuckDB's chr() is a true codepoint
+    val wire = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("\u202E"), col("text")))                  // RLO
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(col("text"), lit("\u200B"), lit("tail")))     // ZWSP
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(col("text"), lit("\u0001")))                  // C0 SOH
+      .otherwise(col("text"))
+    d.select(col("doc_id"), wire.as("wire"))
+      .select(col("doc_id"),
+        length(col("wire")).cast("long").as("wire_chars"),
+        regexp_replace(col("wire"), InvisibleClass, "").as("clean"))
+      .select(col("doc_id"), col("wire_chars"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        (col("wire_chars") - length(col("clean"))).as("removed"),
+        md5(col("clean").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
@@ -1252,9 +1297,14 @@ object TextOps {
     * constant. Same scale-safe shape as q22: melted bands, materialized
     * once, one self equi-join — candidates only, never all-pairs.
     */
-  def minhashCandidates(docs: org.apache.spark.sql.DataFrame,
-                        threshold: Double,
-                        rowsPerBand: Int = 4): org.apache.spark.sql.DataFrame = {
+  /** Melted LSH band table (doc_id, pos = band index, col = band hash) for
+    * a threshold-derived banding — the shared candidate-generation core of
+    * [[minhashCandidates]] (batch) and
+    * [[graft.streaming.NeardupStream]] (continuous ingest).
+    */
+  def minhashBandTable(docs: org.apache.spark.sql.DataFrame,
+                       threshold: Double,
+                       rowsPerBand: Int = 4): org.apache.spark.sql.DataFrame = {
     val bands = LshParams.minhashBands(threshold, rowsPerBand)
     val numHashes = bands * rowsPerBand
     val ex = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
@@ -1263,9 +1313,13 @@ object TextOps {
     val bandCols = (0 until bands).map(b =>
       md5s(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)))
-    LshParams.bandedPairs(
-      sig.select(col("doc_id"), posexplode(array(bandCols: _*))))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
   }
+
+  def minhashCandidates(docs: org.apache.spark.sql.DataFrame,
+                        threshold: Double,
+                        rowsPerBand: Int = 4): org.apache.spark.sql.DataFrame =
+    LshParams.bandedPairs(minhashBandTable(docs, threshold, rowsPerBand))
 
   /** 64-bit SimHash production variant with banded hamming pairing: the
     * 64 md5-derived bits are built directly as [[SimBands]] band values of
@@ -1533,6 +1587,7 @@ object TextOps {
     "q60_decontaminate" -> q60Decontaminate _,
     "q101_contamination_frac" -> q101ContaminationFrac _,
     "q111_syndication" -> q111Syndication _,
+    "q113_text_sanitize" -> q113TextSanitize _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1923,6 +1978,22 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q113_text_sanitize" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN chr(8238) || text
+        |      WHEN 1 THEN text || chr(8203) || 'tail'
+        |      WHEN 2 THEN text || chr(1)
+        |      ELSE text END AS wire
+        |  FROM documents),
+        |c AS (SELECT doc_id, length(wire) AS wire_chars,
+        |    regexp_replace(wire,
+        |      '[\x{200B}-\x{200D}\x{FEFF}\x{202A}-\x{202E}\x{2066}-\x{2069}\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]',
+        |      '', 'g') AS clean
+        |  FROM w)
+        |SELECT doc_id, wire_chars, length(clean) AS clean_chars,
+        |  wire_chars - length(clean) AS removed, md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q111_syndication" ->
       s"""WITH tk AS (SELECT source, $dkTokens AS t FROM documents),
          |gr AS (SELECT DISTINCT source, md5(array_to_string(t[p:p+9], ' ')) AS g

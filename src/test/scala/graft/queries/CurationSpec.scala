@@ -142,6 +142,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L)._2 > 0L && got(3L)._3 > 0L) // partial drop + rebuild
   }
 
+  test("host budget: tiers from the median, hash-order fill, full audit rows") {
+    val s = spark; import s.implicits._
+    // srcHi median 750 → tier 15; srcMid median 60x → tier 10; srcLo → 5
+    def doc(id: Long, src: String, q: Int): (Long, String, String) = {
+      // q stopwords out of 1000 tokens → density exactly q‰
+      val toks = Seq.fill(q)("the") ++ Seq.fill(1000 - q)("alpha")
+      (id, src, toks.mkString(" "))
+    }
+    val docs = (0L until 8L).map(i => doc(i, "srcHi", 750)) ++
+      (10L until 18L).map(i => doc(i, "srcMid", 65)) ++
+      (20L until 28L).map(i => doc(i, "srcLo", 10))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet("/tmp/graft-curation-docs3/documents.parquet")
+    val got = CurationOps.q112HostBudget(spark, "/tmp/graft-curation-docs3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got.size === 24) // every doc audited, none silently dropped
+    assert(got(0L)._3 === 15L && got(10L)._3 === 10L && got(20L)._3 === 5L)
+    // hash-order fill: rank sequence == sequential md5 sort per source
+    for ((src, ids) <- Seq("srcHi" -> (0L until 8L), "srcMid" -> (10L until 18L),
+                           "srcLo" -> (20L until 28L))) {
+      val expOrder = ids.sortBy(i => (md5hex(i.toString), i))
+      expOrder.zipWithIndex.foreach { case (id, i) =>
+        assert(got(id)._4 === i + 1L, s"$src doc $id rank")
+      }
+      val budget = got(ids.head)._3
+      ids.foreach(id => assert(got(id)._5 === (got(id)._4 <= budget)))
+      // the budget is a real cut: 8 docs/source > lo tier of 5
+      if (src == "srcLo") assert(ids.count(got(_)._5) === 5)
+    }
+  }
+
   test("model sides broadcast: dsir dist table and cleaner vocabulary") {
     for (q <- Seq("q103_dsir_weights", "q107_paragraph_clean")) {
       val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
