@@ -35,6 +35,7 @@ object ExportStage {
                            maxShardTokens: Long)
 
   def exportPath(outDir: String) = s"$outDir/export"
+  def shardManifestPath(outDir: String) = s"$outDir/export_shards"
   def manifestDir(outDir: String) =
     java.nio.file.Paths.get(outDir, "_export_manifest")
 
@@ -128,10 +129,18 @@ object ExportStage {
       .write.mode("overwrite").partitionBy("shard")
       .option("compression", "gzip")
       .text(exportPath(outDir))
-    val r = assigned.groupBy(col("shard"))
-      .agg(count(lit(1)).as("docs"), sum(col("tok_len")).as("toks"))
-      .agg(sum(col("docs")), sum(col("toks")), count(lit(1)),
-        max(col("toks"))).head()
+    // the train-loader contract: a shard manifest TABLE (shard → docs,
+    // tokens) written distributed — at corpus scale the shard count is
+    // itself large, so the manifest must never be a driver collect
+    val perShard = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok_len")).as("tokens"))
+      .localCheckpoint() // one aggregate feeds the manifest and the summary
+    perShard.sort(col("shard")) // range-partitioned: stays parallel when
+      .write.mode("overwrite")  // the shard count is itself corpus-scale
+      .parquet(shardManifestPath(outDir))
+    val r = perShard
+      .agg(sum(col("docs")), sum(col("tokens")), count(lit(1)),
+        max(col("tokens"))).head()
     Summary(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 }

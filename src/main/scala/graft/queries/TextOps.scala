@@ -787,6 +787,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q114: EXACT corpus-wide order statistics WITHOUT a global sort —
+    * the distributed selection problem: p50/p90/p99 of the document
+    * token-length distribution, each found by BISECTION on the value
+    * domain (the smallest v with count(len ≤ v) ≥ ⌈q·n⌉). Every probe
+    * is one map-combined count aggregate with an O(1) read-back, so an
+    * exact quantile costs O(log range) corpus scans and ZERO shuffles —
+    * versus a global sort's full-corpus range exchange, or
+    * approx_percentile's error bars. The q44 histogram-sketch UDAF is
+    * the one-pass approximate complement; this is the exact path when
+    * the answer must be right (SLA cutoffs, billing tiers).
+    *
+    * All probes for all three quantiles share ONE cached length
+    * projection (ids are never touched — just the length column).
+    */
+  def q114ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = tbl(s, dir, "documents")
+      .select(size(tokens(col("text"))).cast("long").as("len"))
+      .localCheckpoint() // one narrow projection feeds every probe
+    val n = lens.count()
+    val maxLen = lens.agg(max(col("len"))).head().getLong(0)
+    def countLe(v: Long): Long =
+      lens.where(col("len") <= v).count() // map-combined, O(1) read-back
+    def kth(k: Long): Long = { // smallest v with count(<=v) >= k
+      var lo = 0L
+      var hi = maxLen
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (countLe(mid) >= k) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+      .map { case (name, pct) =>
+        val k = (pct * n + 99L) / 100L // ceil(pct*n/100)
+        (name, kth(k))
+      }
+      .toDF("stat", "len")
+      .orderBy(col("stat"))
+  }
+
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
@@ -1588,6 +1629,7 @@ object TextOps {
     "q101_contamination_frac" -> q101ContaminationFrac _,
     "q111_syndication" -> q111Syndication _,
     "q113_text_sanitize" -> q113TextSanitize _,
+    "q114_exact_quantiles" -> q114ExactQuantiles _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1978,6 +2020,16 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q114_exact_quantiles" ->
+      s"""WITH l AS (SELECT CAST(len($dkTokens) AS BIGINT) AS len FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM l),
+         |s AS (SELECT len, ROW_NUMBER() OVER (ORDER BY len) AS rn FROM l),
+         |k AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+         |        t(stat, pct))
+         |SELECT k.stat,
+         |  (SELECT s.len FROM s
+         |   WHERE s.rn = (k.pct * (SELECT n FROM n) + 99) // 100) AS len
+         |FROM k ORDER BY k.stat""".stripMargin,
     "q113_text_sanitize" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 4

@@ -553,6 +553,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("cum_before") - col("shard") * tps >= tps).count()
     assert(startsBeyond === 0L, "a document started at/after its shard boundary")
     assert(viol >= 0L) // lone over-budget shards are legal by construction
+    // shard manifest table == a recount of the shards themselves
+    val mfRows = spark.read.parquet(ExportStage.shardManifestPath(out))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val recount = back
+      .select(col("shard").cast("long"), col("tok_len").cast("long"))
+      .groupBy("shard").agg(count(lit(1)).as("d"), sum("tok_len").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mfRows === recount, "shard manifest disagrees with the shards")
     // resumable: a re-run answers from the manifest, artifacts untouched
     def mtimes(): Seq[Long] =
       dirs.flatMap(_.listFiles().map(_.lastModified())).sorted.toSeq
