@@ -470,7 +470,9 @@ object PagesOps {
         h += 1
       }
     }
-    require(!more || h > MaxHops, "unreachable")
+    // the q49 closure discipline: a frontier still alive at the cap is a
+    // hard failure, never a silently-truncated answer
+    require(!more, s"BFS frontier still expanding after $MaxHops hops")
     val inMin = e
       .join(dist.select(col("node").as("src"), col("hop").as("sh")), "src")
       .groupBy(col("dst")).agg(min(col("sh")).as("min_in"))

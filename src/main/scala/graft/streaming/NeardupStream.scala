@@ -94,17 +94,20 @@ object NeardupStream {
     // ---- horizon eviction: drop WHOLE expired state dirs (O(dirs)) ----
     val mdir = Paths.get(stateDir, "_manifest")
     if (Files.isDirectory(mdir)) {
-      val it = Files.list(mdir).iterator()
-      while (it.hasNext) {
-        val f = it.next()
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(mdir)
+      val manifests = try ls.iterator().asScala.toArray finally ls.close()
+      manifests.foreach { f =>
         val txt = new String(Files.readAllBytes(f), UTF_8)
         val bid = txt.split("\"batch\":")(1).split("[,}]")(0).toLong
         val mts = txt.split("\"max_ts_ms\":")(1).split("[,}]")(0).toLong
         if (bid != batchId && mts != Long.MinValue && mts < maxTsMs - horizonMs) {
           val dir = Paths.get(stateBatchDir(stateDir, bid))
           if (Files.isDirectory(dir)) {
-            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.delete(p))
+            finally walk.close()
           }
         }
       }
