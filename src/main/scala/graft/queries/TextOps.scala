@@ -828,6 +828,104 @@ object TextOps {
       .orderBy(col("stat"))
   }
 
+  /** q115: VOCABULARY-GROWTH accounting — the Heaps-law corpus-sizing
+    * curve: with documents in the deterministic global hash order (the
+    * q109 ingestion order), how many of each document's distinct tokens
+    * are FIRST occurrences — the marginal-novelty signal that tells a
+    * corpus builder when more of the same source stops buying new
+    * vocabulary. Per-token first occurrence is a single min aggregate
+    * over the (hash, doc_id) order key — no sequential scan, no global
+    * window: the order is encoded in the min, not in row traversal.
+    *
+    * Scale: one distinct-token explode, one vocabulary-keyed
+    * map-combined min, and the vocabulary-sized first-occurrence table
+    * re-enters BROADCAST (the q55/q56 Zipf-head discipline; saltedJoin
+    * is the beyond-broadcast fallback).
+    */
+  def q115VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val first = tk.groupBy(col("tok"))
+      .agg(min(struct(col("h"), col("doc_id"))).as("f"))
+      .select(col("tok"), col("f.doc_id").as("first_doc"))
+    tk.join(broadcast(first), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("distinct_toks"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("new_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q116: EXACT all-pairs Jaccard ≥ 0.5 over the FULL corpus by PREFIX
+    * FILTERING (AllPairs, Bayardo et al. WWW'07 — the published exact
+    * similarity-join family that PPJoin refines): order every doc's
+    * shingles by ascending document frequency (rarest first, ties by
+    * shingle); two sets with overlap ≥ α must share an element inside
+    * their (n − α + 1)-prefixes in ANY common total order (the minimal
+    * common element sits at position ≤ n − α + 1 on both sides), and
+    * Jaccard ≥ t forces α ≥ ⌈t·n⌉ per side — so only prefix tokens are
+    * indexed and self-joined, and the exact intersection is computed on
+    * the surviving candidates only. This is the production replacement
+    * for q20's honestly-sampled all-pairs baseline: the oracle is the
+    * NAIVE all-pairs SQL on the full table, so hash equality proves the
+    * pruning lossless, not just plausible.
+    *
+    * Scale shape: one shingle-keyed df aggregate, one doc-keyed window
+    * for prefix ranks, a prefix-only self equi-join whose buckets are
+    * keyed on each doc's RAREST shingles (df order is exactly what keeps
+    * boilerplate shingles out of the index — the analog of q63's
+    * ubiquity cap, but lossless), a size filter (t·max ≤ min) inside the
+    * join condition, and candidate-only exact verification.
+    */
+  def q116PrefixJoin(s: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairs(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text")), 500)
+
+  /** Exact similarity self-join (production API): all doc pairs with
+    * round(1000·Jaccard) ≥ `jacX1000` over distinct word-bigram shingles,
+    * by df-ordered prefix filtering. Lossless for any `jacX1000` ≥ 2:
+    * kept pairs have J ≥ (jacX1000 − 0.5)/1000 and pruning uses the
+    * strictly smaller t = (jacX1000 − 1)/1000, so round-half-up can
+    * never out-run the prefix bound.
+    */
+  private[queries] def prefixJaccardPairs(docs: DataFrame,
+      jacX1000: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = (jacX1000 - 1).toDouble / 1000.0
+    val sh = docs
+      .select(col("doc_id"), bigrams(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint() // one shingle pass feeds df, prefixes, AND verify
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = sh.join(dfreq, "s")
+      .withColumn("i", row_number().over(w))
+      .where(col("i") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+      .select(col("s"), col("doc_id"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * t <=
+            least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(sh.as("x"), col("a_id") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("b_id") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(lit(1000.0) * col("inter") /
+          (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jac_x1000"))
+      .where(col("jac_x1000") >= jacX1000)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
@@ -1235,8 +1333,9 @@ object TextOps {
   /** n-gram (bigram) Jaccard near-dup pairs over a sampled id stripe
     * (doc_id % 10 = 0): explode distinct shingles → self equi-join on
     * shingle → per-pair intersection count → Jaccard. The join is keyed on
-    * the shingle (no cross product), but all-pairs Jaccard still can't take
-    * 100×; the production path is q21's LSH banding.
+    * the shingle (no cross product), but a FULL-index all-pairs join still
+    * can't take 100×; the exact production path is q116's prefix-filtered
+    * join, the approximate one q22's LSH banding.
     */
   def q20NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // |shingles| rides along each exploded row (one extra int through the
@@ -1630,6 +1729,8 @@ object TextOps {
     "q111_syndication" -> q111Syndication _,
     "q113_text_sanitize" -> q113TextSanitize _,
     "q114_exact_quantiles" -> q114ExactQuantiles _,
+    "q115_vocab_growth" -> q115VocabGrowth _,
+    "q116_prefix_join" -> q116PrefixJoin _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1716,6 +1817,19 @@ object TextOps {
          | md5(lower(regexp_replace(trim(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS fp,
          | md5(array_to_string(list_sort(list_distinct($dkTokens)), ' ')) AS tok_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q116_prefix_join" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, inter,
+         | CAST(round(1000.0*inter/(sa.n + sb.n - inter)) AS BIGINT) AS jac_x1000
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id
+         | JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(round(1000.0*inter/(sa.n + sb.n - inter)) AS BIGINT) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
     "q20_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($dkBigrams) AS s
@@ -2020,6 +2134,19 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q115_vocab_growth" ->
+      s"""WITH tk AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         |    tok
+         |  FROM (SELECT doc_id, unnest($dkTokens) AS tok FROM documents)),
+         |f AS (SELECT tok, doc_id AS first_doc,
+         |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY h, doc_id) AS rn
+         |  FROM tk)
+         |SELECT tk.doc_id, COUNT(*) AS distinct_toks,
+         |  CAST(SUM(CASE WHEN ff.first_doc = tk.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS new_toks
+         |FROM tk JOIN (SELECT tok, first_doc FROM f WHERE rn = 1) ff USING (tok)
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
     "q114_exact_quantiles" ->
       s"""WITH l AS (SELECT CAST(len($dkTokens) AS BIGINT) AS len FROM documents),
          |n AS (SELECT COUNT(*) AS n FROM l),

@@ -178,4 +178,49 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(unchunked.nonEmpty)
   }
+
+  test("prefix-filtered exact Jaccard join == naive all-pairs, 4 thresholds") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lumen", "metric", "nova", "orbit",
+      "prism", "quark", "ridge", "sable", "tidal", "umber")
+    def doc(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val base = (0L until 120L).map(i => (i, doc(30 + rnd.nextInt(40))))
+    // planted near-dups: one word mutated → Jaccard well above 0.7
+    val dups = (0L until 15L).map { i =>
+      val toks = base((i * 11 % 120).toInt)._2.split(" ").toVector
+      (500L + i, toks.updated(rnd.nextInt(toks.length), s"mut$i").mkString(" "))
+    }
+    // degenerate shapes: empty text, single token (no bigram), and an
+    // exact-dup pair whose shingle set has size 1 (prefix length 1 path)
+    val edge = Seq((900L, ""), (901L, "single"),
+      (902L, "two words"), (903L, "two words"))
+    val corpus = base ++ dups ++ edge
+    val df = corpus.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val tk = t.trim.toLowerCase.split("[ \\t\\n\\f\\r\\x0B]+")
+      if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = sets.keys.toVector
+    for (thr <- Seq(300, 500, 700, 900)) {
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        inter = (sets(a) & sets(b)).size if inter > 0
+        j = math.round(1000.0 * inter /
+          (sets(a).size + sets(b).size - inter)) if j >= thr
+      } yield (a, b, inter.toLong, j)).toSet
+      val got = TextOps.prefixJaccardPairs(df, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected,
+        s"thr=$thr missing=${expected -- got} extra=${got -- expected}")
+      if (thr <= 700)
+        assert((0L until 15L).forall(i =>
+          got.exists(p => p._2 == 500L + i)), "planted dup lost")
+    }
+  }
 }
