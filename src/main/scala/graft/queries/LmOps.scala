@@ -155,9 +155,154 @@ object LmOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Fixed-point scale for the reproducible-GD classifier: weights and
+    * gradient accumulators live in LONGS at 1e9 units. Long addition is
+    * exactly associative and commutative, so the distributed gradient sum
+    * is BIT-IDENTICAL under any partitioning — the reproducibility that
+    * float sums cannot give (the exact objection q105's docstring raises
+    * against gradient training, answered rather than avoided).
+    */
+  private[queries] val ClfScale = 1e9
+  private[queries] val ClfDim = 256
+  private[queries] val ClfIters = 8
+  private[queries] val ClfLrNum = 8L // lr = 8 (integer: grad*8/nTrain)
+
+  /** Binary planted corpus for the classifier: label = doc_id % 2, wire =
+    * text + 8 hash-chosen words from the label's 4-word vocabulary
+    * (quality-page words vs spam words — the DCLM/fastText quality-filter
+    * setup in miniature, deterministic so every engine rebuilds it).
+    */
+  private[queries] def plantedBinary(docs: DataFrame): DataFrame = {
+    val cv = when(pmod(col("doc_id"), lit(2)) === 0,
+      array(Seq("research", "study", "method", "results").map(lit): _*))
+      .otherwise(array(Seq("buy", "cheap", "free", "offer").map(lit): _*))
+    val word = (i: Int) => element_at(cv,
+      (conv(substring(md5((col("doc_id") * 37 + lit(i))
+        .cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("int") % 4) + 1)
+    docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(2)).cast("long").as("y"),
+      concat(col("text"), lit(" "),
+        concat_ws(" ", (1 to 8).map(word): _*)).as("wire"))
+  }
+
+  /** Hashed-feature bucket: first 8 md5 hex chars of the token, mod dim. */
+  private def featBucket(c: Column, dim: Int): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong)).cast("int")
+
+  /** One row per doc: label, token count, and the per-bucket term counts
+    * sorted by bucket id (sorted so the per-doc double dot product has ONE
+    * defined summation order — the only float in the pipeline is per-row,
+    * never accumulated across rows).
+    */
+  private[queries] def clfFeatures(wirev: DataFrame, dim: Int): DataFrame =
+    wirev.select(col("doc_id"), col("y"),
+        explode(tokens(col("wire"))).as("tok"))
+      .groupBy(col("doc_id"), col("y"),
+        featBucket(col("tok"), dim).as("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt")).as("ntok"),
+        sort_array(collect_list(struct(col("f"), col("cnt")))).as("feats"))
+
+  /** Train a logistic-regression quality classifier by full-batch gradient
+    * descent where every cross-row accumulation is a LONG sum in 1e9
+    * fixed-point units: the weight trajectory is bit-reproducible under
+    * any partitioning/core count (LmSpec pins distributed == sequential
+    * reference EXACTLY, and 1-partition == 7-partition). Per iteration:
+    * one broadcast of the dim-sized weight array as literals (the IVF
+    * centroid-literal pattern — zero extra shuffle for the model) and one
+    * explode + map-combined LONG aggregate for the gradient.
+    *
+    * Returns (final fixed-point weights, per-iteration fixed-point train
+    * losses). Model math: z = (Σ_f w_f·cnt_f)/ntok; p = σ(z);
+    * per-feature gradient contribution = ((p−y)·cnt_f/ntok)·1e9 truncated
+    * to LONG; update w_f −= gradSum_f·lr/nTrain in integer arithmetic.
+    */
+  private[queries] def trainClassifier(feats: DataFrame, dim: Int,
+      iters: Int): (Array[Long], Seq[Long]) = {
+    val train = feats.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    var nTrain = 0L // learned from iteration 1's collect, not a count() job
+    val w = new Array[Long](dim)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val wlit = typedLit(w.map(_.toDouble / ClfScale).toSeq)
+      val z = aggregate(col("feats"), lit(0.0d), (acc, e) =>
+        acc + element_at(wlit, e.getField("f") + 1) * e.getField("cnt")) /
+        col("ntok")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val lossCol = (-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+        (lit(1L) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12)))) *
+        lit(1e6)).cast("long")
+      // ONE job per iteration: gradient rows come from posexplode and the
+      // doc's loss contribution rides on its pos=0 row (still a pure LONG
+      // sum, so grouping order cannot perturb it)
+      val grad = train.withColumn("p", p)
+        .select(col("p") - col("y").cast("double") as "err",
+          col("ntok"), lossCol.as("loss"),
+          posexplode(col("feats")).as(Seq("pos", "e")))
+        .select(col("e.f").as("f"),
+          (col("err") * col("e.cnt") / col("ntok") * lit(ClfScale))
+            .cast("long").as("g"),
+          when(col("pos") === 0, col("loss")).otherwise(0L).as("l"),
+          when(col("pos") === 0, 1L).otherwise(0L).as("n"))
+        .groupBy(col("f")).agg(sum(col("g")).as("g"), sum(col("l")).as("l"),
+          sum(col("n")).as("n"))
+        .collect() // O(dim) read-back, the k-means-centroid pattern
+      losses += grad.map(_.getLong(2)).sum
+      if (nTrain == 0L) nTrain = grad.map(_.getLong(3)).sum
+      grad.foreach { r =>
+        val f = r.getInt(0)
+        w(f) -= r.getLong(1) * ClfLrNum / nTrain
+      }
+    }
+    (w, losses.toSeq)
+  }
+
+  /** Holdout metrics for a fixed-point weight vector: docs with
+    * doc_id % 5 == 0 (never trained on), predicted by sign(z).
+    */
+  private[queries] def holdoutAccX1000(feats: DataFrame,
+      w: Array[Long]): Long = {
+    val wlit = typedLit(w.map(_.toDouble / ClfScale).toSeq)
+    val z = aggregate(col("feats"), lit(0.0d), (acc, e) =>
+      acc + element_at(wlit, e.getField("f") + 1) * e.getField("cnt")) /
+      col("ntok")
+    val r = feats.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .agg(sum(when((z >= 0) === (col("y") === 1L), 1L).otherwise(0L))
+        .as("ok"), count(lit(1)).as("n")).head
+    r.getLong(0) * 1000L / r.getLong(1)
+  }
+
+  /** q117: TRAINABLE quality classifier — logistic regression on hashed
+    * token features (the fastText/DCLM model-based filter shape), trained
+    * by bit-reproducible distributed gradient descent: every cross-row sum
+    * is a fixed-point LONG, so the same corpus gives the same weights on
+    * 1 core or 1000 executors. Output: one row per GD iteration with the
+    * fixed-point train loss, plus the final holdout accuracy and the
+    * self-certifying flag (losses strictly decreasing AND holdout
+    * accuracy ≥ 0.9 on the never-trained split of the planted corpus).
+    * Not SQL-expressible (iterative training) → rows-only + flag.
+    */
+  def q117QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = clfFeatures(plantedBinary(tbl(s, dir, "documents")), ClfDim)
+      .localCheckpoint()
+    val (w, losses) = trainClassifier(feats, ClfDim, ClfIters)
+    val acc = holdoutAccX1000(feats, w)
+    val ok = losses.sliding(2).forall(p => p(1) < p.head) && acc >= 900L
+    import s.implicits._
+    losses.zipWithIndex
+      .map { case (l, i) => (i + 1L, l, acc, ok) }
+      .toDF("iter", "loss_x1e6", "holdout_acc_x1000", "clf_ok")
+      .orderBy(col("iter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_bigram_backoff" -> q102BigramBackoff _,
-    "q105_naive_bayes" -> q105NaiveBayes _)
+    "q105_naive_bayes" -> q105NaiveBayes _,
+    "q117_quality_classifier" -> q117QualityClassifier _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""

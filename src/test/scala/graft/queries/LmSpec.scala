@@ -139,4 +139,90 @@ class LmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(!col("kept")).count() > 0L)
     df.unpersist()
   }
+
+  // ------------------------------------------------------------------ q117
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(t: String, dim: Int): Int =
+    (java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % dim).toInt
+
+  /** Sequential reference for the fixed-point-GD classifier, mirroring the
+    * distributed arithmetic OPERATION FOR OPERATION: per-doc doubles in
+    * ascending-bucket order, long truncation at the same points, integer
+    * weight updates. Because every cross-row accumulation is a long sum,
+    * the distributed trainer must equal this EXACTLY — not approximately.
+    */
+  private def refClf(docs: Seq[(Long, Long, String)], dim: Int,
+      iters: Int): (Array[Long], Seq[Long]) = {
+    case class Feat(id: Long, y: Long, ntok: Long, fs: Seq[(Int, Long)])
+    val feats = docs.map { case (id, y, wire) =>
+      val tk = wire.trim.toLowerCase.split("[ \t\n\f\r]+").toSeq
+      val fs = tk.groupBy(t => bucket(t, dim))
+        .map { case (f, v) => (f, v.size.toLong) }.toSeq.sortBy(_._1)
+      Feat(id, y, tk.size.toLong, fs)
+    }
+    val train = feats.filter(_.id % 5 != 0)
+    val n = train.size.toLong
+    val w = new Array[Long](dim)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val wd = w.map(_.toDouble / 1e9)
+      var loss = 0L
+      val g = new Array[Long](dim)
+      train.foreach { d =>
+        var acc = 0.0d
+        d.fs.foreach { case (f, c) => acc += wd(f) * c }
+        val z = acc / d.ntok
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - d.y.toDouble
+        loss += (-(d.y * math.log(math.max(p, 1e-12)) +
+          (1L - d.y) * math.log(math.max(1.0 - p, 1e-12))) * 1e6).toLong
+        d.fs.foreach { case (f, c) =>
+          g(f) += (err * c / d.ntok * 1e9).toLong
+        }
+      }
+      losses += loss
+      var f = 0
+      while (f < dim) { w(f) -= g(f) * 8L / n; f += 1 }
+    }
+    (w, losses.toSeq)
+  }
+
+  test("fixed-point GD classifier == sequential reference, bit-exact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val fill = Vector("lorem", "ipsum", "dolor", "sit", "amet", "tempor",
+      "labore", "magna", "aliqua", "veniam", "nostrud", "ullamco")
+    val good = Vector("research", "study", "method", "results")
+    val spam = Vector("buy", "cheap", "free", "offer")
+    val docs = (0L until 80L).map { i =>
+      val planted = if (i % 2 == 0) good else spam
+      val words = Seq.fill(20)(fill(rnd.nextInt(fill.length))) ++
+        Seq.fill(6)(planted(rnd.nextInt(4)))
+      (i, i % 2, rnd.shuffle(words).mkString(" "))
+    }
+    val feats = LmOps.clfFeatures(docs.toDF("doc_id", "y", "wire"),
+      LmOps.ClfDim).localCheckpoint()
+    val (w, losses) = LmOps.trainClassifier(feats, LmOps.ClfDim, LmOps.ClfIters)
+    // 1. EXACT equality with the sequential reference — the fixed-point
+    //    reproducibility claim, not a tolerance check
+    val (wr, lossesR) = refClf(docs, LmOps.ClfDim, LmOps.ClfIters)
+    assert(losses === lossesR)
+    assert(w.toSeq === wr.toSeq)
+    // 2. partitioning invariance: 1 partition vs 7 → identical trajectory
+    val (w1, l1) = LmOps.trainClassifier(feats.repartition(1),
+      LmOps.ClfDim, LmOps.ClfIters)
+    val (w7, l7) = LmOps.trainClassifier(feats.repartition(7),
+      LmOps.ClfDim, LmOps.ClfIters)
+    assert(w1.toSeq === w7.toSeq)
+    assert(l1 === l7)
+    assert(w1.toSeq === w.toSeq)
+    // 3. it actually learns: loss decreases, planted holdout separates
+    assert(losses.sliding(2).forall(p => p(1) < p.head))
+    assert(LmOps.holdoutAccX1000(feats, w) >= 900L)
+  }
 }

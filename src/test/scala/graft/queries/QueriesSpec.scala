@@ -68,6 +68,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q94_semdedup" -> "sem_ok",
       "q95_hits" -> "hits_ok",
       "q98_bpe_encode" -> "enc_ok",
+      "q117_quality_classifier" -> "clf_ok",
       "q99_exact_repeats" -> "sa_ok",
       "q100_exactsubstr_cut" -> "es_ok",
       "q104_cdc_dedup" -> "cdc_ok",
