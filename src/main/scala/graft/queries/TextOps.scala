@@ -828,6 +828,37 @@ object TextOps {
       .orderBy(col("stat"))
   }
 
+  /** q118: DETERMINISTIC WEIGHTED SAMPLING — the quality-weighted corpus
+    * draw behind data-mixing recipes, as a lottery-ticket race: a doc with
+    * integer weight w holds w hash tickets md5(doc_id#i), its key is the
+    * MINIMUM ticket, and the sample is the k smallest keys. For the first
+    * draw this is EXACTLY probability-proportional-to-weight
+    * (P(min of w uniforms beats min of v uniforms) = w/(w+v)); later draws
+    * are near-exact (the uniform-min race is the integer-exact analog of
+    * the Efraimidis–Spirakis exponential race, which needs logs — floats —
+    * that no cross-engine oracle can replay bit-for-bit). Unlike
+    * rand()-based sampling the draw is REPLAYABLE: same corpus, same
+    * sample, on any engine.
+    *
+    * Scale shape: ZERO shuffles — the w ≤ 8 tickets are a per-row
+    * transform+array_min (never an explode), and the global top-k is
+    * TakeOrderedAndProject (per-partition heaps, O(k) to the driver).
+    */
+  def q118WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val ntok = size(tokens(col("text")))
+    val w = least(lit(8), lit(1) + floor(ntok / lit(64)).cast("int")).as("w")
+    val ticket = (i: Column) => conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#"), i.cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), w)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        array_min(transform(sequence(lit(0), col("w") - 1), ticket))
+          .as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(40)
+  }
+
   /** q115: VOCABULARY-GROWTH accounting — the Heaps-law corpus-sizing
     * curve: with documents in the deterministic global hash order (the
     * q109 ingestion order), how many of each document's distinct tokens
@@ -1731,6 +1762,7 @@ object TextOps {
     "q114_exact_quantiles" -> q114ExactQuantiles _,
     "q115_vocab_growth" -> q115VocabGrowth _,
     "q116_prefix_join" -> q116PrefixJoin _,
+    "q118_weighted_sample" -> q118WeightedSample _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -2134,6 +2166,17 @@ object TextOps {
         |SELECT DISTINCT doc_id, fp FROM wins
         |WHERE p <= nk - 3 ORDER BY doc_id, fp""".stripMargin,
     "q60_decontaminate" -> decontamOracleSql,
+    "q118_weighted_sample" ->
+      s"""WITH wt AS (SELECT doc_id,
+         |    least(8, 1 + CAST(len($dkTokens) AS INT) // 64) AS w
+         |  FROM documents),
+         |keys AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+         |    list_min([('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+         |                CAST(i AS VARCHAR)), 1, 15))::BIGINT
+         |              for i in generate_series(0, w - 1)]) AS key
+         |  FROM wt)
+         |SELECT doc_id, w, key FROM keys
+         |ORDER BY key, doc_id LIMIT 40""".stripMargin,
     "q115_vocab_growth" ->
       s"""WITH tk AS (SELECT DISTINCT doc_id,
          |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,

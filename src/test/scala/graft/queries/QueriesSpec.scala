@@ -107,6 +107,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"q92 lost the broadcast df join:\n$plan")
   }
 
+  test("q118 plans shuffle-free: TakeOrderedAndProject, no Exchange") {
+    val plan = SparkEntry.queries("q118_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q118 lost top-k:\n$plan")
+    assert(!plan.contains("Exchange"), s"q118 grew a shuffle:\n$plan")
+  }
+
+  test("q118 weighting: heavy docs overrepresented vs their corpus share") {
+    import org.apache.spark.sql.functions._
+    val sampleMeanW = SparkEntry.queries("q118_weighted_sample")(spark, sfDir)
+      .agg(avg(col("w"))).head.getDouble(0)
+    val corpusMeanW = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(least(lit(8), lit(1) + floor(size(split(lower(trim(
+        col("text"))), "[ \\t\\n\\f\\r\\x0B]+")) / 64).cast("int")).as("w"))
+      .agg(avg(col("w"))).head.getDouble(0)
+    assert(sampleMeanW > corpusMeanW,
+      s"weighted draw not biased: sample $sampleMeanW vs corpus $corpusMeanW")
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
