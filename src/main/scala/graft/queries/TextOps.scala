@@ -936,6 +936,8 @@ object TextOps {
       .withColumn("i", row_number().over(w))
       .where(col("i") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
       .select(col("s"), col("doc_id"), col("n"))
+      .localCheckpoint() // materialize the prefix index ONCE; both
+                         // self-join sides and nothing else read it
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * t <=
