@@ -381,6 +381,39 @@ case class SurtKey(child: Expression)
     copy(child = newChild)
 }
 
+/** `blocklist_hits(s string, patterns array<string>) → bigint` — total
+  * occurrences (overlapping and nested included) of every pattern in the
+  * subject, via one [[graft.core.AhoCorasick]] automaton walk: O(|s|) per
+  * row REGARDLESS of blocklist size — the UT1-style URL/word screening
+  * primitive, where a contains() loop would be O(|s|·patterns). The
+  * pattern array must be a literal (it compiles into the automaton, which
+  * rides the plan as one reference object, built once, never per row).
+  */
+case class BlocklistHits(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "blocklist_hits needs a non-empty literal pattern list")
+
+  @transient private lazy val ac: graft.core.AhoCorasick =
+    graft.core.AhoCorasick.buildStrings(patterns)
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "blocklist_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ac.count(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("blocklistAc", ac, "graft.core.AhoCorasick")
+    defineCodeGen(ctx, ev, c => s"$acRef.count($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistHits =
+    copy(child = newChild)
+}
+
 /** Registers the extraction functions into a session's FunctionRegistry —
   * `spark.sql("SELECT extract_text(html) FROM pages")` becomes valid, for
   * SQL-first users of the engine.
@@ -414,6 +447,12 @@ object GraftExtensions {
       args(2).eval().asInstanceOf[Number].intValue,
       args(3).eval().asInstanceOf[Number].intValue)),
     "url_canon" -> (args => UrlCanonExpr(args.head)),
+    "blocklist_hits" -> (args => {
+      val arr = args(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      BlocklistHits(args(0),
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+    }),
     "surt_key" -> (args => SurtKey(args.head)),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
     "hll_estimate" -> (args => HllEstimate(args.head)),

@@ -300,6 +300,36 @@ object Relational {
       .orderBy(col("host"))
   }
 
+  /** q119: URL BLOCKLIST screening — the UT1-style word-fragment filter
+    * (the URL-level quality gate FineWeb-class pipelines run before
+    * fetching): urls synthesized from the documents table (path embeds
+    * the text head, q48's discipline) are scanned by ONE Aho–Corasick
+    * automaton walk per url ([[graft.functions.BlocklistHits]], codegen'd)
+    * counting every overlapping/nested pattern occurrence — O(|url|) per
+    * row regardless of blocklist size, where a contains() loop pays
+    * O(|url|·patterns). The pattern set deliberately contains nested
+    * ("can" in "scan", "win" in "window") and hyphen-spanning fragments
+    * so the oracle (a position×pattern substring join in DuckDB — counts
+    * the same overlapping occurrences) checks the automaton's suffix
+    * links, not just plain containment. Scale shape: stateless projection,
+    * automaton built once and shipped as a plan reference, zero shuffles
+    * before the final order.
+    */
+  def q119UrlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val url = concat(lit("https://h"), (col("doc_id") % 37).cast("string"),
+      lit(".example.com/"),
+      regexp_replace(substring(lower(col("text")), 1, 60), " ", "-"),
+      lit("/"), col("doc_id").cast("string"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        expr("blocklist_hits(url, array('scan','can','win','window'," +
+          "'merge','a-a','spark','ar'))").as("hits"))
+      .withColumn("kept", col("hits") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** q59: robots.txt crawl-politeness filter — the url admission stage of
     * a crawler/extraction pipeline. Per-host robots.txt BODIES are
     * synthesized deterministically in the query and parsed by the
@@ -675,6 +705,7 @@ object Relational {
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
     "q48_url_parse" -> q48UrlParse _,
+    "q119_url_blocklist" -> q119UrlBlocklist _,
     "q59_robots_filter" -> q59RobotsFilter _,
     "q61_robots_wildcard" -> q61RobotsWildcard _,
     "q39_tumbling_window" -> q39TumblingWindow _,
@@ -760,6 +791,24 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS val_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q119_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/' ||
+        |    replace(substr(lower(text), 1, 60), ' ', '-') || '/' ||
+        |    CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT unnest(['scan','can','win','window','merge','a-a',
+        |                     'spark','ar']) AS pat),
+        |h AS (
+        |  SELECT u.doc_id,
+        |    CAST(SUM(list_sum(list_transform(generate_series(1, len(u.url)),
+        |      i -> CASE WHEN substr(u.url, i, len(p.pat)) = p.pat
+        |           THEN 1 ELSE 0 END))) AS BIGINT) AS hits
+        |  FROM u, p GROUP BY u.doc_id)
+        |SELECT u.doc_id, COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) = 0 AS kept
+        |FROM u LEFT JOIN h USING (doc_id) ORDER BY u.doc_id""".stripMargin,
     "q48_url_parse" ->
       """WITH u AS (
         |  SELECT 'https://sup' || CAST(l_suppkey % 50 AS VARCHAR) ||

@@ -397,4 +397,22 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
   }
+
+  test("blocklist_hits SQL == core automaton, overlaps through codegen") {
+    val s = spark
+    import s.implicits._
+    val pats = Seq("scan", "can", "win", "window", "a-a")
+    val subjects = Seq("spark-scan-window", "", "a-a-a", "wwindowin",
+      "scancan", "nothing here")
+    val got = subjects.toDF("s")
+      .selectExpr("s", "blocklist_hits(s, array('scan','can','win'," +
+        "'window','a-a')) AS hits")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ac = graft.core.AhoCorasick.buildStrings(pats)
+    subjects.foreach(x => assert(got(x) === ac.count(x), s"subject '$x'"))
+    // "a-a-a": self-overlapping "a-a" counted at both ends
+    assert(got("a-a-a") === 2L)
+    assert(spark.sql("SELECT blocklist_hits(CAST(NULL AS STRING), " +
+      "array('x')) IS NULL").collect()(0).getBoolean(0))
+  }
 }
