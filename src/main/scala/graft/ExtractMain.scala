@@ -11,8 +11,8 @@ import graft.sources.PagesSynth
   *     --out /path/out [--input /path/pages_parquet | --warc /path/warcs | --synth N] \
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
-  *     [--incremental /path/prev_out] [--curate 1] [--index 64] \
-  *     [--export tokensPerShard]
+  *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
+  *     [--index 64] [--export tokensPerShard]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -122,6 +122,18 @@ object ExtractMain {
           s""""fail_len":${q.failLen},"fail_rep":${q.failRep},""" +
           s""""fail_compress":${q.failCompress}}"""
       }.getOrElse("")
+    // --clf-gate N: model-based quality gate (graft.pipeline.ClfGateStage)
+    // — trains the fixed-point logistic classifier on the heuristic
+    // quality flags (N gradient iterations; runs/reuses the quality stage
+    // for labels), scores every doc, writes <out>/clf/scores; resumable
+    val clfJson = opts.get("--clf-gate").map { n =>
+      val minWords = opts.get("--quality").map(_.toInt)
+        .getOrElse(20)
+      val c = graft.pipeline.ClfGateStage.run(spark, out, minWords, n.toInt)
+      s""","clf":{"iters":$n,"docs":${c.docs},"kept":${c.kept},""" +
+        s""""agree":${c.agree},"loss_first":${c.lossFirst},""" +
+        s""""loss_last":${c.lossLast}}"""
+    }.getOrElse("")
     val spanJson = opts.get("--span-clean")
       .orElse(if (curate) Some("10") else None).map { n =>
         val sc = SpanCleanStage.run(spark, out, n.toInt)
@@ -168,7 +180,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$spanJson$dedupJson$exportJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

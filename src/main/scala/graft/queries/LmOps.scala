@@ -163,10 +163,10 @@ object LmOps {
     * float sums cannot give (the exact objection q105's docstring raises
     * against gradient training, answered rather than avoided).
     */
-  private[queries] val ClfScale = 1e9
-  private[queries] val ClfDim = 256
-  private[queries] val ClfIters = 8
-  private[queries] val ClfLrNum = 8L // lr = 8 (integer: grad*8/nTrain)
+  private[graft] val ClfScale = 1e9
+  private[graft] val ClfDim = 256
+  private[graft] val ClfIters = 8
+  private[graft] val ClfLrNum = 8L // lr = 8 (integer: grad*8/nTrain)
 
   /** Binary planted corpus for the classifier: label = doc_id % 2, wire =
     * text + 8 hash-chosen words from the label's 4-word vocabulary
@@ -197,7 +197,7 @@ object LmOps {
     * defined summation order — the only float in the pipeline is per-row,
     * never accumulated across rows).
     */
-  private[queries] def clfFeatures(wirev: DataFrame, dim: Int): DataFrame =
+  private[graft] def clfFeatures(wirev: DataFrame, dim: Int): DataFrame =
     wirev.select(col("doc_id"), col("y"),
         explode(tokens(col("wire"))).as("tok"))
       .groupBy(col("doc_id"), col("y"),
@@ -221,7 +221,7 @@ object LmOps {
     * per-feature gradient contribution = ((p−y)·cnt_f/ntok)·1e9 truncated
     * to LONG; update w_f −= gradSum_f·lr/nTrain in integer arithmetic.
     */
-  private[queries] def trainClassifier(feats: DataFrame, dim: Int,
+  private[graft] def trainClassifier(feats: DataFrame, dim: Int,
       iters: Int): (Array[Long], Seq[Long]) = {
     val train = feats.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     var nTrain = 0L // learned from iteration 1's collect, not a count() job
@@ -264,7 +264,7 @@ object LmOps {
   /** Holdout metrics for a fixed-point weight vector: docs with
     * doc_id % 5 == 0 (never trained on), predicted by sign(z).
     */
-  private[queries] def holdoutAccX1000(feats: DataFrame,
+  private[graft] def holdoutAccX1000(feats: DataFrame,
       w: Array[Long]): Long = {
     val wlit = typedLit(w.map(_.toDouble / ClfScale).toSeq)
     val z = aggregate(col("feats"), lit(0.0d), (acc, e) =>
@@ -274,6 +274,19 @@ object LmOps {
       .agg(sum(when((z >= 0) === (col("y") === 1L), 1L).otherwise(0L))
         .as("ok"), count(lit(1)).as("n")).head
     r.getLong(0) * 1000L / r.getLong(1)
+  }
+
+  /** Score every doc in a feature table with a fixed-point weight vector:
+    * (doc_id, y, z_x1e6, pred). z in 1e-6 units is a LONG so downstream
+    * artifacts stay integer-deterministic; pred = sign(z).
+    */
+  private[graft] def scoreAll(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val wlit = typedLit(w.map(_.toDouble / ClfScale).toSeq)
+    val z = aggregate(col("feats"), lit(0.0d), (acc, e) =>
+      acc + element_at(wlit, e.getField("f") + 1) * e.getField("cnt")) /
+      col("ntok")
+    feats.select(col("doc_id"), col("y"),
+      (z * lit(1e6)).cast("long").as("z_x1e6"), (z >= 0).as("pred"))
   }
 
   /** q117: TRAINABLE quality classifier — logistic regression on hashed

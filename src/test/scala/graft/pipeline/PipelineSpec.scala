@@ -334,6 +334,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q3.failLen < q.failLen || q3.kept >= q.kept)
   }
 
+  test("clf-gate stage: learns the heuristic gate, deterministic, resumable") {
+    val out = Files.createTempDirectory("clfgate").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 200L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val c = ClfGateStage.run(spark, out, minWords = 20)
+    assert(c.docs === 200L)
+    // it learns: loss falls hard and the model reproduces >= 95% of the
+    // heuristic decisions it distilled (measured envelope: 99% at the
+    // default 48-iteration schedule)
+    assert(c.lossLast < c.lossFirst / 2 + c.lossFirst / 4,
+      s"loss barely moved: ${c.lossFirst} -> ${c.lossLast}")
+    assert(c.agree * 100 >= c.docs * 95, s"agreement ${c.agree}/${c.docs}")
+    assert(c.kept > 0 && c.kept < c.docs, "gate degenerated to a constant")
+    // scores table: one row per doc, margin sign == keep decision
+    val scores = spark.read.parquet(ClfGateStage.scoresPath(out))
+    assert(scores.count() === 200L)
+    assert(scores.filter((col("z_x1e6") >= 0) =!= col("keep")).count() === 0L)
+    // fixed-point training => bit-identical artifact on recompute: wipe
+    // the manifest (not the params) and the identical summary re-emerges
+    val sm = new java.io.File(ClfGateStage.manifestDir(out).toString)
+    sm.listFiles().foreach(_.delete()); sm.delete()
+    val c2 = ClfGateStage.run(spark, out, minWords = 20)
+    assert(c2 === c, "retrained gate diverged — fixed-point broke")
+    // resume: committed manifest answers without recompute
+    val scoreFile = new java.io.File(ClfGateStage.scoresPath(out))
+      .listFiles().filter(_.getName.startsWith("part_id=")).head
+    val mtime = scoreFile.lastModified()
+    val c3 = ClfGateStage.run(spark, out, minWords = 20)
+    assert(c3 === c)
+    assert(scoreFile.lastModified() === mtime, "resume rewrote scores")
+    // kill before the unit -> partial; re-run completes
+    val out2 = Files.createTempDirectory("clfgate2").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 60L), out2,
+      ExtractJob.Config(numParts = 2, batchSize = 2))
+    assert(ClfGateStage.runResumable(spark, out2, 20, maxUnits = 0).isEmpty)
+    assert(ClfGateStage.runResumable(spark, out2, 20).nonEmpty)
+  }
+
   test("span-clean stage: cross-doc duplicate spans removed, originals keep theirs") {
     val out = Files.createTempDirectory("spanclean").toString
     val base = PagesSynth.pagesDF(spark, 30L)
