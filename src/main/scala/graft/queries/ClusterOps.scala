@@ -228,9 +228,102 @@ object ClusterOps {
       .orderBy(col("node"))
   }
 
+  /** q120: per-node triangle counts on an undirected host-link-style graph
+    * by the degree-ordered node-iterator (public: Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+    * Each undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher; wedges are generated only at each edge's LOWER-degree
+    * endpoint, so a node of degree d contributes at most C(d⁺,2) wedges
+    * where d⁺ counts only higher-ranked neighbors — O(m^{3/2}) wedges
+    * total on any graph, versus O(Σd²) for the naive iterator. That is
+    * exactly the "curse of the last reducer" fix: a celebrity host with
+    * degree 10⁶ generates ZERO wedges (all its neighbors rank below it),
+    * instead of 5·10¹¹.
+    *
+    * Scale notes (100 TB): three shuffles total — the degree aggregate,
+    * the wedge self-join keyed on the pivot node, and the closing
+    * equi-join of wedges against the oriented edge set; the degree table
+    * (one row per node, ≪ edges) enters via broadcast. Each triangle is
+    * produced exactly once (pivot = lowest-ranked corner).
+    */
+  def q120TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "lineitem")
+      .where(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 1000).cast("long").as("x"),
+        (col("l_partkey") % 1000).cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    triangleCounts(base).orderBy(col("node"))
+  }
+
+  /** Per-node triangle counts of an undirected edge list with BIGINT
+    * columns (`a`,`b`), a<b, distinct, no self-loops — the production API
+    * behind q120. Returns `(node, tri_cnt)` for every node in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val base = edges.localCheckpoint() // feeds degrees + both joins once
+    val deg = base.select(col("a").as("n")).union(base.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = base
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // (src, dst) with rank(src) < rank(dst); dd = dst's degree, carried so
+    // the wedge join can order the two outer corners without re-joining deg
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint()
+    val wedges = oriented.as("l").join(oriented.as("r"),
+        col("l.src") === col("r.src") &&
+          struct(col("l.dd"), col("l.dst")) < struct(col("r.dd"), col("r.dst")))
+      .select(col("l.src").as("pivot"), col("l.dst").as("v"), col("r.dst").as("w"))
+    val tris = wedges.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    tris.select(explode(array(col("pivot"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** q121: co-citation similarity between citing hosts — pairs of sources
+    * that link to ≥3 common targets (bibliographic coupling; public:
+    * Kessler 1963 / the SoCC'14 similarity-join cap trick). The ubiquity
+    * cap drops targets cited by more than 100 sources BEFORE the
+    * self-join: a target cited by k sources contributes C(k,2) pairs, so
+    * uncapped celebrity targets (ad trackers, CDN assets) are exactly the
+    * quadratic blowup — the cap bounds every join bucket at C(100,2) and
+    * is the same defense q63 uses for winnow sketches.
+    *
+    * Scale notes (100 TB): one distinct over the projected edge, one
+    * map-combined df aggregate (broadcast back — one row per target),
+    * one self equi-join on the target key with every bucket bounded, one
+    * map-combined pair count.
+    */
+  def q121Cocitation(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_suppkey") % 80).cast("long").as("src"),
+        (col("l_partkey") % 500).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint() // feeds the df aggregate and both join sides
+    val kept = e.groupBy(col("dst")).agg(count(lit(1)).as("cited_by"))
+      .where(col("cited_by") <= 100)
+      .select(col("dst"))
+    val p = e.join(broadcast(kept), "dst")
+    p.as("l").join(p.as("r"),
+        col("l.dst") === col("r.dst") && col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("a"), col("r.src").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dedup_clusters" -> q49DedupClusters _,
     "q53_pagerank" -> q53PageRank _,
+    "q120_triangle_count" -> q120TriangleCount _,
+    "q121_cocitation" -> q121Cocitation _,
   )
 
   // The oracle recomputes the same edge set in DuckDB (q22's SQL twin for
@@ -303,5 +396,34 @@ object ClusterOps {
          |SELECT node, CAST(round(r*1e9) AS BIGINT) AS rank_x1e9
          |FROM r3 ORDER BY node""".stripMargin
     },
+    // Independent enumeration shape: the oracle lists triangles by the
+    // a<b<c triple join (no degree ordering at all), so agreement checks
+    // the algorithm, not just the arithmetic.
+    "q120_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS a,
+        |                  greatest(l_orderkey % 1000, l_partkey % 1000) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity < 10 AND l_orderkey % 1000 <> l_partkey % 1000),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT node, COUNT(*) AS tri_cnt FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q121_cocitation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey % 80 AS src, l_partkey % 500 AS dst
+        |  FROM lineitem),
+        |kept AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 100),
+        |p AS (SELECT e.src, e.dst FROM e JOIN kept USING (dst))
+        |SELECT l.src AS a, r.src AS b, COUNT(*) AS common
+        |FROM p l JOIN p r ON l.dst = r.dst AND l.src < r.src
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -95,6 +96,69 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (i, (0 until 40).map(j => s"u${i}w$j").mkString(" ")))
       .toDF("doc_id", "text")
     assert(ClusterOps.dedupClusters(docs, threshold = 0.8).count() === 0L)
+  }
+
+  /** Ground truth for triangles: brute-force a<b<c enumeration over the
+    * adjacency set — the independent shape (no degree ordering at all).
+    */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap(e => Seq(e, e.swap)).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if b > a && und((a, b))
+      c <- nodes if c > b && und((a, c)) && und((b, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def triSpark(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ClusterOps.triangleCounts(
+        spark.createDataFrame(
+            edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+              .distinct.filter(e => e._1 != e._2))
+          .toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("degree-ordered triangle counts match brute enumeration (property)") {
+    val genEdges = for {
+      n <- Gen.choose(3, 25)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2)
+    val prop = Prop.forAll(genEdges) { es =>
+      es.isEmpty || triSpark(es) == bruteTriangles(es)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(120L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"tri==brute: ${res.status}")
+  }
+
+  test("triangle shapes: clique K5, triangle-free star, shared-edge bowtie") {
+    // K5: every node sits in C(4,2) = 6 triangles
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triSpark(k5) == (0L to 4L).map(_ -> 6L).toMap)
+    // a star has no triangles at all → empty result, not zero rows per node
+    val star = (1L to 8L).map(i => (0L, i))
+    assert(triSpark(star).isEmpty)
+    // bowtie: two triangles sharing node 0
+    val bowtie = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (0L, 4L), (3L, 4L))
+    assert(triSpark(bowtie) ==
+      Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("q120/q121 are non-degenerate on sf0.001") {
+    val tri = ClusterOps.q120TriangleCount(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("tri_cnt"))).head().getLong(0)
+    // Σ per-node counts ≡ 0 (mod 3): every triangle touches exactly 3 nodes
+    assert(tri > 0 && tri % 3 == 0)
+    val co = ClusterOps.q121Cocitation(spark, "/root/testdata/sf0.001").collect()
+    assert(co.nonEmpty && co.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 3))
   }
 
   test("q49 output is internally consistent on sf0.001") {
