@@ -66,6 +66,85 @@ object ExtractOps {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** CP1252's 27 non-Latin-1 codepoints (bytes 0x80–0x9F whose Windows
+    * meaning differs from the C1 controls), inverse-mapped char → byte.
+    * "Sloppy CP1252" in ftfy's terminology (public: the ftfy docs /
+    * WHATWG encoding standard): bytes with no CP1252 assignment fall
+    * back to the Latin-1 identity, so BOTH common mis-decodes
+    * (read-UTF-8-as-Latin-1 and read-UTF-8-as-CP1252) invert through
+    * one table.
+    */
+  private val cp1252Inv: Array[Int] = {
+    // codepoint of CP1252 byte 0x80+i (WHATWG encoding standard table);
+    // the five positions equal to their C1 control (0x81, 8D, 8F, 90, 9D)
+    // are also covered by the <=0xFF identity branch below
+    val cps = Array(
+      0x20AC, 0x81, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+      0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x8D, 0x017D, 0x8F,
+      0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+      0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
+    val inv = Array.fill(0x2200)(-1) // dense; max cp1252 codepoint is U+2122
+    var i = 0
+    while (i < 32) { inv(cps(i)) = 0x80 + i; i += 1 }
+    inv
+  }
+
+  /** Mojibake repair (ftfy-lite, deterministic): if the string looks like
+    * UTF-8 bytes that were mis-decoded as Latin-1/CP1252 ("caf\u00c3\u00a9",
+    * "don\u00e2\u20ac\u2122t"), re-encode each char through the sloppy-CP1252
+    * inverse and strictly re-decode as UTF-8; accept only when the whole
+    * string decodes cleanly AND something changed. Genuine Latin-1 text
+    * ("d\u00e9j\u00e0 vu") re-encodes to bytes that are NOT valid UTF-8, so the
+    * strict decode rejects it and the input passes through unchanged —
+    * the validity requirement IS the false-positive guard. Iterates to a
+    * fixpoint (\u22643 rounds) to unwind double-encoding.
+    */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var cur = str
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 3) {
+      val next = fixMojibakeOnce(cur)
+      changed = next != null
+      if (changed) cur = next
+      rounds += 1
+    }
+    if (cur eq str) s else UTF8String.fromString(cur)
+  }
+
+  private def fixMojibakeOnce(s: String): String = {
+    // fast path: a UTF-8 lead byte seen through Latin-1/CP1252 is a char
+    // in [U+00C2,U+00F4] — absent that, nothing here can be mojibake
+    var suspicious = false
+    var i = 0
+    while (i < s.length && !suspicious) {
+      val c = s.charAt(i)
+      if (c >= 0xC2 && c <= 0xF4) suspicious = true
+      i += 1
+    }
+    if (!suspicious) return null
+    val bytes = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      if (c <= 0xFF) bytes(i) = c.toByte
+      else {
+        val b = if (c < cp1252Inv.length) cp1252Inv(c) else -1
+        if (b < 0) return null // not representable as one mis-decoded byte
+        bytes(i) = b.toByte
+      }
+      i += 1
+    }
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (dec == s) null else dec
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
   /** First `<title>` content, entity-decoded, whitespace-collapsed; ""
     * when absent. Early-stops the scan at the title content (A14), so on
     * typical pages only the first few hundred bytes are tokenized.
@@ -336,6 +415,28 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `fix_mojibake(s string) → string` — deterministic repair of
+  * UTF-8-mis-decoded-as-Latin-1/CP1252 text (see
+  * [[ExtractOps.fixMojibake]]); identity on clean text, codegen'd so the
+  * repair runs inside the scan stage of a curation pipeline.
+  */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fix_mojibake"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.fixMojibake(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.fixMojibake($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** `url_canon(s string) → string` — RFC 3986 §6 syntax-based URL
   * canonicalization ([[graft.core.UrlCanon]]): the normalization a crawl
   * pipeline applies before url-keyed dedup/partitioning. Codegen'd,
@@ -442,6 +543,7 @@ object GraftExtensions {
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "fix_mojibake" -> (args => FixMojibake(args.head)),
     "cdc_chunks" -> (args => CdcChunks(args(0),
       args(1).eval().asInstanceOf[Number].intValue,
       args(2).eval().asInstanceOf[Number].intValue,

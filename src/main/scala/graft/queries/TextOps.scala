@@ -890,6 +890,147 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q122: KEYWORD-STUFFING spam signal — per document, the single most
+    * frequent token (deterministic tie-break: highest count, then
+    * lexicographically smallest term) and the fraction of total token
+    * mass it carries; `stuffed` fires when one term is ≥20% of the
+    * document. SEO spam ("cheap pills cheap pills cheap pills…") is the
+    * classic web-corpus poison this screens; the Gopher battery's
+    * top-bigram fraction (q90) is the adjacent published rule, this is
+    * the unigram argmax with the term itself surfaced for auditing.
+    *
+    * Scale: one (doc, term) map-combined count, then ONE doc-keyed
+    * Exchange shared by the row_number argmax and the total-mass window
+    * (same partition key → Catalyst reuses the Exchange). Integer
+    * arithmetic (cnt·100 ≥ tot·20) keeps the flag float-free and
+    * hash-stable.
+    */
+  def q122KeywordStuffing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    tf.withColumn("rn", row_number().over(
+        byDoc.orderBy(col("cnt").desc, col("term").asc)))
+      .withColumn("tot", sum(col("cnt")).over(byDoc))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("cnt").as("top_cnt"), col("tot").as("n_tokens"),
+        (col("cnt") * 100 >= col("tot") * 20).as("stuffed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q123: MOJIBAKE REPAIR (ftfy-style, public: the ftfy docs / WHATWG
+    * encoding standard) — fix text that went through the classic web
+    * corruption of UTF-8 bytes mis-decoded as Latin-1/CP1252 ("cafÃ©").
+    * The repair is the codegen'd `fix_mojibake` expression
+    * (functions/ExtractExpressions.scala): sloppy-CP1252 re-encode +
+    * strict UTF-8 re-decode, accepted only when the whole string decodes
+    * cleanly — so genuine Latin-1 text can't be "repaired" into garbage.
+    *
+    * Self-certifying (not SQL-expressible — DuckDB has no CP1252 codec):
+    * each row plants a known-clean string with 2- and 3-byte UTF-8
+    * sequences, corrupts it END-TO-END IN SPARK SQL
+    * (`decode(encode(clean,'UTF-8'),'ISO-8859-1')` — an independent codec
+    * path, not the repair code), corrupts it TWICE for the
+    * double-encoding case, and asserts: repaired == clean, double-repair
+    * == clean, and fix_mojibake(clean) == clean (no false positive; the
+    * planted '№' is deliberately outside CP1252 so the no-op proof is
+    * structural, not probabilistic).
+    *
+    * Scale: stateless per-row projection, WSCG end-to-end; the repair
+    * belongs immediately after charset decode (q79) in a curation chain.
+    */
+  def q123Mojibake(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" café — don’t № ±5€")).as("clean"))
+      .withColumn("corrupted", expr("decode(encode(clean, 'UTF-8'), 'ISO-8859-1')"))
+      .withColumn("corrupted2", expr("decode(encode(corrupted, 'UTF-8'), 'ISO-8859-1')"))
+      .select(col("doc_id"),
+        substring(col("corrupted"), 1, 24).as("corrupted_head"),
+        substring(expr("fix_mojibake(corrupted)"), 1, 24).as("repaired_head"),
+        (expr("fix_mojibake(corrupted)") === col("clean") &&
+          expr("fix_mojibake(corrupted2)") === col("clean") &&
+          expr("fix_mojibake(clean)") === col("clean")).as("moji_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q125: FUZZY train-test decontamination — q60 catches verbatim
+    * 13-gram overlap, but a paraphrased/lightly-edited eval item (the
+    * documented real-world leak mode, e.g. Yang et al. 2023 "Rethinking
+    * Benchmark and Contamination") shares almost no 13-grams. This op
+    * finds eval items whose bigram-shingle Jaccard against ANY corpus
+    * doc clears 0.5, using the cross-corpus LSH shape: 32 min-hashes →
+    * 16 bands × 2 rows, eval-side band table broadcast (the eval corpus
+    * is always tiny next to training data), band equi-join instead of
+    * doc×eval cross product, and EXACT Jaccard verification on the
+    * surviving candidates only.
+    *
+    * Self-certifying: the eval set is synthesized as perturbed variants
+    * of 20 corpus docs (every 10th token replaced ⇒ bigram Jaccard
+    * ≈ (1−2/10)/(1+2/10) ≈ 0.67 by construction), and the output rows
+    * are the BRUTE-FORCE exact-Jaccard pairs (the 20-row broadcast cross
+    * product — affordable precisely because it is the certifying twin,
+    * not the production path), each flagged `fuzzy_ok` = the LSH path
+    * found it too. Verified-LSH ⊆ brute holds structurally (both end at
+    * the same exact-Jaccard filter), so all-true flags mean recall 1.0
+    * AND precision 1.0 against ground truth. Banding gives P(miss) =
+    * (1−0.67²)^16 ≈ 8e-5 per pair — and min-hashes are deterministic,
+    * so a green run is green forever.
+    */
+  def q125FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val fd = 500L // round(1000·J) threshold
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(size(tokens(col("text"))) >= 20)
+    val evalDocs = tbl(s, dir, "documents")
+      .where(size(tokens(col("text"))) >= 40)
+      .orderBy(col("doc_id")).limit(20)
+      .select((col("doc_id") + 1000000L).as("eval_id"),
+        array_join(
+          zip_with(tokens(col("text")),
+            sequence(lit(1), size(tokens(col("text")))),
+            (t, i) => when(i % 10 === 0,
+              concat(lit("evalvar"), i.cast("string"))).otherwise(t)),
+          " ").as("etext"))
+      .localCheckpoint() // tiny; feeds signatures, verify, and the twin
+    val nh = 32
+    val bands = 16
+    def sigOf(df: DataFrame, idc: String, textc: String): DataFrame = {
+      val ex = df.select(col(idc), explode(bigrams(col(textc))).as("sh"))
+      val aggs = (0 until nh).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
+      ex.groupBy(col(idc)).agg(aggs.head, aggs.tail: _*)
+    }
+    def melt(sig: DataFrame, idc: String): DataFrame = sig
+      .select(col(idc), posexplode(array((0 until bands).map(b =>
+        md5s(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)))
+      .toDF(idc, "band_idx", "k")
+    val docBands = melt(sigOf(docs, "doc_id", "text"), "doc_id")
+    val evalBands = melt(sigOf(evalDocs, "eval_id", "etext"), "eval_id")
+    val candidates = docBands
+      .join(broadcast(evalBands), Seq("band_idx", "k"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    def jacX1000: Column = round(lit(1000) *
+      size(array_intersect(bigrams(col("text")), bigrams(col("etext")))) /
+      size(array_union(bigrams(col("text")), bigrams(col("etext"))))).cast("long")
+    val lshFound = candidates
+      .join(docs, "doc_id").join(broadcast(evalDocs), "eval_id")
+      .select(col("doc_id"), col("eval_id"), jacX1000.as("j"))
+      .where(col("j") >= fd)
+      .select(col("doc_id"), col("eval_id"), lit(true).as("lsh_hit"))
+    val brute = docs.crossJoin(broadcast(evalDocs))
+      .select(col("doc_id"), col("eval_id"), jacX1000.as("jac_x1000"))
+      .where(col("jac_x1000") >= fd)
+    brute.join(lshFound, Seq("doc_id", "eval_id"), "left")
+      .select(col("doc_id"), col("eval_id"), col("jac_x1000"),
+        coalesce(col("lsh_hit"), lit(false)).as("fuzzy_ok"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** q116: EXACT all-pairs Jaccard ≥ 0.5 over the FULL corpus by PREFIX
     * FILTERING (AllPairs, Bayardo et al. WWW'07 — the published exact
     * similarity-join family that PPJoin refines): order every doc's
@@ -1765,6 +1906,9 @@ object TextOps {
     "q115_vocab_growth" -> q115VocabGrowth _,
     "q116_prefix_join" -> q116PrefixJoin _,
     "q118_weighted_sample" -> q118WeightedSample _,
+    "q122_keyword_stuffing" -> q122KeywordStuffing _,
+    "q123_mojibake" -> q123Mojibake _,
+    "q125_fuzzy_decontaminate" -> q125FuzzyDecontaminate _,
     "q63_winnow_pairs" -> q63WinnowPairs _,
     "q64_bloom_decontaminate" -> q64BloomDecontaminate _,
     "q65_nfc_normalize" -> q65NfcNormalize _,
@@ -1851,6 +1995,19 @@ object TextOps {
          | md5(lower(regexp_replace(trim(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS fp,
          | md5(array_to_string(list_sort(list_distinct($dkTokens)), ' ')) AS tok_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // SUM over a window of BIGINT is HUGEINT in DuckDB — cast back so the
+    // pandas dtype matches Spark's long (the q01 gotcha, window flavor)
+    "q122_keyword_stuffing" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($dkTokens) AS t FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, term AS top_term, cnt AS top_cnt,
+         |  CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+         |  cnt*100 >= CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT)*20 AS stuffed
+         |FROM tf
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term ASC) = 1
+         |ORDER BY doc_id""".stripMargin,
     "q116_prefix_join" ->
       s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

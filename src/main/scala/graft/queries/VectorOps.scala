@@ -377,8 +377,64 @@ object VectorOps {
         min(col("n2")).as("min_norm2_x1000"), max(col("n2")).as("max_norm2_x1000"))
       .orderBy(col("label"))
 
+  /** q124: distributed PCA of the embedding corpus by the covariance
+    * method (functions/Pca.scala): one map-combined `Aggregator` pass
+    * accumulates the 64-dim mean + second-moment matrix, the driver
+    * eigendecomposes the 64×64 covariance with cyclic Jacobi (an O(d³)
+    * ≈ 260k-flop driver step — the legitimate O(1)-sized collect), and
+    * each row projects onto the top-2 components through the codegen'd
+    * `vec_dot` kernel with the eigenvectors as array literals (the IVF
+    * centroid-literal pattern — zero shuffle in the projection).
+    *
+    * Self-certifying (not SQL-expressible — DuckDB has no eigensolver):
+    * driver side, the eigenpair residual ‖Σv−λv‖∞ < 1e-8, |v1·v2| <
+    * 1e-10 orthogonality, λ1 ≥ λ2; distributed side, avg(pc²) must
+    * reproduce its eigenvalue (the defining variance identity of PCA,
+    * checked end-to-end through the projection path); per row, the
+    * native kernel dot must equal the HOF aggregate/zip_with
+    * composition exactly (independent evaluation path).
+    */
+  def q124Pca(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Pca
+    val d = 64
+    val base = emb(s, dir).select(col("vec_id"), col("e"))
+    implicit val enc: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val buf = base.select(col("e")).as[Seq[Double]]
+      .select(Pca.MomentAgg(d).toColumn).head()
+    val (mu, cov) = Pca.meanCov(buf, d)
+    val (vals, vecs) = Pca.jacobiEig(cov)
+    val (l1, l2) = (vals(0), vals(1))
+    val (v1, v2) = (vecs(0), vecs(1))
+    def dotS(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val structOk = Pca.eigResidual(cov, l1, v1) < 1e-8 &&
+      Pca.eigResidual(cov, l2, v2) < 1e-8 &&
+      math.abs(dotS(v1, v2)) < 1e-10 && l1 >= l2
+    val (v1l, v2l) = (typedLit(v1.toSeq), typedLit(v2.toSeq))
+    def hof(v: Column): Column =
+      aggregate(zip_with(col("e"), v, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    val p = base
+      .withColumn("p1", dot(col("e"), v1l) - lit(dotS(mu, v1)))
+      .withColumn("p2", dot(col("e"), v2l) - lit(dotS(mu, v2)))
+      .localCheckpoint() // one projection feeds the variance check + output
+    val vr = p.agg(avg(col("p1") * col("p1")), avg(col("p2") * col("p2"))).head()
+    def varOk(got: Double, lam: Double): Boolean =
+      math.abs(got - lam) <= 1e-6 * math.max(lam, 1e-9)
+    val driverOk = structOk && varOk(vr.getDouble(0), l1) && varOk(vr.getDouble(1), l2)
+    p.select(col("vec_id"),
+        x1000(col("p1")).as("pc1_x1000"),
+        x1000(col("p2")).as("pc2_x1000"),
+        (lit(driverOk) &&
+          dot(col("e"), v1l) === hof(v1l) &&
+          dot(col("e"), v2l) === hof(v2l)).as("pca_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_ann_brute" -> q24AnnBrute _,
+    "q124_pca" -> q124Pca _,
     "q25_ann_bucketed" -> q25AnnBucketed _,
     "q26_embed_neardup" -> q26EmbedNeardup _,
     "q27_vector_stats" -> q27VectorStats _,

@@ -361,6 +361,35 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT nfc_normalize(NULL) IS NULL").collect()(0).getBoolean(0))
   }
 
+  test("fix_mojibake: repairs Latin-1/CP1252 mis-decodes, never touches clean text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fix(s: String): String =
+      ExtractOps.fixMojibake(UTF8String.fromString(s)).toString
+    def corrupt(s: String, cs: String): String =
+      new String(s.getBytes("UTF-8"), java.nio.charset.Charset.forName(cs))
+    val cleans = Seq("café", "don’t — “smart” quotes…", "№ 5 за ₽",
+      "日本語テキスト", "mixed ascii + émojis? ±5€", "†‡•‰")
+    for (c <- cleans) {
+      assert(fix(corrupt(c, "ISO-8859-1")) == c, s"latin1 repair of <$c>")
+      assert(fix(corrupt(corrupt(c, "ISO-8859-1"), "ISO-8859-1")) == c,
+        s"double-encoded repair of <$c>")
+    }
+    // CP1252 flavor: U+2019 mis-decodes to ’ (0x92→U+2019 via CP1252),
+    // which the sloppy inverse maps back to byte 0x92
+    assert(fix(corrupt("don’t", "windows-1252")) == "don’t")
+    // never touch: pure ASCII (fast path), genuine Latin-1/Greek text
+    // whose bytes are NOT valid UTF-8, lone lead-like chars, empty
+    for (s <- Seq("", "plain ascii", "déjà vu à Paris", "Ã", "ñandú ôter",
+        "α β γ Ã")) assert(fix(s) == s, s"must not alter <$s>")
+    // SQL surface + null
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT fix_mojibake(NULL) IS NULL").collect()(0).getBoolean(0))
+    val got = spark.sql(
+      "SELECT fix_mojibake(decode(encode('№ż€', 'UTF-8'), 'ISO-8859-1')) AS r")
+      .collect()(0).getString(0)
+    assert(got == "№ż€")
+  }
+
   test("deflate_ratio_x1000: repetition < prose < noise; deterministic; SQL surface") {
     import org.apache.spark.unsafe.types.UTF8String
     def ratio(s: String): Long =
