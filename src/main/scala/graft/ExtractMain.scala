@@ -12,7 +12,7 @@ import graft.sources.PagesSynth
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
-  *     [--index 64] [--export tokensPerShard]
+  *     [--index 64] [--export tokensPerShard] [--pack capTokens]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -170,6 +170,15 @@ object ExtractMain {
       s""","export":{"tokens_per_shard":$t,"docs":${e.docs},"tokens":${e.tokens},""" +
         s""""shards":${e.shards},"max_shard_tokens":${e.maxShardTokens}}"""
     }.getOrElse("")
+    // --pack C: NO-SPLIT shard packing (distributed first-fit-decreasing
+    // into C-token bins over the final corpus) at <out>/pack — the
+    // document-integrity alternative to --export; resumable single-unit
+    // stage (pipeline.PackStage / queries.CurationOps.binPack)
+    val packJson = opts.get("--pack").map { c =>
+      val p = graft.pipeline.PackStage.run(spark, out, c.toInt)
+      s""","pack":{"cap":$c,"docs":${p.docs},"tokens":${p.tokens},""" +
+        s""""bins":${p.bins},"max_fill":${p.maxFill},"all_ok":${p.allOk}}"""
+    }.getOrElse("")
     val compactJson = opts.get("--compact")
       .orElse(if (curate) Some("128") else None).map { mb =>
         val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
@@ -180,7 +189,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

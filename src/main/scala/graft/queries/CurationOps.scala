@@ -256,11 +256,93 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q126: training-shard BIN PACKING by distributed first-fit-decreasing —
+    * q86's concat-and-chunk packs a token stream by splitting documents
+    * across window boundaries; this is the no-split alternative (document
+    * integrity preserved, the attention-mask-friendly packing): each doc
+    * goes whole into some 512-token bin, bins are closed at the cap, and
+    * padding waste is bounded by the classic FFD guarantee.
+    *
+    * Distribution shape: docs hash into 16 independent packing buckets
+    * (the parallel unit — at 100 TB, thousands of buckets), ONE explicit
+    * repartition on the bucket key, an in-partition sort (n_tokens desc,
+    * doc_id — a total order, so the result is identical regardless of
+    * arrival order), and a streaming per-bucket first-fit pass inside
+    * `mapPartitions` (the genuinely sequential kernel — state is one
+    * fill-array per bucket, O(bins) not O(rows)). Oversize docs (> cap)
+    * isolate into singleton bins automatically: they fit no bin,
+    * including an empty one, so first-fit opens a fresh bin that can
+    * never accept a second doc.
+    *
+    * Self-certifying `pack_ok` (sequential FFD is not SQL-expressible):
+    * every bin is within cap (or a singleton oversize), every doc packed
+    * exactly once, and per bucket AT MOST ONE bin ends ≤ half-full — the
+    * provable FFD invariant (two bins ≤ C/2 cannot coexist: the item
+    * that opened the later one would have fit the earlier), i.e. the
+    * packing really is first-fit, not some cap-respecting shuffle.
+    */
+  def q126BinPack(s: SparkSession, dir: String): DataFrame = {
+    val sized = tbl(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(lower(trim(col("text"))), WS)).as("n_tokens"))
+    binPack(sized, cap = 512, nBuckets = 16).orderBy(col("doc_id"))
+  }
+
+  /** Production no-split packing API behind q126 and `--pack`: input
+    * (doc_id BIGINT or STRING, n_tokens INT) → (doc_id, bucket, bin_id,
+    * n_tokens, pack_ok) with the id type preserved. The kernel is typed
+    * on the id's string form (one encoder serves both id families; the
+    * string cast of a BIGINT is injective, so identity — and the
+    * within-ties sort order — stays a total order). See q126's doc for
+    * the algorithm, distribution shape, and certificate.
+    */
+  def binPack(sized: DataFrame, cap: Int, nBuckets: Int): DataFrame = {
+    val s = sized.sparkSession
+    import s.implicits._
+    val idType = sized.schema("doc_id").dataType
+    val packed = sized
+      .select(col("doc_id").cast("string").as("doc_id"), col("n_tokens"))
+      .select(pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int").as("bucket"),
+        col("n_tokens"), col("doc_id"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc, col("doc_id"))
+      .as[(Int, Int, String)]
+      .mapPartitions { rows =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var curBucket = -1
+        rows.map { case (bucket, n, id) =>
+          if (bucket != curBucket) { curBucket = bucket; fills.clear() }
+          var b = 0
+          while (b < fills.length && fills(b) + n > cap) b += 1
+          if (b == fills.length) fills += 0
+          fills(b) += n
+          (id, bucket, b, n)
+        }
+      }
+      .toDF("doc_id", "bucket", "bin_id", "n_tokens")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+      .localCheckpoint() // feeds the certificates and the output once
+    val bins = packed.groupBy(col("bucket"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("ndocs"))
+    val bucketOk = bins.groupBy(col("bucket"))
+      .agg(
+        min((col("fill") <= cap || col("ndocs") === 1).cast("int")).as("capmin"),
+        sum(when(col("fill") * 2 <= cap, 1).otherwise(0)).as("halfEmpty"))
+      .select(col("bucket"),
+        (col("capmin") === 1 && col("halfEmpty") <= 1).as("bucket_ok"))
+    packed.join(broadcast(bucketOk), "bucket")
+      .withColumn("dups",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("bucket"), col("bin_id"), col("n_tokens"),
+        (col("bucket_ok") && col("dups") === 1).as("pack_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_dsir_weights" -> q103DsirWeights _,
     "q106_domain_rollup" -> q106DomainRollup _,
     "q107_paragraph_clean" -> q107ParagraphClean _,
-    "q112_host_budget" -> q112HostBudget _)
+    "q112_host_budget" -> q112HostBudget _,
+    "q126_bin_pack" -> q126BinPack _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""

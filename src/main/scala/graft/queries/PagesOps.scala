@@ -75,6 +75,54 @@ object PagesOps {
       .orderBy(col("url"), col("idx"))
   }
 
+  /** q127: TEMPLATE CLUSTERING — group pages by structural fingerprint
+    * (md5 of the ordered start/close tag-name sequence, text and
+    * attributes excluded), the standard first move of site-template
+    * detection: pages sharing a template share a tag skeleton even when
+    * every text node differs, and per-template clusters are what
+    * boilerplate-removal models train on (cf. the CleanEval/boilerplate
+    * literature — structure, not content, identifies the template).
+    *
+    * Scale shape: ONE scanner pass per page inside the scan stage (the
+    * native `html_nodes` generator), one md5-keyed aggregate whose key
+    * is 16 bytes regardless of page size — never the raw sequence — and
+    * the per-group output is O(#templates), not O(#pages).
+    *
+    * Self-certifying `tpl_ok` per template group: (a) hash grouping ==
+    * exact grouping — every member's FULL tag sequence is identical
+    * (count_distinct(tag_seq) == 1 within the group; an md5 collision or
+    * a non-injective fingerprint would fail it), and (b) the generator
+    * path's sequence equals the typed-Dataset scanner path's sequence on
+    * every member page (independent evaluation twin, the q32 pattern).
+    */
+  def q127TemplateCluster(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_tpl")
+    val gen = s.sql(
+      """SELECT url, concat_ws(' ', transform(
+        |    array_sort(collect_list(struct(n.idx AS i,
+        |      concat(n.ntype, ':', lower(n.tag)) AS t))), x -> x.t)) AS tag_seq
+        |FROM pages_tpl LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype IN ('START', 'CLOSE')
+        |GROUP BY url""".stripMargin)
+    val typed = q31NodeTable(s, dir)
+      .filter(col("ntype").isin("START", "CLOSE"))
+      .groupBy(col("url"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx").as("i"),
+          concat(col("ntype"), lit(":"), lower(col("tag"))).as("t")))),
+        x => x.getField("t"))).as("t_seq"))
+    gen.join(typed, Seq("url"))
+      .select(col("url"), md5(col("tag_seq").cast("binary")).as("template_id"),
+        col("tag_seq"), (col("tag_seq") === col("t_seq")).as("page_ok"))
+      .groupBy(col("template_id"))
+      .agg(count(lit(1)).as("n_pages"),
+        min(col("url")).as("exemplar_url"),
+        ((count_distinct(col("tag_seq")) === 1) && min(col("page_ok").cast("int")) === 1)
+          .as("tpl_ok"))
+      .orderBy(col("template_id"))
+  }
+
   /** Corpus tag histogram from the node table — explode + hash agg.
     * Composes on q31 (Catalyst eliminates q31's global sort under the
     * aggregate); the pages are re-parsed here, which is the point of the
@@ -1013,6 +1061,7 @@ object PagesOps {
     "q76_selectors" -> q76Selectors _,
     "q74_markdown" -> q74Markdown _,
     "q71_link_graph" -> q71LinkGraph _,
+    "q127_template_cluster" -> q127TemplateCluster _,
     "q72_link_rank" -> q72LinkRank _,
     "q89_anchor_text" -> q89AnchorText _,
     "q95_hits" -> q95Hits _,

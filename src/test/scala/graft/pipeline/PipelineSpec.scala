@@ -611,4 +611,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s3 = ExportStage.run(spark, out, 1000L)
     assert(s3.shards > s1.shards && s3.tokens === s1.tokens)
   }
+
+  test("pack stage: no-split bins valid, certificates true, resumable, re-runs byte-identical") {
+    import graft.pipeline.PackStage
+    val out = Files.createTempDirectory("graft-pack").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 120L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val cap = 400
+    val p1 = PackStage.run(spark, out, cap)
+    assert(p1.docs === 120L && p1.allOk, s"pack summary: $p1")
+    val assign = spark.read.parquet(PackStage.assignPath(out))
+    assert(assign.count() === 120L)
+    assert(assign.filter(!col("pack_ok")).count() === 0L)
+    // bins table agrees with the assignment, caps respected (or singleton)
+    val bins = spark.read.parquet(PackStage.binsPath(out)).collect()
+    assert(bins.map(_.getLong(2)).sum === 120L)
+    bins.foreach { b =>
+      assert(b.getLong(3) <= cap || b.getLong(2) === 1L,
+        s"bin over cap with ${b.getLong(2)} docs: ${b.getLong(3)}")
+    }
+    assert(p1.maxFill === bins.map(_.getLong(3)).max)
+    // committed stage answers from the manifest without rewriting
+    def mtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(PackStage.assignPath(out)))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val stamp = mtimes()
+    val p2 = PackStage.run(spark, out, cap)
+    assert(p2 === p1)
+    assert(mtimes() === stamp, "no-op pack re-run rewrote the assignment")
+    // fresh out dir over the same corpus: a kill before the unit commits
+    // claims nothing; the re-run then produces a byte-identical assignment
+    val out2 = Files.createTempDirectory("graft-pack2").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 120L), out2,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    assert(PackStage.runResumable(spark, out2, cap, maxUnits = 0).isEmpty)
+    PackStage.run(spark, out2, cap)
+    val a1 = assign.orderBy("url").collect().map(_.toSeq).toSeq
+    val a2 = spark.read.parquet(PackStage.assignPath(out2))
+      .orderBy("url").collect().map(_.toSeq).toSeq
+    assert(a1 === a2, "packing not deterministic across runs")
+    // a different cap is a different fingerprint → recompute, more bins
+    val p3 = PackStage.run(spark, out, cap / 2)
+    assert(p3.bins > p1.bins && p3.tokens === p1.tokens && p3.allOk)
+  }
 }

@@ -101,4 +101,46 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toLowerCase.contains("broadcast"),
       "bucket offsets not broadcast\n" + plan)
   }
+
+  /** Driver-side first-fit over (n_tokens desc, doc_id)-sorted members —
+    * the sequential ground truth for [[CurationOps.binPack]], applied to
+    * whatever bucket membership Spark's hash produced.
+    */
+  private def refFirstFit(members: Seq[(Long, Int)], cap: Int): Map[Long, Int] = {
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // ids tie-break in STRING order — the kernel's one encoder for both
+    // long and url ids (CurationOps.binPack)
+    members.sortBy { case (id, n) => (-n, id.toString) }.map { case (id, n) =>
+      var b = 0
+      while (b < fills.length && fills(b) + n > cap) b += 1
+      if (b == fills.length) fills += 0
+      fills(b) += n
+      id -> b
+    }.toMap
+  }
+
+  test("binPack == per-bucket sequential first-fit-decreasing; certificates hold") {
+    val s = spark; import s.implicits._
+    val cap = 100
+    val sized = (0 until 300).map { i =>
+      // skewed sizes incl. exact-cap and oversize docs
+      val n = (i * 2654435761L % 147).toInt + (if (i % 37 == 0) 120 else 1)
+      (i.toLong * 7 % 1000, n) // gappy, shuffled ids
+    }.distinct
+    val out = CurationOps.binPack(sized.toDF("doc_id", "n_tokens"), cap, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    assert(out.length === sized.length && out.forall(_._5), "pack_ok must be all-true")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val want = refFirstFit(rows.map(r => (r._1, r._4)).toSeq, cap)
+      rows.foreach { r =>
+        assert(r._3 === want(r._1), s"doc ${r._1}: bin ${r._3} != ref ${want(r._1)}")
+      }
+      // oversize docs sit alone in their bin
+      val byBin = rows.groupBy(_._3)
+      rows.filter(_._4 > cap).foreach { r =>
+        assert(byBin(r._3).length === 1, s"oversize doc ${r._1} not isolated")
+      }
+    }
+  }
 }

@@ -73,7 +73,12 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q100_exactsubstr_cut" -> "es_ok",
       "q104_cdc_dedup" -> "cdc_ok",
       "q108_canonical" -> "cons_ok",
-      "q110_crawl_hops" -> "bfs_ok")
+      "q110_crawl_hops" -> "bfs_ok",
+      "q123_mojibake" -> "moji_ok",
+      "q124_pca" -> "pca_ok",
+      "q125_fuzzy_decontaminate" -> "fuzzy_ok",
+      "q126_bin_pack" -> "pack_ok",
+      "q127_template_cluster" -> "tpl_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
