@@ -246,8 +246,11 @@ object ClusterOps {
     * (one row per node, ≪ edges) enters via broadcast. Each triangle is
     * produced exactly once (pivot = lowest-ranked corner).
     */
-  def q120TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val base = tbl(s, dir, "lineitem")
+  /** The synthetic host graph shared by q120/q129/q130 (the q53 edge
+    * idiom: a modular projection of lineitem keys both engines rebuild).
+    */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
       .where(col("l_quantity") < 10)
       .select((col("l_orderkey") % 1000).cast("long").as("x"),
         (col("l_partkey") % 1000).cast("long").as("y"))
@@ -255,8 +258,9 @@ object ClusterOps {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    triangleCounts(base).orderBy(col("node"))
-  }
+
+  def q120TriangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(hostEdges(s, dir)).orderBy(col("node"))
 
   /** Per-node triangle counts of an undirected edge list with BIGINT
     * columns (`a`,`b`), a<b, distinct, no self-loops — the production API
@@ -319,11 +323,119 @@ object ClusterOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Coreness (k-core number) of every node by the H-INDEX FIXPOINT
+    * iteration (public: Lü, Chen, Ren, Zhang, Zhou, Stanley, "The
+    * H-index of a network node", PNAS 2016): start from the degree and
+    * repeatedly replace each node's value with the h-index of its
+    * neighbors' values; the sequence is pointwise non-increasing and
+    * converges to the coreness. Unlike the textbook peeling algorithm —
+    * inherently sequential, remove-min-degree-one-at-a-time — every
+    * round here is embarrassingly parallel: ONE equi-join of the
+    * symmetric edge list against the (node, core) table + one node-keyed
+    * window/aggregate for the h-index; rounds needed is small in
+    * practice (bounded by the longest degree-decay chain). Per-round
+    * `localCheckpoint` keeps lineage flat; convergence uses the O(1)
+    * stamp read-back with the exact `exceptAll` confirmation at the
+    * apparent fixpoint ([[connectedComponents]]'s discipline).
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(edges.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
+      .distinct()
+      .localCheckpoint() // one materialization feeds every round
+    def hIndexStep(core: DataFrame): DataFrame = {
+      val nb = sym
+        .join(core.select(col("u").as("v"), col("c")), "v")
+        .select(col("u"), col("c"))
+      // h-index of the neighbor multiset: sort desc, h = max(min(c, rank))
+      val w = Window.partitionBy(col("u")).orderBy(col("c").desc)
+      nb.withColumn("rn", row_number().over(w))
+        .groupBy(col("u"))
+        .agg(max(least(col("c"), col("rn").cast("long"))).as("c"))
+    }
+    def stamp(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, c))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var core = sym.groupBy(col("u")).agg(count(lit(1)).as("c")).localCheckpoint()
+    var prev = stamp(core)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = hIndexStep(core).localCheckpoint()
+      val cur = stamp(next)
+      converged = cur == prev && next.exceptAll(core).isEmpty
+      core = next
+      prev = cur
+      round += 1
+    }
+    require(converged, s"coreness did not converge in $maxRounds rounds")
+    core.select(col("u").as("node"), col("c").as("core"))
+  }
+
+  /** q129: K-CORE DECOMPOSITION of the host graph — coreness is the
+    * standard webgraph cohesion/spam signal (link farms live in
+    * anomalously dense cores). Self-certifying `core_ok` (iterative
+    * peeling is not SQL-expressible): each node's value is re-verified
+    * as an h-index fixpoint through an INDEPENDENT formulation — plain
+    * conditional counting, no window, no shared code with the solver's
+    * least/row_number step: h == c ⟺ (≥ c neighbors with core ≥ c) AND
+    * NOT (≥ c+1 neighbors with core ≥ c+1) — plus core ≤ degree. (The
+    * fixpoint certificate is the necessary condition; equality with the
+    * textbook sequential peeling is property-tested on random graphs in
+    * ClusterOpsSpec, which rules out the degenerate fixpoints the
+    * all-zeros vector exemplifies.)
+    */
+  def q129Kcore(s: SparkSession, dir: String): DataFrame = {
+    val e = hostEdges(s, dir).localCheckpoint() // feeds solver and verify
+    val core = coreness(e).localCheckpoint()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v"))).distinct()
+    val nb = sym.join(core.select(col("node").as("v"), col("core").as("cv")), "v")
+    val checks = nb.join(core.select(col("node").as("u"), col("core").as("cu")), "u")
+      .groupBy(col("u"), col("cu"))
+      .agg(count(lit(1)).as("deg"),
+        sum(when(col("cv") >= col("cu"), 1L).otherwise(0L)).as("ge_c"),
+        sum(when(col("cv") >= col("cu") + 1L, 1L).otherwise(0L)).as("ge_c1"))
+    checks.select(col("u").as("node"), col("cu").as("core"), col("deg"),
+        (col("ge_c") >= col("cu") && col("ge_c1") < col("cu") + 1L &&
+          col("cu") <= col("deg")).as("core_ok"))
+      .orderBy(col("node"))
+  }
+
+  /** q130: LOCAL CLUSTERING COEFFICIENT per node — cc = 2·tri/(deg·(deg−1)),
+    * THE webgraph cohesion metric distinguishing organically linked
+    * communities (high cc) from spray-link spam (near zero). Composes
+    * q120's degree-ordered triangle counter with the degree table; the
+    * ratio ships as round-x1000 of exact integer operands, so both
+    * engines compute the identical double and round identically.
+    */
+  def q130Clustering(s: SparkSession, dir: String): DataFrame = {
+    val e = hostEdges(s, dir).localCheckpoint() // feeds degrees + triangles
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(e), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("cc_x1000",
+        when(col("deg") >= 2,
+          round(col("tri_cnt") * 2000 / (col("deg") * (col("deg") - 1)))
+            .cast("long"))
+          .otherwise(0L))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dedup_clusters" -> q49DedupClusters _,
     "q53_pagerank" -> q53PageRank _,
     "q120_triangle_count" -> q120TriangleCount _,
     "q121_cocitation" -> q121Cocitation _,
+    "q129_kcore" -> q129Kcore _,
+    "q130_clustering" -> q130Clustering _,
   )
 
   // The oracle recomputes the same edge set in DuckDB (q22's SQL twin for
@@ -415,6 +527,33 @@ object ClusterOps {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin,
+    // same independent a<b<c triangle enumeration as q120, joined to the
+    // degree table; 2000·tri and deg·(deg−1) are exact integers, so the
+    // single double division rounds identically in both engines
+    "q130_clustering" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS a,
+        |                  greatest(l_orderkey % 1000, l_partkey % 1000) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity < 10 AND l_orderkey % 1000 <> l_partkey % 1000),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pn AS (SELECT node, COUNT(*) AS tri_cnt FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(pn.tri_cnt, 0) AS tri_cnt,
+        |  CASE WHEN d.deg >= 2
+        |       THEN CAST(round((COALESCE(pn.tri_cnt, 0) * 2000) /
+        |                       (d.deg * (d.deg - 1))) AS BIGINT)
+        |       ELSE 0 END AS cc_x1000
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
     "q121_cocitation" ->
       """WITH e AS (
         |  SELECT DISTINCT l_suppkey % 80 AS src, l_partkey % 500 AS dst

@@ -274,6 +274,45 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q128: ORDERED FUNNEL analysis (view → click → purchase), the other
+    * classic web-analytics operator next to q47's sessionization: per
+    * user, the earliest view, the earliest click strictly AFTER that
+    * view, and the earliest purchase strictly after that click — order
+    * matters, so a purchase before any view does not count (the property
+    * that distinguishes a funnel from three independent mins).
+    *
+    * Scale shape: ONE exchange on user_id feeds all three stacked
+    * min-windows (each conditions on the previous stage's timestamp) and
+    * the final per-user distinct — the q47/q122 shared-partition-key
+    * discipline. Timestamps travel as exact epoch micros (unix_micros /
+    * epoch_us), never engine-formatted strings.
+    */
+  def q128Funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    tbl(s, dir, "events")
+      // ts is TIMESTAMP_NTZ in the parquet; the session is pinned UTC, so
+      // the cast interprets it exactly as DuckDB's epoch_us on naive ts
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("us") > col("t_view"),
+          col("us"))).over(w))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase" && col("us") > col("t_click"),
+          col("us"))).over(w))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_buy"))
+      .distinct()
+      .withColumn("stage",
+        when(col("t_buy").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(col("user_id"))
+  }
+
   /** URL decomposition at scale (host / path-depth / key extraction): urls
     * are synthesized deterministically from lineitem keys IN THE QUERY (the
     * harness tables carry no url column), identically in the oracle, then
@@ -704,6 +743,7 @@ object Relational {
     "q73_frontier" -> q73Frontier _,
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
+    "q128_funnel" -> q128Funnel _,
     "q48_url_parse" -> q48UrlParse _,
     "q119_url_blocklist" -> q119UrlBlocklist _,
     "q59_robots_filter" -> q59RobotsFilter _,
@@ -791,6 +831,21 @@ object Relational {
         |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS val_sum
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // windows chain through subqueries (DuckDB rejects a window over
+    // another window expression in one SELECT, same as Spark)
+    "q128_funnel" ->
+      """WITH a AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |        OVER (PARTITION BY user_id) AS t_view FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t_view
+        |        THEN us END) OVER (PARTITION BY user_id) AS t_click FROM v),
+        |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t_click
+        |        THEN us END) OVER (PARTITION BY user_id) AS t_buy FROM c)
+        |SELECT DISTINCT user_id, t_view, t_click, t_buy,
+        |  CASE WHEN t_buy IS NOT NULL THEN 3
+        |       WHEN t_click IS NOT NULL THEN 2
+        |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM p ORDER BY user_id""".stripMargin,
     "q119_url_blocklist" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -161,6 +161,66 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(co.nonEmpty && co.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 3))
   }
 
+  /** Ground truth for coreness: the textbook sequential peeling — repeatedly
+    * delete a minimum-degree node; its coreness is the running maximum of
+    * the degrees seen at deletion time.
+    */
+  private def peelCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (v, ns) => (ns.size, v) }
+      k = math.max(k, ns.size.toLong)
+      core(v) = k
+      ns.foreach(u => adj.get(u).foreach(_ -= v))
+      adj -= v
+    }
+    core.toMap
+  }
+
+  private def coreSpark(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ClusterOps.coreness(
+        spark.createDataFrame(edges).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("h-index coreness == sequential peeling (property)") {
+    val genEdges = for {
+      n <- Gen.choose(3, 22)
+      m <- Gen.choose(1, 70)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2)
+    val prop = Prop.forAll(genEdges) { es =>
+      es.isEmpty || coreSpark(es) == peelCoreness(es)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(129L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"core==peel: ${res.status}")
+  }
+
+  test("coreness shapes: clique K5 all 4, chain all 1, clique+tail mixed") {
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(coreSpark(k5).values.toSet == Set(4L))
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    assert(coreSpark(chain).values.toSet == Set(1L))
+    // K4 on {0..3} with a pendant path 3-10-11: clique nodes core 3, tail 1
+    val mixed = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) ++
+      Seq((3L, 10L), (10L, 11L))
+    val got = coreSpark(mixed)
+    assert((0L to 3L).forall(got(_) == 3L) && got(10L) == 1L && got(11L) == 1L)
+  }
+
   test("q49 output is internally consistent on sf0.001") {
     val df = ClusterOps.q49DedupClusters(spark, "/root/testdata/sf0.001").cache()
     try {

@@ -78,7 +78,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q124_pca" -> "pca_ok",
       "q125_fuzzy_decontaminate" -> "fuzzy_ok",
       "q126_bin_pack" -> "pack_ok",
-      "q127_template_cluster" -> "tpl_ok")
+      "q127_template_cluster" -> "tpl_ok",
+      "q129_kcore" -> "core_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
