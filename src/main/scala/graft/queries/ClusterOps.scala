@@ -143,6 +143,41 @@ object ClusterOps {
           .select(col("a_id").as("src"), col("b_id").as("dst"))))
       .orderBy(col("doc_id"))
 
+  /** q134: LEAKAGE-SAFE train/val/test split — the q54 hash split keyed on
+    * the doc's dedup-cluster REPRESENTATIVE instead of the doc itself, so
+    * an entire near-duplicate cluster always lands in ONE split. A per-doc
+    * hash split (q54) silently leaks: a test document's near-duplicate in
+    * train is train/test contamination the 13-gram decontaminator (q60)
+    * only catches for verbatim overlaps. Splitting on the component id
+    * (q49's closure over exact-dup ∪ MinHash-LSH edges) makes the
+    * guarantee structural — split is a pure function of the cluster, and
+    * the oracle's independent recursive-CTE closure + identical md5
+    * bucketing proves both the clustering and the assignment exact.
+    *
+    * Scale shape: the q49 closure (O(log² n) bounded-shuffle rounds) + one
+    * left join of the corpus to the clustered subset (near-dup rows are a
+    * small fraction, so AQE broadcasts it; shuffles cleanly when not) + a
+    * stateless bucket projection. No new shuffle class beyond q49 itself.
+    */
+  def q134ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"))
+    val clustered = clusterize(exactStarEdges(tbl(s, dir, "documents")).union(
+        TextOps.minhashPairs(s, dir)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))))
+      .select(col("doc_id"), col("cluster_id"))
+    docs.join(clustered, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("rep").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("rep"),
+        col("cluster_id").isNotNull.as("clustered"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Production dedup entry point (not a driver query — q49 keeps q22's
     * fixed banding so its oracle is static): documents → one row per doc
     * that belongs to a duplicate cluster, `(doc_id, cluster_id,
@@ -431,6 +466,7 @@ object ClusterOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dedup_clusters" -> q49DedupClusters _,
+    "q134_cluster_split" -> q134ClusterSplit _,
     "q53_pagerank" -> q53PageRank _,
     "q120_triangle_count" -> q120TriangleCount _,
     "q121_cocitation" -> q121Cocitation _,
@@ -441,46 +477,69 @@ object ClusterOps {
   // The oracle recomputes the same edge set in DuckDB (q22's SQL twin for
   // the near pairs + a window for the exact-dup stars) and closes it with a
   // recursive CTE: lbl-set of a node = every node that reaches it; min =
-  // component min. UNION (distinct) bounds the recursion.
+  // component min. UNION (distinct) bounds the recursion. Shared verbatim
+  // by the q49 and q134 oracles so the two checks pin the SAME clustering.
+  private val ccCtes: String =
+    s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))-1),
+       |    i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i] || ' ' ||
+       |         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i+1]))) AS s
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |   ${(0 until 8).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
+       |   md5(h4||'|'||h5||'|'||h6||'|'||h7) AS band1 FROM sig),
+       |near AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a
+       |     JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id FROM bands a
+       |     JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)),
+       |exact AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS keeper, doc_id
+       |  FROM documents QUALIFY doc_id <> keeper),
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM near
+       |  UNION SELECT b_id, a_id FROM near
+       |  UNION SELECT keeper, doc_id FROM exact
+       |  UNION SELECT doc_id, keeper FROM exact),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |r(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lbl FROM r JOIN edges e ON r.id = e.u),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q49_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+'))-1),
-         |    i -> regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i] || ' ' ||
-         |         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+')[i+1]))) AS s
-         |  FROM documents),
-         |sig AS (SELECT doc_id,
-         |   ${(0 until 8).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id,
-         |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
-         |   md5(h4||'|'||h5||'|'||h6||'|'||h7) AS band1 FROM sig),
-         |near AS (
-         |  SELECT DISTINCT a_id, b_id FROM (
-         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a
-         |     JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id FROM bands a
-         |     JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)),
-         |exact AS (
-         |  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS keeper, doc_id
-         |  FROM documents QUALIFY doc_id <> keeper),
-         |edges AS (
-         |  SELECT a_id AS u, b_id AS v FROM near
-         |  UNION SELECT b_id, a_id FROM near
-         |  UNION SELECT keeper, doc_id FROM exact
-         |  UNION SELECT doc_id, keeper FROM exact),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |r(id, lbl) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, r.lbl FROM r JOIN edges e ON r.id = e.u),
-         |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+         |$ccCtes
          |SELECT id AS doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  (id = cluster_id) AS is_keeper
          |FROM cc ORDER BY doc_id""".stripMargin,
+    // the oracle closes the components independently AND re-derives the
+    // bucket from the representative with the same md5 arithmetic — rank
+    // equality pins clustering + assignment in one hash
+    "q134_cluster_split" ->
+      s"""WITH RECURSIVE
+         |$ccCtes,
+         |alld AS (
+         |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS rep,
+         |    cc.cluster_id IS NOT NULL AS clustered
+         |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, rep, clustered,
+         |    ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+         |  FROM alld)
+         |SELECT doc_id, rep, clustered, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     // Three power iterations unrolled as chained CTEs, each snapped to the
     // same 1e-9 grid as the Spark loop.
     "q53_pagerank" -> {

@@ -337,8 +337,43 @@ object CurationOps {
         (col("bucket_ok") && col("dups") === 1).as("pack_ok"))
   }
 
+  /** q133: CURRICULUM DECILES — exact global rank (score desc, doc_id) and
+    * decile bucket for every document WITHOUT a global window (the
+    * single-partition `Window.orderBy` is exactly the 100 TB anti-pattern
+    * this replaces). Two-level scheme keyed on the VALUE: one map-combined
+    * per-distinct-score histogram (bounded by the score domain, not the
+    * corpus — token counts here; pre-bucketize via q114's bisection when
+    * the domain is unbounded), an O(distinct-scores) driver prefix sum
+    * (the established O(1)-ish read-back), offsets re-entering broadcast,
+    * and a within-score row_number whose partitions are the score groups —
+    * every window bounded, fully parallel. Quality-ordered curricula and
+    * decile-capped mixes (the q88/q112 consumers) read this table.
+    */
+  def q133QualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(lower(trim(col("text"))), WS)).cast("long").as("score"))
+      .localCheckpoint() // one scan feeds the histogram and the rank join
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val offsets = hist.scanLeft((0L, 0L)) { case ((_, acc), (sc, c)) =>
+      (sc, acc + c)
+    }.sliding(2).collect { case Array((_, acc), (sc, _)) => (sc, acc) }.toSeq
+    import s.implicits._
+    val offDf = offsets.toDF("score", "off")
+    scored.join(broadcast(offDf), "score")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("score"),
+        (col("off") + col("rn")).as("rank"),
+        floor((col("off") + col("rn") - 1) * 10 / lit(n)).cast("int").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_dsir_weights" -> q103DsirWeights _,
+    "q133_quality_deciles" -> q133QualityDeciles _,
     "q106_domain_rollup" -> q106DomainRollup _,
     "q107_paragraph_clean" -> q107ParagraphClean _,
     "q112_host_budget" -> q112HostBudget _,
@@ -348,6 +383,18 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle takes the global window the Spark side deliberately
+    // avoids — rank equality proves the two-level scheme exact
+    "q133_quality_deciles" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS score,
+         |    row_number() OVER (
+         |      ORDER BY CAST(len($dkTokens) AS BIGINT) DESC, doc_id) AS rank
+         |  FROM documents)
+         |SELECT doc_id, score, rank,
+         |  CAST(floor(((rank - 1) * 10) /
+         |    (SELECT COUNT(*) FROM documents)) AS INT) AS decile
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q103_dsir_weights" ->
       s"""WITH ${LmOps.PlantedWireCtes},
          |tk AS (SELECT doc_id, (cls_true = 0) AS tgt, unnest(${LmOps.dkWire}) AS tok,

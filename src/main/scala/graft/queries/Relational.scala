@@ -313,6 +313,56 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q131: SCD-2 SNAPSHOT RECONSTRUCTION — turn an append-only event
+    * history into validity intervals ([valid_from, valid_to), open tail =
+    * NULL) with one lead window, then answer "state as of T" with a pure
+    * interval filter. This is the recurring-crawl temporal query: the
+    * extraction history of a url is exactly such a history, and "the
+    * corpus as the crawler saw it on date T" is the as-of read a
+    * reproducible training run needs (q69's delta table is the
+    * two-snapshot special case).
+    *
+    * Scale shape: ONE entity-keyed Exchange feeds the lead window, the
+    * version count, and the as-of filter; zero-length intervals (equal
+    * timestamps, deterministically tie-broken by event_id) can never
+    * match an as-of probe, identically in both engines.
+    */
+  def q131Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val asOf = lit(1704153600000000L) // 2024-01-02T00:00:00Z in micros
+    tbl(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        cents(col("value")).as("val_c"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .where(col("us") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .select(col("user_id"), col("n_versions"),
+        col("event_id").as("asof_event"), col("us").as("valid_from"),
+        col("valid_to"), col("val_c"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q132: SLIDING-WINDOW rates — events counted into 1-hour windows
+    * sliding every 15 minutes (each event lands in exactly 4 overlapping
+    * windows), the per-host fetch-rate / traffic-burst monitor shape that
+    * tumbling windows (q39) cannot express. Spark's `window(ts, dur,
+    * slide)` generates the window set inline (a Generate, not a join);
+    * the oracle rebuilds the same epoch-aligned window starts with
+    * integer floor arithmetic, so the two engines agree exactly.
+    */
+  def q132SlidingRate(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_c"))
+      .select(unix_micros(col("w.start").cast("timestamp")).as("w_start_us"),
+        col("event_type"), col("cnt"), col("value_c"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
   /** URL decomposition at scale (host / path-depth / key extraction): urls
     * are synthesized deterministically from lineitem keys IN THE QUERY (the
     * harness tables carry no url column), identically in the oracle, then
@@ -337,6 +387,90 @@ object Relational {
         countDistinct(col("ord")).as("orders"),
         max(col("depth")).as("max_depth"))
       .orderBy(col("host"))
+  }
+
+  /** q135: DOMAIN-SUFFIX blocklist — the other half of URL screening
+    * (q119 scans url STRINGS for word fragments; category blocklists like
+    * UT1 are published as DOMAIN lists applied over the registrable-domain
+    * hierarchy): a host is blocked iff it equals a listed domain or ends
+    * with "." + a listed domain. The label-boundary rule is the point —
+    * `notspam.net` string-ends-with "spam.net" but is NOT blocked, so a
+    * naive endswith is wrong and the fixture plants exactly that trap.
+    *
+    * Scale shape: each host explodes into its ≤ #labels suffix chain (a
+    * stateless Generate, fan-out bounded by hostname depth), the suffixes
+    * equi-join the BROADCAST blocklist (a million-entry list is a few MB —
+    * always broadcast-able), one doc-keyed min-aggregate picks the
+    * deterministic winning entry, and the corpus left-joins the small hit
+    * set back. No shuffle ever carries more than (doc_id, suffix).
+    */
+  def q135DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = element_at(
+      array(lit("ads.example.com"), lit("cdn.spam.net"), lit("blog.io"),
+        lit("tracker.io"), lit("notspam.net")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val hosts = tbl(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, base)
+        .otherwise(concat(lit("w"), (col("doc_id") % 7).cast("string"),
+          lit("."), base)).as("host"))
+    val bl = Seq("ads.example.com", "spam.net", "tracker.io").toDF("entry")
+    val parts = split(col("host"), "\\.")
+    val sfx = hosts.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, i, size(parts) - i + 1), "."))).as("sfx"))
+    val hits = sfx.join(broadcast(bl), col("sfx") === col("entry"))
+      .groupBy(col("doc_id")).agg(min(col("entry")).as("hit"))
+    hosts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        col("hit").isNotNull.as("blocked"), col("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q136: TRACKING-PARAM detection — DATA-DRIVEN url canonicalization.
+    * q68's RFC 3986 normalizer can only apply syntax rules; which query
+    * parameters are content-irrelevant (utm_*, session ids) is an
+    * empirical property of the crawl. Detection: for each parameter p,
+    * group fetches by the serialization of every OTHER parameter (in
+    * production: host+path+rest); p is a tracking param iff some group
+    * saw ≥ 2 distinct values of p (evidence the crawler actually varied
+    * it) and NO group saw the content hash change while only p varied
+    * (counter-evidence it is load-bearing). The fixture wires page/ord
+    * into the content hash and leaves sess/utm free, so the verdict row
+    * set is exact and fully oracled.
+    *
+    * Scale shape: one stacked projection (4 unions, stateless), ONE
+    * shuffle keyed (param, restkey) with map-combined distinct counts,
+    * then a 4-row rollup. The content hash travels, never the content.
+    */
+  def q136TrackingParams(s: SparkSession, dir: String): DataFrame = {
+    val rows = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") * 4 + col("l_linenumber")).as("k"))
+      .select(
+        (col("k") % 5).cast("string").as("page"),
+        (col("k") % 7).cast("string").as("sess"),
+        (col("k") % 3).cast("string").as("utm"),
+        (col("k") % 2).cast("string").as("ord"))
+      .withColumn("content",
+        md5(concat(lit("c"), col("page"), lit("|"), col("ord"))
+          .cast("binary")))
+    def arm(p: String, rest: Seq[String]) =
+      rows.select(lit(p).as("param"), col(p).as("value"),
+        concat_ws("|", rest.map(col): _*).as("restkey"), col("content"))
+    val stacked = arm("page", Seq("sess", "utm", "ord"))
+      .union(arm("sess", Seq("page", "utm", "ord")))
+      .union(arm("utm", Seq("page", "sess", "ord")))
+      .union(arm("ord", Seq("page", "sess", "utm")))
+    stacked.groupBy(col("param"), col("restkey"))
+      .agg(countDistinct(col("value")).as("nv"),
+        countDistinct(col("content")).as("nc"))
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nv") >= 2, 1L).otherwise(0L)).as("multi_val_groups"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).as("inconsistent_groups"))
+      .withColumn("tracking",
+        col("inconsistent_groups") === 0 && col("multi_val_groups") > 0)
+      .orderBy(col("param"))
   }
 
   /** q119: URL BLOCKLIST screening — the UT1-style word-fragment filter
@@ -744,8 +878,12 @@ object Relational {
     "q68_url_canon" -> q68UrlCanon _,
     "q47_sessionize" -> q47Sessionize _,
     "q128_funnel" -> q128Funnel _,
+    "q131_scd2" -> q131Scd2 _,
+    "q132_sliding_rate" -> q132SlidingRate _,
     "q48_url_parse" -> q48UrlParse _,
     "q119_url_blocklist" -> q119UrlBlocklist _,
+    "q135_domain_blocklist" -> q135DomainBlocklist _,
+    "q136_tracking_params" -> q136TrackingParams _,
     "q59_robots_filter" -> q59RobotsFilter _,
     "q61_robots_wildcard" -> q61RobotsWildcard _,
     "q39_tumbling_window" -> q39TumblingWindow _,
@@ -846,6 +984,75 @@ object Relational {
         |       WHEN t_click IS NOT NULL THEN 2
         |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
         |FROM p ORDER BY user_id""".stripMargin,
+    "q131_scd2" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS val_c,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
+        |  FROM events)
+        |SELECT user_id, n_versions, event_id AS asof_event,
+        |  us AS valid_from, valid_to, val_c
+        |FROM h
+        |WHERE us <= 1704153600000000
+        |  AND (valid_to IS NULL OR valid_to > 1704153600000000)
+        |ORDER BY user_id""".stripMargin,
+    // every event lands in exactly dur/slide = 4 epoch-aligned windows:
+    // starts floor(us/slide)*slide − i·slide, i ∈ 0..3 — Spark's window()
+    // alignment rebuilt with integer floor arithmetic
+    "q132_sliding_rate" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000
+        |         - i * 900000000 AS w_start_us,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events, generate_series(0, 3) t(i)
+        |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+    // suffix chain rebuilt with 1-based list slicing; the label-boundary
+    // trap (notspam.net) must stay unblocked in both engines
+    "q135_domain_blocklist" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN base
+        |         ELSE 'w' || CAST(doc_id % 7 AS VARCHAR) || '.' || base END AS host
+        |  FROM (SELECT doc_id,
+        |      (['ads.example.com','cdn.spam.net','blog.io','tracker.io','notspam.net'])[CAST(doc_id % 5 AS INT) + 1] AS base
+        |    FROM documents)),
+        |bl(entry) AS (SELECT * FROM (VALUES ('ads.example.com'), ('spam.net'), ('tracker.io'))),
+        |sfx AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(string_split(host, '.'))),
+        |      i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+        |  FROM hosts),
+        |hits AS (SELECT doc_id, min(entry) AS hit
+        |         FROM sfx JOIN bl ON sfx.s = bl.entry GROUP BY doc_id)
+        |SELECT h.doc_id, h.host, hits.hit IS NOT NULL AS blocked, hits.hit AS hit
+        |FROM hosts h LEFT JOIN hits ON h.doc_id = hits.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    "q136_tracking_params" ->
+      """WITH r AS (
+        |  SELECT CAST((l_orderkey*4 + l_linenumber) % 5 AS VARCHAR) AS page,
+        |         CAST((l_orderkey*4 + l_linenumber) % 7 AS VARCHAR) AS sess,
+        |         CAST((l_orderkey*4 + l_linenumber) % 3 AS VARCHAR) AS utm,
+        |         CAST((l_orderkey*4 + l_linenumber) % 2 AS VARCHAR) AS ord
+        |  FROM lineitem),
+        |c AS (SELECT *, md5('c' || page || '|' || ord) AS content FROM r),
+        |stacked AS (
+        |  SELECT 'page' AS param, page AS value,
+        |         sess || '|' || utm || '|' || ord AS restkey, content FROM c
+        |  UNION ALL SELECT 'sess', sess, page || '|' || utm || '|' || ord, content FROM c
+        |  UNION ALL SELECT 'utm', utm, page || '|' || sess || '|' || ord, content FROM c
+        |  UNION ALL SELECT 'ord', ord, page || '|' || sess || '|' || utm, content FROM c),
+        |g AS (SELECT param, restkey, COUNT(DISTINCT value) AS nv,
+        |             COUNT(DISTINCT content) AS nc
+        |      FROM stacked GROUP BY param, restkey)
+        |SELECT param,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_val_groups,
+        |  CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS inconsistent_groups,
+        |  (SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) = 0
+        |    AND SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) > 0) AS tracking
+        |FROM g GROUP BY param ORDER BY param""".stripMargin,
     "q119_url_blocklist" ->
       """WITH u AS (
         |  SELECT doc_id,

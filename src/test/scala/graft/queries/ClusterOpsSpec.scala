@@ -239,4 +239,29 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byCluster.values.forall(_.length >= 2))
     } finally df.unpersist()
   }
+
+  test("q134: split is leak-free (one split per cluster) and covers q49") {
+    val dir = "/root/testdata/sf0.001"
+    val split = ClusterOps.q134ClusterSplit(spark, dir).collect()
+    val q49 = ClusterOps.q49DedupClusters(spark, dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // covers the whole corpus, reps agree with q49 (singletons = own id)
+    assert(split.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    split.foreach { r =>
+      val (doc, rep, clustered) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(q49.get(doc) match {
+        case Some(cid) => clustered && rep == cid
+        case None      => !clustered && rep == doc
+      }, s"rep mismatch for doc $doc")
+    }
+    // THE leak-safety property: every cluster lands in exactly one split
+    split.groupBy(_.getLong(1)).foreach { case (rep, rs) =>
+      assert(rs.map(_.getString(4)).distinct.length == 1,
+        s"cluster $rep straddles splits")
+    }
+    // the split is non-degenerate (all three splits populated at sf0.001)
+    assert(split.map(_.getString(4)).distinct.sorted.toSeq ==
+      Seq("test", "train", "val"))
+  }
 }

@@ -183,4 +183,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q lost its broadcast model side:\n${plan.take(2000)}")
     }
   }
+
+  test("q133: global rank computed with NO global window; offsets broadcast") {
+    val df = CurationOps.q133QualityDeciles(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // every Window must carry a partition spec (the score groups); an
+    // empty windowspecdefinition() would be the single-partition
+    // global-sort anti-pattern this operator exists to avoid
+    val globalWindow = plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") &&
+        l.replaceAll("\\s", "").contains("windowspecdefinition(doc_id"))
+    assert(!globalWindow, "q133 fell back to a global window:\n" + plan.take(2000))
+    assert(plan.contains("windowspecdefinition(score"),
+      "score-partitioned window missing:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "offsets not broadcast:\n" + plan.take(2000))
+    // rank really is the global (score desc, doc_id) order
+    val rows = df.collect().sortBy(_.getLong(2))
+    val resorted = rows.sortBy(r => (-r.getLong(1), r.getLong(0)))
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+    assert((rows.toSeq == resorted.toSeq) && rows.forall(r =>
+      r.getInt(3) == ((r.getLong(2) - 1) * 10 / rows.length).toInt))
+  }
 }
