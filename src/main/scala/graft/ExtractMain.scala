@@ -12,7 +12,8 @@ import graft.sources.PagesSynth
   *     [--num-parts 32] [--batch-size 8] [--lang en] [--max-batches K] \
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
-  *     [--index 64] [--export tokensPerShard] [--pack capTokens]
+  *     [--index 64] [--export tokensPerShard] [--pack capTokens] \
+  *     [--warc-out parts]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -179,6 +180,30 @@ object ExtractMain {
       s""","pack":{"cap":$c,"docs":${p.docs},"tokens":${p.tokens},""" +
         s""""bins":${p.bins},"max_fill":${p.maxFill},"all_ok":${p.allOk}}"""
     }.getOrElse("")
+    // --warc-out N: re-emit the (curated) page set as N .warc.gz response
+    // archives + .cdx.gz CDXJ index sidecars under <out>/warc
+    // (graft.sources.WarcWriter — one gzip member per record, so the CDX
+    // offsets support single-record range reads). When a dedup kept view
+    // exists, only its urls are emitted (the curated crawl); else all
+    // input pages (a format conversion). Repartitioned by url so archive
+    // membership is deterministic and independent of the input layout.
+    val warcOutJson = opts.get("--warc-out").map { n =>
+      val keptDir = new java.io.File(DedupStage.keptPath(out))
+      val urls =
+        if (keptDir.isDirectory && keptDir.list().nonEmpty)
+          Some(spark.read.parquet(DedupStage.keptPath(out)).select("url"))
+        else None
+      val src = urls.map(u => pages.join(u, Seq("url"), "left_semi"))
+        .getOrElse(pages)
+      graft.sources.WarcWriter.write(
+        src.repartition(n.toInt, org.apache.spark.sql.functions.col("url")),
+        s"$out/warc")
+      val files = new java.io.File(s"$out/warc").listFiles()
+      val warcs = files.count(_.getName.endsWith(".warc.gz"))
+      val cdxs = files.count(_.getName.endsWith(".cdx.gz"))
+      s""","warc_out":{"parts":$n,"files":$warcs,"cdx":$cdxs,""" +
+        s""""filtered":${urls.isDefined}}"""
+    }.getOrElse("")
     val compactJson = opts.get("--compact")
       .orElse(if (curate) Some("128") else None).map { mb =>
         val c = CompactStage.run(spark, out, mb.toLong * 1024 * 1024)
@@ -189,7 +214,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$warcOutJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

@@ -291,6 +291,106 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp")))
   }
 
+  test("WARC writer round-trips: synth pages → .warc.gz → WarcReader, byte-exact html") {
+    val dir = Files.createTempDirectory("warcw").toString
+    val pages = PagesSynth.pagesDF(spark, 50).repartition(4)
+    WarcWriter.write(pages, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length === 4)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp")))
+    val back = WarcReader.pages(spark, dir)
+      .selectExpr("url", "unix_seconds(warc_ts) AS ts", "md5(html) AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val orig = pages
+      .selectExpr("url", "unix_seconds(warc_ts) AS ts", "md5(html) AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(back === orig)
+  }
+
+  test("WARC writer: one gzip member per record — a member-truncated file still yields whole records") {
+    val dir = Files.createTempDirectory("warcm").toString
+    WarcWriter.write(PagesSynth.pagesDF(spark, 6).coalesce(1), dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    // our members start with the deterministic 8-byte java.util.zip header
+    val magic = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0)
+    val starts = bytes.indices.filter(i => i + 8 <= bytes.length &&
+      magic.indices.forall(j => bytes(i + j) == magic(j)))
+    assert(starts.length === 6, "expected one gzip member per record")
+    // cut mid-3rd-member: the first two records must still parse cleanly
+    val cut = bytes.take(starts(2) + 5)
+    val recs = WarcReader.records(
+      new java.io.ByteArrayInputStream(cut), Set("response")).toList
+    assert(recs.length === 2)
+    // deterministic re-run: identical bytes (first-rename-wins is safe)
+    val dir2 = Files.createTempDirectory("warcm2").toString
+    WarcWriter.write(PagesSynth.pagesDF(spark, 6).coalesce(1), dir2)
+    val f2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    assert(Files.readAllBytes(f2.toPath).toSeq === bytes.toSeq)
+  }
+
+  test("CDX sidecar: entries tile the archive exactly; a range-read of one member yields that record") {
+    val dir = Files.createTempDirectory("warcx").toString
+    WarcWriter.write(PagesSynth.pagesDF(spark, 8).coalesce(1), dir)
+    val d = new java.io.File(dir)
+    val warc = d.listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val cdx = d.listFiles().filter(_.getName.endsWith(".cdx.gz")).head
+    val bytes = Files.readAllBytes(warc.toPath)
+    val lines = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(cdx))).getLines().toList
+    assert(lines.length === 8)
+    val entries = lines.map { l =>
+      // "<surt> <ts14> {json}"
+      val Array(surt, ts, json) = l.split(" ", 3)
+      val url = """"url":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
+      val off = """"offset":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val len = """"length":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      val fn = """"filename":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
+      assert(ts.length === 14 && ts.forall(_.isDigit))
+      assert(surt.contains(")") && surt === graft.core.Surt.key(url))
+      assert(fn === warc.getName)
+      (url, off, len)
+    }
+    // members tile the file: contiguous, in order, covering every byte
+    entries.sliding(2).foreach { case List((_, o1, l1), (_, o2, _)) =>
+      assert(o1 + l1 === o2)
+    }
+    assert(entries.head._2 === 0L)
+    assert(entries.last._2 + entries.last._3 === bytes.length.toLong)
+    // the pywb access pattern: range-read ONE member, inflate, one record
+    val (url, off, len) = entries(4)
+    val one = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+    val recs = WarcReader.records(
+      new java.io.ByteArrayInputStream(one), Set("response")).toList
+    assert(recs.length === 1)
+    assert(recs.head.url === url)
+  }
+
+  test("WARC writer Hadoop branch round-trips; header CR/LF sanitized") {
+    val dir = Files.createTempDirectory("warch").toString
+    val s = spark
+    import s.implicits._
+    val evil = "http://ex.com/a\r\nWARC-Type: fake"
+    val pages = Seq(
+      (evil, new java.sql.Timestamp(86400000L),
+        "<p>one</p>".getBytes(UTF_8)),
+      ("http://ex.com/b", new java.sql.Timestamp(86400000L),
+        "<p>two</p>".getBytes(UTF_8)))
+      .toDF("url", "warc_ts", "html").coalesce(1)
+    WarcWriter.write(pages, dir, cdx = true, useHadoop = true)
+    val back = WarcReader.pages(spark, dir)
+      .selectExpr("url", "decode(html, 'UTF-8') AS h").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(back.size === 2)
+    assert(back("http://ex.com/b") === "<p>two</p>")
+    // the CR/LF was percent-encoded, not interpreted as a header line
+    assert(back.keys.exists(_.startsWith("http://ex.com/a%0D%0A")))
+  }
+
   test("warc directory → pages DataFrame → extraction pipeline end-to-end") {
     val dir = Files.createTempDirectory("warc")
     Files.write(dir.resolve("a.warc"), archive(4))
