@@ -371,9 +371,74 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Pool-adjacent-violators over per-bucket (count, positives), exact
+    * rational arithmetic (pool means compared by Long cross-multiplication
+    * — no float enters the merge decision, so the pooling is
+    * deterministic and engine-independent). Returns one (n, sumY) pool
+    * per input bucket, in bucket order. Public algorithm: Ayer et al.
+    * 1955; Robertson & Wright's minimax characterization is the oracle.
+    */
+  private[queries] def pav(buckets: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    buckets.foreach { case (n, sy) =>
+      var (cn, cy, w) = (n, sy, 1)
+      // violator: previous pool mean >= current (ties merge too — PAV's
+      // fitted sequence is strictly increasing between pools)
+      while (st.nonEmpty && st.last._2 * cn >= cy * st.last._1) {
+        val (pn, py, pw) = st.remove(st.length - 1)
+        cn += pn; cy += py; w += pw
+      }
+      st += ((cn, cy, w))
+    }
+    st.toSeq.flatMap { case (n, sy, w) => Seq.fill(w)((n, sy)) }
+  }
+
+  /** q137: ISOTONIC CALIBRATION — fit a monotone score→P(label) map by
+    * pool-adjacent-violators, the standard calibrator for a quality
+    * classifier's raw scores before they become sampling probabilities
+    * (q117/q118's consumer: a miscalibrated gate over- or under-samples
+    * entire quality strata). Labels are planted with a deliberately
+    * NON-monotone bucket→rate table so real pooling occurs.
+    *
+    * Distributed shape (the q133 discipline): ONE map-combined
+    * per-score-bucket aggregate (bounded by the score domain, 50 here;
+    * pre-bucketize via q114 bisection when unbounded), an O(buckets)
+    * driver PAV in exact rational arithmetic, results re-entering as a
+    * literal table. No per-doc window, no global sort, nothing wide.
+    *
+    * Oracle: DuckDB computes the fit INDEPENDENTLY via the minimax
+    * characterization fit(i) = max_{l≤i} min_{r≥i} mean(y[l..r])
+    * (Robertson & Wright) — a different algorithm entirely, so hash
+    * equality checks PAV itself, not its transcription. Bucket-mean
+    * doubles are quotients of exact ints; distinct rationals differ by
+    * ≥ 1/(n·n) ≫ double ulp, so the float comparison is faithful and
+    * both engines round the identical quotient to fit_x1e6.
+    */
+  def q137Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val sCol = (col("doc_id") % 50).as("s")
+    val rate = element_at(
+      array(lit(30), lit(60), lit(45), lit(80), lit(20)),
+      ((col("doc_id") % 50) % 5 + 1).cast("int"))
+    val y = (conv(substring(md5(concat(lit("y"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100 < rate).cast("long").as("y")
+    val hist = tbl(s, dir, "documents")
+      .select(sCol, y)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .orderBy(col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fit = pav(hist.map { case (_, n, p) => (n, p) }.toSeq)
+    import s.implicits._
+    hist.zip(fit).map { case ((sc, n, p), (fn, fy)) =>
+      (sc, n, p, math.round(1e6 * fy.toDouble / fn.toDouble))
+    }.toSeq.toDF("s", "n", "pos", "fit_x1e6")
+      .orderBy(col("s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_dsir_weights" -> q103DsirWeights _,
     "q133_quality_deciles" -> q133QualityDeciles _,
+    "q137_isotonic" -> q137Isotonic _,
     "q106_domain_rollup" -> q106DomainRollup _,
     "q107_paragraph_clean" -> q107ParagraphClean _,
     "q112_host_budget" -> q112HostBudget _,
@@ -383,6 +448,35 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle fits the isotonic regression by a DIFFERENT algorithm —
+    // the Robertson–Wright minimax identity fit(i) = max_{l≤i} min_{r≥i}
+    // mean(l..r) over prefix sums — so hash equality checks PAV itself
+    "q137_isotonic" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS s,
+        |    CASE WHEN ('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+        |      ([30,60,45,80,20])[CAST((doc_id % 50) % 5 AS INT) + 1]
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(y) AS BIGINT) AS pos FROM d GROUP BY s),
+        |pre AS (SELECT s, n, pos,
+        |        SUM(n) OVER (ORDER BY s) AS cn,
+        |        SUM(pos) OVER (ORDER BY s) AS cy,
+        |        COALESCE(SUM(n) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcn,
+        |        COALESCE(SUM(pos) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcy
+        |        FROM b),
+        |m AS (SELECT l.s AS l, r.s AS r,
+        |       CAST(r.cy - l.pcy AS DOUBLE) / CAST(r.cn - l.pcn AS DOUBLE) AS mu
+        |      FROM pre l JOIN pre r ON l.s <= r.s),
+        |inr AS (SELECT m.l, i.s AS i, MIN(m.mu) AS v
+        |        FROM m JOIN b i ON m.l <= i.s AND m.r >= i.s
+        |        GROUP BY m.l, i.s),
+        |fit AS (SELECT i AS s, MAX(v) AS f FROM inr GROUP BY i)
+        |SELECT b.s, b.n, b.pos, CAST(round(1e6 * fit.f) AS BIGINT) AS fit_x1e6
+        |FROM b JOIN fit ON b.s = fit.s ORDER BY b.s""".stripMargin,
     // the oracle takes the global window the Spark side deliberately
     // avoids — rank equality proves the two-level scheme exact
     "q133_quality_deciles" ->

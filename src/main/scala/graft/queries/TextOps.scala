@@ -258,6 +258,70 @@ object TextOps {
     packSequences(tbl(s, dir, "documents"), 512, 8)
       .orderBy(col("doc_id"))
 
+  /** q138: SENTENCE-BOUNDARY training chunks — split each document into
+    * training sequences of ≤ N tokens WITHOUT cutting mid-sentence (the
+    * context-window prep step: q86 packs whole docs into offsets, q126
+    * bins them; this is the within-doc splitter for docs longer than the
+    * window, greedy first-fit in reading order, mono-sentence overflow
+    * kept whole — the no-split integrity rule of q126 applied one level
+    * down). Greedy reset-on-overflow is inherently sequential PER DOC and
+    * embarrassingly parallel ACROSS docs, so it runs as ONE stateless
+    * projection: an `aggregate` HOF folds the per-sentence token counts
+    * into chunk ids inside the row — no shuffle, no window, nothing
+    * driver-side. The only Exchange is the (doc, chunk) rollup that
+    * rebuilds chunk text (md5-verified against the oracle's
+    * string_agg rebuild — boundary placement AND text integrity in one
+    * hash). The oracle replays the same greedy scan as a recursive CTE:
+    * a different evaluation strategy entirely, so agreement checks the
+    * fold, not its transcription.
+    */
+  def q138SentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    val cap = 32
+    // the harness docs carry no punctuation, so sentence boundaries are
+    // PLANTED in-query (the q48/q53 convention, identical in the oracle):
+    // sentence k of a doc = tokens [k·g+1 .. (k+1)·g], g = 3 + doc_id%37
+    // — sentence lengths 3..39 straddle the cap, so the corpus exercises
+    // multi-chunk docs AND the mono-sentence-overflow (kept-whole) rule
+    val toks = split(trim(col("text")), WS)
+    val g = (col("doc_id") % 37 + 3).cast("int")
+    val sents = transform(
+      sequence(lit(0),
+        floor((size(toks) - 1).cast("double") / g).cast("int")),
+      k => array_join(slice(toks, k * g + 1, g), " "))
+    val tks = transform(col("sents"), x => size(split(trim(x), WS)))
+    val assigned = aggregate(
+      col("tks"),
+      struct(expr("cast(array() as array<int>)").as("ch"),
+        lit(0).as("c"), lit(0).as("run"), lit(true).as("first")),
+      (a, t) => {
+        val newChunk = !a.getField("first") &&
+          (a.getField("run") + t > lit(cap))
+        val c = when(newChunk, a.getField("c") + 1)
+          .otherwise(a.getField("c"))
+        struct(concat(a.getField("ch"), array(c)).as("ch"),
+          c.as("c"),
+          when(newChunk, t).otherwise(a.getField("run") + t).as("run"),
+          lit(false).as("first"))
+      },
+      a => a.getField("ch"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), sents.as("sents"))
+      .withColumn("tks", tks)
+      .withColumn("chunks", assigned)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("sents"), col("chunks"), col("tks"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.sents").as("sent"), col("col.chunks").as("chunk"),
+        col("col.tks").as("tk"))
+      .groupBy(col("doc_id"), col("chunk").cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(col("tk")).cast("long").as("chunk_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
+            x => x.getField("sent")), ". ").cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"), col("chunk"))
+  }
+
   /** q88: token-budget corpus MIXING — the "data recipe" step of training
     * set assembly (per-source mixture weights à la The Pile / Dolma): given
     * a global token budget and per-source weights, compute each source's
@@ -1884,6 +1948,7 @@ object TextOps {
     "q51_corpus_kept" -> q51CorpusKept _,
     "q54_hash_split" -> q54HashSplit _,
     "q86_seq_pack" -> q86SeqPack _,
+    "q138_sentence_chunks" -> q138SentenceChunks _,
     "q87_hll_distinct" -> q87HllDistinct _,
     "q88_mixture_sample" -> q88MixtureSample _,
     "q90_gopher_battery" -> q90GopherBattery _,
@@ -2113,6 +2178,37 @@ object TextOps {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle replays the greedy fold as a recursive CTE over
+    // (doc, sentence-index) — per-chunk md5 of the string_agg rebuild
+    // pins boundary placement and text integrity in one hash
+    "q138_sentence_chunks" ->
+      """WITH RECURSIVE
+        |sp AS (SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '[ \t\n\f\r\x0B]+') AS tks,
+        |         CAST(doc_id % 37 + 3 AS INT) AS g FROM documents),
+        |s0 AS (SELECT doc_id, list_transform(
+        |         generate_series(0, CAST(floor((len(tks)-1.0)/g) AS INT)),
+        |         k -> array_to_string(tks[k*g+1 : k*g+g], ' ')) AS arr
+        |       FROM sp),
+        |t AS (SELECT doc_id, unnest(arr) AS sent,
+        |             generate_subscripts(arr, 1) AS i FROM s0),
+        |tk AS (SELECT doc_id, i, sent,
+        |       CAST(len(regexp_split_to_array(trim(sent), '[ \t\n\f\r\x0B]+')) AS BIGINT) AS tk
+        |       FROM t),
+        |r(doc_id, i, chunk, run) AS (
+        |  SELECT doc_id, i, CAST(0 AS BIGINT), tk FROM tk WHERE i = 1
+        |  UNION ALL
+        |  SELECT tk.doc_id, tk.i,
+        |    CASE WHEN r.run + tk.tk > 32 THEN r.chunk + 1 ELSE r.chunk END,
+        |    CASE WHEN r.run + tk.tk > 32 THEN tk.tk ELSE r.run + tk.tk END
+        |  FROM r JOIN tk ON tk.doc_id = r.doc_id AND tk.i = r.i + 1)
+        |SELECT r.doc_id, r.chunk,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sents,
+        |  CAST(SUM(tk.tk) AS BIGINT) AS chunk_tokens,
+        |  md5(string_agg(tk.sent, '. ' ORDER BY tk.i)) AS text_md5
+        |FROM r JOIN tk ON tk.doc_id = r.doc_id AND tk.i = r.i
+        |GROUP BY r.doc_id, r.chunk
+        |ORDER BY r.doc_id, r.chunk""".stripMargin,
     "q86_seq_pack" ->
       s"""WITH l AS (
          |  SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS tok_len

@@ -184,6 +184,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PAV == brute-force minimax (property); fit monotone; mass conserved") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val b = Seq.fill(1 + rnd.nextInt(12)) {
+        val n = 1L + rnd.nextInt(9)
+        (n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val fit = CurationOps.pav(b)
+      val means = fit.map { case (n, sy) => sy.toDouble / n }
+      // 1) monotone nondecreasing
+      means.sliding(2).foreach {
+        case Seq(a, c) => assert(a <= c + 1e-12, s"not monotone: $b -> $fit")
+        case _         =>
+      }
+      // 2) equals the minimax characterization, bucket by bucket
+      val cn = b.scanLeft(0L)(_ + _._1)
+      val cy = b.scanLeft(0L)(_ + _._2)
+      b.indices.foreach { i =>
+        val mm = (0 to i).map { l =>
+          (i until b.length).map { r =>
+            (cy(r + 1) - cy(l)).toDouble / (cn(r + 1) - cn(l))
+          }.min
+        }.max
+        assert(math.abs(means(i) - mm) < 1e-9,
+          s"minimax mismatch at $i: $b -> ${means(i)} vs $mm")
+      }
+      // 3) pools conserve counts: same-length output, per-pool constant
+      assert(fit.length == b.length)
+    }
+  }
+
   test("q133: global rank computed with NO global window; offsets broadcast") {
     val df = CurationOps.q133QualityDeciles(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
