@@ -54,7 +54,8 @@ object Multimodal {
                                pixels: Long, meanLumaX1000: Long, peakLuma: Int)
 
   /** REAL pure-JVM image header parse: PNG (IHDR), JPEG (SOFn segment
-    * walk), GIF (logical screen descriptor). These are public, stable
+    * walk), GIF (logical screen descriptor), WEBP (RIFF chunk walk:
+    * VP8 / VP8L / VP8X dimension fields). These are public, stable
     * container formats whose dimensions live in fixed header fields — no
     * codec needed. Returns (kind, width, height); None for non-image
     * bytes. Never throws on truncated/garbage input.
@@ -76,6 +77,26 @@ object Multimodal {
     if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return Some(("gif", le16(6), le16(8)))
+    // WEBP: RIFF container — "RIFF" size "WEBP", then the first chunk
+    // carries the dims in codec-free fixed fields: VP8 (lossy: 14-bit LE
+    // dims after the 9D 01 2A start code), VP8L (lossless: 14-bit-packed
+    // dims after the 2F signature byte), VP8X (extended: 24-bit LE
+    // canvas dims minus one). Spec: Google's public WebP container spec.
+    if (n >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      @inline def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (n >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ' &&
+          u8(23) == 0x9D && u8(24) == 0x01 && u8(25) == 0x2A)
+        return Some(("webp", le16(26) & 0x3FFF, le16(28) & 0x3FFF))
+      if (n >= 25 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L' &&
+          u8(20) == 0x2F) {
+        val bits = u8(21) | (u8(22) << 8) | (u8(23) << 16) | (u8(24) << 24)
+        return Some(("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1))
+      }
+      if (n >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
+        return Some(("webp", le24(24) + 1, le24(27) + 1))
+      return Some(("webp", 0, 0)) // truncated/unknown first chunk
+    }
     // JPEG: SOI then a segment walk to the first SOFn (C0–CF minus the
     // non-frame C4/C8/CC); dims are height(2 BE) width(2 BE) after the
     // segment length and precision byte

@@ -179,7 +179,7 @@ object PagesOps {
         col("entropy_x1000"), col("head_hex"),
         col("frames"), col("mean_x1000"), col("peak"), col("decoded"),
         when(col("m_url").isNull,
-          !col("kind").isin("png", "jpeg", "gif", "wav", "bmp", "ppm", "mp4") &&
+          !col("kind").isin("png", "jpeg", "gif", "wav", "bmp", "ppm", "mp4", "webp") &&
             !col("decoded"))
           .otherwise(col("kind") === col("exp_kind") &&
             col("width") === col("exp_w") && col("height") === col("exp_h") &&

@@ -391,6 +391,32 @@ object MediaSynth {
   private def le32(v: Int) =
     Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
 
+  private def riffWebp(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val chunk = fourcc.getBytes("ISO-8859-1") ++ le32(payload.length) ++
+      payload ++ (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    "RIFF".getBytes("ISO-8859-1") ++ le32(4 + chunk.length) ++
+      "WEBP".getBytes("ISO-8859-1") ++ chunk
+  }
+
+  /** WEBP, lossy VP8 flavor: RIFF/WEBP container whose VP8 chunk carries a
+    * real frame-tag prologue (start code 9D 01 2A + 14-bit LE dims); the
+    * entropy-coded stream body is deterministic junk — header-only
+    * fixture, the [[mp4Bytes]]/[[jpegBytes]] contract.
+    */
+  def webpBytes(w: Int, h: Int): Array[Byte] =
+    riffWebp("VP8 ", Array[Byte](0x10, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++
+      le16ArrLe(w) ++ le16ArrLe(h) ++
+      Array.tabulate(11)(j => ((j * 37 + 5) & 0xff).toByte))
+
+  /** WEBP, lossless VP8L flavor: 2F signature + 14-bit-packed (w−1, h−1). */
+  def webpLBytes(w: Int, h: Int): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14)
+    riffWebp("VP8L", Array[Byte](0x2F) ++ le32(bits) ++
+      Array.tabulate(9)(j => ((j * 53 + 11) & 0xff).toByte))
+  }
+
+  private def le16ArrLe(v: Int) = Array(v.toByte, ((v >> 8) & 0x3F).toByte)
+
   /** Spec-valid PCM WAV: RIFF header + 16-byte fmt chunk + a small silent
     * data chunk (every field a header parser reads is real).
     */
@@ -524,7 +550,14 @@ object MediaSynth {
       val i = id.toInt
       val w = 16 + i * 3
       val h = 9 + i * 2
-      i % 11 match {
+      i % 12 match {
+        case 11 => // WEBP: header-only (dims real, both chunk flavors)
+          if (i % 24 == 11)
+            MediaDoc(f"media://img/$i%05d.webp", webpLBytes(w, h), "webp",
+              w, h, 0, 0, 0L, 0L, 0, exp_decoded = false)
+          else
+            MediaDoc(f"media://img/$i%05d.webp", webpBytes(w, h), "webp",
+              w, h, 0, 0, 0L, 0L, 0, exp_decoded = false)
         case 0 => // REAL-pixel PNG, RGB, all five filters exercised
           val (pix, mean, peak) = rasterTruth(w, h)
           MediaDoc(f"media://img/$i%05d.png", pngPixelBytes(w, h, 2), "png",

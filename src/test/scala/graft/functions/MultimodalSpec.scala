@@ -365,6 +365,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mp4Header(Array.emptyByteArray).isEmpty)
   }
 
+  test("imageHeader: WEBP dims from VP8, VP8L and VP8X chunks; truncation never throws") {
+    import graft.sources.MediaSynth
+    for ((w, h) <- Seq((1, 1), (16, 9), (640, 360), (16383, 16383))) {
+      assert(Multimodal.imageHeader(MediaSynth.webpBytes(w, h))
+        === Some(("webp", w, h)), s"VP8 $w x $h")
+      assert(Multimodal.imageHeader(MediaSynth.webpLBytes(w, h))
+        === Some(("webp", w, h)), s"VP8L $w x $h")
+      val f = Multimodal.decodeStub("u", MediaSynth.webpLBytes(w, h))
+      assert(f.kind === "webp" && f.width === w && f.height === h && !f.decoded,
+        "webp is a header-only kind: dims real, decoded must stay false")
+    }
+    // VP8X extended container: canvas dims are 24-bit LE minus one
+    val vp8x = "RIFF".getBytes ++ Array[Byte](30, 0, 0, 0) ++
+      "WEBPVP8X".getBytes ++ Array[Byte](10, 0, 0, 0) ++
+      Array[Byte](2, 0, 0, 0) ++ // flags + reserved
+      Array[Byte](0x1F, 2, 0) ++ // width-1 = 543
+      Array[Byte](0x0F, 1, 0)    // height-1 = 271
+    assert(Multimodal.imageHeader(vp8x) === Some(("webp", 544, 272)))
+    // a WAVE RIFF must not be claimed as webp
+    assert(Multimodal.imageHeader(MediaSynth.wavBytes(8000, 1)).isEmpty)
+    // truncation: every prefix parses without a throw; unknown-chunk
+    // RIFF/WEBP stays kind=webp with zero dims (never misparsed)
+    val full = MediaSynth.webpBytes(320, 240)
+    (0 to full.length).foreach { k =>
+      Multimodal.imageHeader(java.util.Arrays.copyOf(full, k))
+      Multimodal.decodeStub("u", java.util.Arrays.copyOf(full, k))
+    }
+    assert(Multimodal.imageHeader(
+      "RIFF0000WEBPJUNKxxxxxxxxxxxxxxxxxxxx".getBytes) === Some(("webp", 0, 0)))
+  }
+
   test("pngPixels/gifPixels/mp4Header: truncated and garbage bytes never throw") {
     import graft.sources.MediaSynth
     val blobs = Seq(MediaSynth.pngPixelBytes(16, 9, 2),
