@@ -358,6 +358,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q139: TEMPERATURE-based mixture sampling — the α-weighted corpus
+    * draw (budget share ∝ n_s^α) that upweights small sources relative to
+    * q88's linear weights: the multilingual standard (mT5/UNIMAX family)
+    * for keeping head domains from drowning tail ones. α = 1/2, and the
+    * whole computation stays EXACT-INTEGER so every row oracle-matches:
+    * n^(1/2) is an exact integer sqrt (double-sqrt floor with a ±1
+    * integer correction — floor(sqrt) alone can be off by one ulp-flip),
+    * rates are basis points by integer floor division, the keep decision
+    * is q88's md5-bucket discipline, and the per-source rollup carries
+    * kept docs/tokens as evidence the rates actually applied.
+    *
+    * Scale shape: one map-combined per-source aggregate (S rows), an
+    * S-row weight table broadcast back, one scan deciding keeps, one
+    * low-cardinality rollup. The corpus never shuffles.
+    */
+  def q139TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    // token budget 15000 — below the corpus size at every harness scale,
+    // so rates stay sub-unit and the α-upweighting is visible per source
+    val lens = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok_len"))
+    val per = lens.groupBy(col("source"))
+      .agg(sum(col("tok_len")).as("toks"))
+    val r0 = floor(sqrt(col("toks").cast("double"))).cast("long")
+    val w = per.withColumn("r0", r0)
+      .withColumn("w",
+        col("r0") -
+          when(col("r0") * col("r0") > col("toks"), 1L).otherwise(0L) +
+          when((col("r0") + 1) * (col("r0") + 1) <= col("toks"), 1L)
+            .otherwise(0L))
+      .drop("r0")
+    val wsum = w.agg(sum(col("w")).as("wsum"))
+    val rates = w.crossJoin(broadcast(wsum))
+      // `div` (integer floor), never `/` (double — a quotient rounding up
+      // across an integer boundary would truncate to the wrong rate)
+      .withColumn("rate_bp",
+        least(lit(10000L), expr(
+          "(CAST(10000 AS BIGINT) * CAST(15000 AS BIGINT) * w) div (wsum * toks)")))
+      .select(col("source"), col("toks"), col("w"), col("rate_bp"))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 10000).as("bucket")
+    lens.select(col("doc_id"), col("source"), col("tok_len"), bucket)
+      .join(broadcast(rates), "source")
+      .withColumn("kept", col("bucket") < col("rate_bp"))
+      .groupBy(col("source"), col("toks"), col("w"), col("rate_bp"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("tok_len")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** q87: HyperLogLog distinct sketches
     * ([[graft.functions.HllBuild]]/[[graft.functions.HllUnion]]) — per
     * (lang, source) distinct-text cardinality as a constant-size mergeable
@@ -1949,6 +1999,7 @@ object TextOps {
     "q54_hash_split" -> q54HashSplit _,
     "q86_seq_pack" -> q86SeqPack _,
     "q138_sentence_chunks" -> q138SentenceChunks _,
+    "q139_temperature_mix" -> q139TemperatureMix _,
     "q87_hll_distinct" -> q87HllDistinct _,
     "q88_mixture_sample" -> q88MixtureSample _,
     "q90_gopher_battery" -> q90GopherBattery _,
@@ -2178,6 +2229,32 @@ object TextOps {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact isqrt both sides (double-sqrt floor + ±1 integer correction),
+    // basis-point rates by integer floor division — every row hash-exact
+    "q139_temperature_mix" ->
+      s"""WITH l AS (SELECT doc_id, source,
+         |  CAST(len($dkTokens) AS BIGINT) AS tok_len FROM documents),
+         |p AS (SELECT source, CAST(SUM(tok_len) AS BIGINT) AS toks
+         |      FROM l GROUP BY source),
+         |w0 AS (SELECT source, toks,
+         |       CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS r0 FROM p),
+         |w1 AS (SELECT source, toks,
+         |       r0 - (CASE WHEN r0*r0 > toks THEN 1 ELSE 0 END)
+         |          + (CASE WHEN (r0+1)*(r0+1) <= toks THEN 1 ELSE 0 END) AS w
+         |       FROM w0),
+         |ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w1),
+         |r AS (SELECT source, toks, w,
+         |      least(10000, (CAST(10000 AS BIGINT) * CAST(15000 AS BIGINT) * w)
+         |        // ((SELECT wsum FROM ws) * toks)) AS rate_bp FROM w1),
+         |k AS (SELECT l.doc_id, l.source, l.tok_len, r.toks, r.w, r.rate_bp,
+         |      (('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |        % 10000) < r.rate_bp AS kept
+         |      FROM l JOIN r USING (source))
+         |SELECT source, toks, w, CAST(rate_bp AS BIGINT) AS rate_bp,
+         |  CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(SUM(CASE WHEN kept THEN tok_len ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY source, toks, w, rate_bp ORDER BY source""".stripMargin,
     // the oracle replays the greedy fold as a recursive CTE over
     // (doc, sentence-index) — per-chunk md5 of the string_agg rebuild
     // pins boundary placement and text integrity in one hash
