@@ -13,7 +13,7 @@ import graft.sources.PagesSynth
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
   *     [--index 64] [--export tokensPerShard] [--pack capTokens] \
-  *     [--warc-out parts]
+  *     [--warc-out parts] [--sample n]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -180,6 +180,20 @@ object ExtractMain {
       s""","pack":{"cap":$c,"docs":${p.docs},"tokens":${p.tokens},""" +
         s""""bins":${p.bins},"max_fill":${p.maxFill},"all_ok":${p.allOk}}"""
     }.getOrElse("")
+    // --sample N: calibrated weighted corpus draw
+    // (graft.pipeline.SampleStage) — PAV-calibrates the clf-gate margins
+    // into P(quality) per score bucket, then draws the n winners of the
+    // integer lottery-ticket race (tickets ∝ calibrated probability);
+    // runs/reuses the clf stage for scores; resumable
+    val sampleJson = opts.get("--sample").map { n =>
+      val minWords = opts.get("--quality").map(_.toInt).getOrElse(20)
+      val iters = opts.get("--clf-gate").map(_.toInt)
+        .getOrElse(graft.pipeline.ClfGateStage.GateIters)
+      val sp = graft.pipeline.SampleStage.run(spark, out, n.toInt, minWords, iters)
+      s""","sample":{"n":$n,"docs":${sp.docs},"sampled":${sp.sampled},""" +
+        s""""buckets":${sp.buckets},"p_min_x1e6":${sp.pMinX1e6},""" +
+        s""""p_max_x1e6":${sp.pMaxX1e6}}"""
+    }.getOrElse("")
     // --warc-out N: re-emit the (curated) page set as N .warc.gz response
     // archives + .cdx.gz CDXJ index sidecars under <out>/warc
     // (graft.sources.WarcWriter — one gzip member per record, so the CDX
@@ -214,7 +228,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$warcOutJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$sampleJson$warcOutJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

@@ -378,7 +378,7 @@ object CurationOps {
     * per input bucket, in bucket order. Public algorithm: Ayer et al.
     * 1955; Robertson & Wright's minimax characterization is the oracle.
     */
-  private[queries] def pav(buckets: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+  private[graft] def pav(buckets: Seq[(Long, Long)]): Seq[(Long, Long)] = {
     val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     buckets.foreach { case (n, sy) =>
       var (cn, cy, w) = (n, sy, 1)

@@ -1494,6 +1494,44 @@ object TextOps {
       .orderBy(col("tok"), col("doc_id"))
   }
 
+  /** q140: PHRASE SEARCH through the positional index — q97 builds the
+    * postings but nothing queried them; this is the consumer: exact
+    * phrase matching as a postings-list equi-join with a +1 position
+    * adjacency condition (the classical positional-index algorithm —
+    * no text re-scan, the match runs entirely on (tok, doc, pos)
+    * triples). The query phrases are data-derived (top-3 corpus bigrams,
+    * total-ordered by count desc then phrase) so the test is
+    * self-contained and the oracle replays the identical derivation.
+    *
+    * Scale shape: ONE tokenization materialized (localCheckpoint) feeds
+    * the bigram statistic and both join sides; the phrase table (3 rows)
+    * broadcasts, so the hit join touches only postings of the phrase's
+    * first word (selectivity = its df) before the (doc, pos)-keyed
+    * adjacency join; top-3 selection is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def q140PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val top3 = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(concat(col("a.tok"), lit(" "), col("b.tok")).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase")).limit(3)
+    val phrases = broadcast(top3.select(col("phrase"),
+      split(col("phrase"), " ").getItem(0).as("w1"),
+      split(col("phrase"), " ").getItem(1).as("w2")))
+    tk.as("x").join(phrases, col("x.tok") === col("w1"))
+      .join(tk.as("y"),
+        col("y.doc_id") === col("x.doc_id") &&
+          col("y.pos") === col("x.pos") + 1 && col("y.tok") === col("w2"))
+      .groupBy(col("phrase"), col("x.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("occurrences"),
+        min(col("x.pos")).cast("long").as("first_pos"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
   /** q81: PII detection + redaction — the scrub every published web-corpus
     * pipeline runs before release (emails, IPv4 addresses, US-style phone
     * numbers; cf. the redaction pass described for BigScience ROOTS and
@@ -2000,6 +2038,7 @@ object TextOps {
     "q86_seq_pack" -> q86SeqPack _,
     "q138_sentence_chunks" -> q138SentenceChunks _,
     "q139_temperature_mix" -> q139TemperatureMix _,
+    "q140_phrase_search" -> q140PhraseSearch _,
     "q87_hll_distinct" -> q87HllDistinct _,
     "q88_mixture_sample" -> q88MixtureSample _,
     "q90_gopher_battery" -> q90GopherBattery _,
@@ -2229,6 +2268,26 @@ object TextOps {
         |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same top-3 derivation (count desc, phrase — a total order), then
+    // position-adjacency matching; Spark's posexplode is 0-based so the
+    // oracle's generate_subscripts shifts by one
+    "q140_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |            generate_subscripts($dkTokens, 1) - 1 AS pos
+         |            FROM documents),
+         |bg AS (SELECT a.tok || ' ' || b.tok AS phrase, COUNT(*) AS cnt
+         |       FROM tk a JOIN tk b
+         |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY 1),
+         |top3 AS (SELECT phrase FROM bg ORDER BY cnt DESC, phrase LIMIT 3),
+         |hits AS (SELECT t.phrase, x.doc_id, x.pos
+         |         FROM top3 t
+         |         JOIN tk x ON x.tok = string_split(t.phrase, ' ')[1]
+         |         JOIN tk y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+         |                  AND y.tok = string_split(t.phrase, ' ')[2])
+         |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences,
+         |  CAST(MIN(pos) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY phrase, doc_id ORDER BY phrase, doc_id""".stripMargin,
     // exact isqrt both sides (double-sqrt floor + ±1 integer correction),
     // basis-point rates by integer floor division — every row hash-exact
     "q139_temperature_mix" ->

@@ -372,6 +372,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ClfGateStage.runResumable(spark, out2, 20).nonEmpty)
   }
 
+  test("sample stage: calibration monotone, tickets honest, draw deterministic, resumable") {
+    val out = Files.createTempDirectory("sample").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 200L), out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    val sp = SampleStage.run(spark, out, n = 50)
+    assert(sp.docs === 200L && sp.sampled === 50L)
+    // calibration is a genuine map, not a constant (the gate separates)
+    assert(sp.pMinX1e6 < sp.pMaxX1e6, "calibration degenerated to a constant")
+    val picks = spark.read.parquet(SampleStage.picksPath(out))
+      .orderBy(col("key"), col("url")).collect()
+    assert(picks.length === 50)
+    // calibration monotone: higher score bucket never maps to lower p
+    val byBucket = picks.map(r => (r.getLong(2), r.getLong(3))).distinct.sortBy(_._1)
+    byBucket.sliding(2).foreach {
+      case Array((b1, p1), (b2, p2)) =>
+        assert(p1 <= p2, s"calibration not monotone: bucket $b1=$p1 > $b2=$p2")
+      case _ =>
+    }
+    // tickets honest: w == 1 + 63·p (integer), and each pick's key IS the
+    // min md5 ticket over its w indices — recomputed independently here
+    picks.take(10).foreach { r =>
+      val (url, w, key) = (r.getString(0), r.getLong(4), r.getLong(5))
+      val ref = (0L until w).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$url#$i".getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map(b => f"${b & 0xff}%02x")
+          .mkString.take(15), 16)
+      }.min
+      assert(key === ref, s"ticket mismatch for $url")
+    }
+    // deterministic: wipe manifest + picks, identical draw re-emerges
+    val sm = new java.io.File(SampleStage.manifestDir(out).toString)
+    sm.listFiles().foreach(_.delete()); sm.delete()
+    val sp2 = SampleStage.run(spark, out, n = 50)
+    assert(sp2 === sp)
+    val picks2 = spark.read.parquet(SampleStage.picksPath(out))
+      .orderBy(col("key"), col("url")).collect()
+    assert(picks2.map(_.toString).toSeq === picks.map(_.toString).toSeq,
+      "re-run drew a different sample")
+    // resume: committed manifest answers without recompute
+    val f = new java.io.File(SampleStage.picksPath(out))
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtime = f.lastModified()
+    assert(SampleStage.run(spark, out, n = 50) === sp)
+    assert(f.lastModified() === mtime, "resume rewrote the picks")
+    // kill-before-unit -> partial; re-run completes
+    assert(SampleStage.runResumable(spark, out, 60, maxUnits = 0).isEmpty)
+    assert(SampleStage.runResumable(spark, out, 60).nonEmpty)
+  }
+
   test("span-clean stage: cross-doc duplicate spans removed, originals keep theirs") {
     val out = Files.createTempDirectory("spanclean").toString
     val base = PagesSynth.pagesDF(spark, 30L)
