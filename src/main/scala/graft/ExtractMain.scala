@@ -209,9 +209,15 @@ object ExtractMain {
         else None
       val src = urls.map(u => pages.join(u, Seq("url"), "left_semi"))
         .getOrElse(pages)
-      graft.sources.WarcWriter.write(
-        src.repartition(n.toInt, org.apache.spark.sql.functions.col("url")),
-        s"$out/warc")
+        .repartition(n.toInt, org.apache.spark.sql.functions.col("url"))
+      // on an --incremental run, unchanged pages are archived as WARC
+      // `revisit` records (identical-payload-digest) instead of full
+      // responses — container-level dedup matching the scanner-skip
+      if (opts.contains("--incremental"))
+        graft.sources.WarcWriter.writeIncremental(src,
+          spark.read.parquet(IncrementalExtract.deltaPath(out)), s"$out/warc")
+      else
+        graft.sources.WarcWriter.write(src, s"$out/warc")
       val files = new java.io.File(s"$out/warc").listFiles()
       val warcs = files.count(_.getName.endsWith(".warc.gz"))
       val cdxs = files.count(_.getName.endsWith(".cdx.gz"))

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** WARC/1.0 `response` writer — the inverse of [[WarcReader]], closing the
   * crawl-container round-trip the way [[WetWriter]] closes it for
@@ -91,13 +92,45 @@ object WarcWriter {
     * the member's exact byte range — `offset`/`length` address one whole
     * gzip member, so a consumer can range-read `[offset, offset+length)`
     * from `filename`, inflate it, and get exactly this record (the
-    * pywb/OpenWayback access pattern; tested in WarcSpec).
+    * pywb/OpenWayback access pattern; tested in WarcSpec). The SURT field
+    * percent-encodes spaces — CDX lines are space-delimited.
     */
   def cdxLine(url: String, ts: java.sql.Timestamp, file: String,
               offset: Long, length: Long): String =
-    s"${graft.core.Surt.key(url)} ${cdxTs(ts)} " +
+    s"${graft.core.Surt.key(url).replace(" ", "%20")} ${cdxTs(ts)} " +
       s"""{"url":${jsonStr(url)},"offset":$offset,"length":$length,""" +
       s""""filename":${jsonStr(file)}}"""
+
+  private def md5Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(if (b == null) Array.emptyByteArray else b)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** WARC `revisit` record (identical-payload-digest profile, ISO 28500 /
+    * the IIPC revisit extension): the web-archive convention for an
+    * unchanged re-crawl — a few hundred BYTES referencing the earlier
+    * capture by payload digest instead of re-storing the body. This is
+    * container-level dedup, the exact counterpart of
+    * [[graft.pipeline.IncrementalExtract]]'s scanner-skip.
+    */
+  def revisitRecordBytes(url: String, date: String,
+                         payloadMd5Hex: String): Array[Byte] = {
+    val u = WetWriter.sanitizeHeaderValue(url)
+    val d = WetWriter.sanitizeHeaderValue(date)
+    val rid = java.util.UUID.nameUUIDFromBytes(
+      s"$u|$d|revisit".getBytes(UTF_8))
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: revisit\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
+      s"WARC-Target-URI: $u\r\n" +
+      s"WARC-Date: $d\r\n" +
+      s"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+      s"WARC-Payload-Digest: md5:$payloadMd5Hex\r\n" +
+      s"Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+  }
 
   /** Write a pages DataFrame (`url`, `warc_ts`, `html`; extra columns
     * ignored) as `.warc.gz` response archives under `dir` — one file per
@@ -123,6 +156,44 @@ object WarcWriter {
     ArchiveSink.write(ds, dir, "warc.gz", useHadoop, memberPerRecord = true,
       sidecar, "cdx.gz") {
       case (url, ts, html) => recordBytes(url, isoDate(ts), html)
+    }
+  }
+
+  /** Incremental-crawl archive: pages whose delta `status` is `unchanged`
+    * become `revisit` records (a few hundred bytes, identical-payload-
+    * digest profile); changed/new pages are stored as full responses.
+    * `delta` is [[graft.pipeline.IncrementalExtract]]'s table
+    * (url, status, …) — the join ships (url, bool), never blobs. CDX
+    * sidecars index both record kinds (a revisit's member range is as
+    * range-readable as a response's).
+    */
+  def writeIncremental(pages: DataFrame, delta: DataFrame, dir: String,
+                       cdx: Boolean = true): Unit =
+    writeIncremental(pages, delta, dir, cdx,
+      useHadoop = !ArchiveSink.isLocal(dir))
+
+  private[sources] def writeIncremental(pages: DataFrame, delta: DataFrame,
+                                        dir: String, cdx: Boolean,
+                                        useHadoop: Boolean): Unit = {
+    val s = pages.sparkSession
+    import s.implicits._
+    val ds = pages.select(col("url"), col("warc_ts"), col("html"))
+      .join(delta.select(col("url"),
+        (col("status") === "unchanged").as("revisit")), Seq("url"), "left")
+      .na.fill(value = false, Seq("revisit"))
+      .select(col("url"), col("warc_ts"), col("html"), col("revisit"))
+      .as[(String, java.sql.Timestamp, Array[Byte], Boolean)]
+    val sidecar =
+      if (cdx)
+        Some((r: (String, java.sql.Timestamp, Array[Byte], Boolean),
+              file: String, off: Long, len: Long) =>
+          cdxLine(r._1, r._2, file, off, len))
+      else None
+    ArchiveSink.write(ds, dir, "warc.gz", useHadoop, memberPerRecord = true,
+      sidecar, "cdx.gz") {
+      case (url, ts, html, true) =>
+        revisitRecordBytes(url, isoDate(ts), md5Hex(html))
+      case (url, ts, html, false) => recordBytes(url, isoDate(ts), html)
     }
   }
 }

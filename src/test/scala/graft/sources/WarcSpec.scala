@@ -370,6 +370,59 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recs.head.url === url)
   }
 
+  test("incremental archive: unchanged pages become tiny revisit records, responses round-trip") {
+    val dir = Files.createTempDirectory("warcr").toString
+    val s = spark
+    import s.implicits._
+    val pages = PagesSynth.pagesDF(spark, 10).coalesce(1)
+    val delta = pages.selectExpr("url",
+      "CASE WHEN pmod(xxhash64(url), 2) = 0 THEN 'unchanged' ELSE 'changed' END AS status")
+    val unchanged = delta.filter(col("status") === "unchanged")
+      .select("url").as[String].collect().toSet
+    assert(unchanged.nonEmpty && unchanged.size < 10)
+    WarcWriter.writeIncremental(pages, delta, dir)
+    // the pages source yields ONLY the full responses (revisits are not
+    // content rows) — exactly the changed set
+    val back = WarcReader.pages(spark, dir).select("url").as[String]
+      .collect().toSet
+    assert(back === pages.select("url").as[String].collect().toSet -- unchanged)
+    // the revisit records are present, one per unchanged url, with the
+    // payload digest of the body they deduplicate
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val raw = Files.readAllBytes(f.toPath)
+    val revisits = WarcReader.records(
+      new java.io.ByteArrayInputStream(raw), Set("revisit")).toList
+    assert(revisits.map(_.url).toSet === unchanged)
+    assert(revisits.forall(_.html.isEmpty), "revisit records carry no body")
+    // container-level dedup is real: the archive is much smaller than a
+    // full write of the same pages
+    val dirFull = Files.createTempDirectory("warcrf").toString
+    WarcWriter.write(pages.coalesce(1), dirFull)
+    val fullLen = new java.io.File(dirFull).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.length()
+    assert(raw.length < fullLen * 3 / 4,
+      s"revisit archive not smaller: ${raw.length} vs $fullLen")
+    // CDX indexes BOTH kinds: entries still tile the archive exactly
+    val cdx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cdx.gz")).head
+    val lines = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(cdx))).getLines().toList
+    assert(lines.length === 10)
+    val ranges = lines.map { l =>
+      val j = l.split(" ", 3)(2)
+      (""""offset":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong,
+        """"length":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong)
+    }.sortBy(_._1)
+    assert(ranges.head._1 === 0L)
+    ranges.sliding(2).foreach {
+      case List((o1, l1), (o2, _)) => assert(o1 + l1 === o2)
+      case _ =>
+    }
+    assert(ranges.last._1 + ranges.last._2 === raw.length.toLong)
+  }
+
   test("WARC writer Hadoop branch round-trips; header CR/LF sanitized") {
     val dir = Files.createTempDirectory("warch").toString
     val s = spark
