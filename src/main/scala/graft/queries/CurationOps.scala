@@ -435,8 +435,87 @@ object CurationOps {
       .orderBy(col("s"))
   }
 
+  /** q143: Flesch readability scoring (Flesch 1948; Kincaid et al. 1975 —
+    * the oldest quality-scoring family web curation still runs). All-
+    * integer surrogates so Spark and DuckDB agree bit-for-bit: words =
+    * whitespace tokens (the q16/q57 idiom), sentences = `[.!?]+` runs
+    * (floored at 1), syllables = `[aeiouy]+` vowel-group runs (floored at
+    * one per word — the classic per-word floor lifted to the document).
+    * Reading ease ×1000 and grade level ×100 use integer `div` with the
+    * published coefficients scaled whole:
+    *
+    *   fre_x1000  = 206835 − (1015·w) div s − (84600·syl) div w
+    *   fkgl_x100  = (3900·w) div s + (1180·syl) div w − 1559
+    *
+    * Scale shape: three stateless regex splits + arithmetic in one
+    * WholeStageCodegen projection, zero shuffles beyond the contract
+    * ORDER BY — the cheapest kind of quality gate there is.
+    */
+  def q143Readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(split(lower(trim(col("text"))), WS)).cast("long")
+    val sents = greatest(lit(1L),
+      (size(split(col("text"), "[.!?]+")) - 1).cast("long"))
+    val sylls = greatest(words,
+      (size(split(lower(col("text")), "[aeiouy]+")) - 1).cast("long"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), words.as("words"), sents.as("sents"),
+        sylls.as("sylls"))
+      .select(col("doc_id"), col("words"), col("sents"), col("sylls"),
+        (lit(206835L) - expr("(1015 * words) div sents") -
+          expr("(84600 * sylls) div words")).as("fre_x1000"),
+        (expr("(3900 * words) div sents") +
+          expr("(1180 * sylls) div words") - 1559L).as("fkgl_x100"))
+      .withColumn("band",
+        when(col("fre_x1000") >= 60000L, lit("easy"))
+          .when(col("fre_x1000") >= 30000L, lit("standard"))
+          .otherwise(lit("hard")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q144: robust per-source length-outlier detection by MEDIAN ABSOLUTE
+    * DEVIATION (Hampel's robust scale — the outlier screen that, unlike
+    * mean±kσ, a single giant page cannot drag): per source the exact
+    * lower median of n_chars, the exact lower median of |n_chars − med|,
+    * and the count of docs beyond 3·MAD. A MAD of 0 (over half the
+    * source at one length) degenerates to "any deviation is an outlier"
+    * — the documented behavior, deterministic either way.
+    *
+    * Scale shape: exact medians via the q106 rn/n window discipline (two
+    * source-keyed window shuffles); the per-source med/MAD tables re-enter
+    * by BROADCAST; the final rollup is map-combined. The approximate
+    * 100 TB path is the q44 histogram-sketch quantile — this operator is
+    * the exact twin a low-cardinality source dimension affords.
+    */
+  def q144OutlierMad(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def medOf(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
+          col(v))).as(out))
+    }
+    val med = medOf(d, "n_chars", "med_chars")
+    val dev = d.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = medOf(dev, "dev", "mad_chars")
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        first(col("med_chars")).as("med_chars"),
+        first(col("mad_chars")).as("mad_chars"),
+        sum(when(col("dev") > lit(3) * col("mad_chars"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_dsir_weights" -> q103DsirWeights _,
+    "q143_readability" -> q143Readability _,
+    "q144_outlier_mad" -> q144OutlierMad _,
     "q133_quality_deciles" -> q133QualityDeciles _,
     "q137_isotonic" -> q137Isotonic _,
     "q106_domain_rollup" -> q106DomainRollup _,
@@ -448,6 +527,49 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    "q143_readability" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    CAST(len($dkTokens) AS BIGINT) AS words,
+         |    CAST(greatest(1, len(regexp_split_to_array(text, '[.!?]+')) - 1)
+         |      AS BIGINT) AS sents,
+         |    CAST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1
+         |      AS BIGINT) AS vg
+         |  FROM documents),
+         |b AS (SELECT doc_id, words, sents,
+         |    greatest(words, vg) AS sylls FROM a),
+         |c AS (SELECT doc_id, words, sents, sylls,
+         |    CAST(206835 - (1015 * words) // sents
+         |         - (84600 * sylls) // words AS BIGINT) AS fre_x1000,
+         |    CAST((3900 * words) // sents
+         |         + (1180 * sylls) // words - 1559 AS BIGINT) AS fkgl_x100
+         |  FROM b)
+         |SELECT doc_id, words, sents, sylls, fre_x1000, fkgl_x100,
+         |  CASE WHEN fre_x1000 >= 60000 THEN 'easy'
+         |       WHEN fre_x1000 >= 30000 THEN 'standard'
+         |       ELSE 'hard' END AS band
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q144_outlier_mad" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r1 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |med AS (SELECT source, MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        |      THEN n_chars END) AS med_chars FROM r1 GROUP BY source),
+        |dev AS (SELECT d.doc_id, d.source, m.med_chars,
+        |    abs(d.n_chars - m.med_chars) AS dev
+        |  FROM d JOIN med m USING (source)),
+        |r2 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM dev),
+        |mad AS (SELECT source, MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        |      THEN dev END) AS mad_chars FROM r2 GROUP BY source)
+        |SELECT dev.source, COUNT(*) AS docs,
+        |  MAX(dev.med_chars) AS med_chars, MAX(mad.mad_chars) AS mad_chars,
+        |  CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad_chars THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  MAX(dev.dev) AS max_dev
+        |FROM dev JOIN mad USING (source)
+        |GROUP BY dev.source ORDER BY source""".stripMargin,
     // the oracle fits the isotonic regression by a DIFFERENT algorithm —
     // the Robertson–Wright minimax identity fit(i) = max_{l≤i} min_{r≥i}
     // mean(l..r) over prefix sums — so hash equality checks PAV itself

@@ -343,6 +343,63 @@ object PagesOps {
         |ORDER BY url""".stripMargin)
   }
 
+  /** q142: STRUCTURED-DATA (schema.org JSON-LD) extraction — the Web Data
+    * Commons operator: pull every `<script type="application/ld+json">`
+    * block out of the page head/body and parse entity type + name from it
+    * (the knowledge-graph feed a web corpus derives alongside text).
+    *
+    * One `html_nodes` generator pass; the payload is the TEXT node that
+    * follows the script start tag (raw-text mode makes it a single node),
+    * paired by a per-url `lead` window — bounded by one page's node count,
+    * embarrassingly parallel across pages. JSON parsing is Spark's native
+    * `get_json_object` (codegen'd; malformed JSON yields null, never
+    * throws). Rows-only (the tokenizer is the operator); `ld_ok` checks
+    * every page against the synthesized planted truth — block count,
+    * first entity type, first name — covering the absence (no block),
+    * multi-block, and malformed-JSON paths by construction
+    * ([[PagesSynth.jsonldPayloads]]); the truth side enters as a
+    * broadcast-size local table (test harness only, not the scale path).
+    */
+  def q142Jsonld(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    val n = 600L
+    val corp = PagesSynth.structuredPagesDF(s, n)
+    corp.createOrReplaceTempView("pages_ld")
+    val ext = s.sql(
+      """WITH nodes AS (
+        |  SELECT p.url, n.idx, n.ntype, n.tag, n.attrs,
+        |    lead(n.text) OVER (PARTITION BY p.url ORDER BY n.idx) AS nxt,
+        |    lead(n.ntype) OVER (PARTITION BY p.url ORDER BY n.idx) AS nxt_t
+        |  FROM pages_ld p LATERAL VIEW html_nodes(p.html) n),
+        |ld AS (
+        |  SELECT url, idx,
+        |    CASE WHEN nxt_t = 'TEXT' THEN nxt ELSE '' END AS payload
+        |  FROM nodes
+        |  WHERE ntype = 'START' AND lower(tag) = 'script'
+        |    AND attrs['type'] = 'application/ld+json')
+        |SELECT url, count(*) AS n_ld,
+        |  get_json_object(min_by(payload, idx), '$[''@type'']') AS ld_type,
+        |  get_json_object(min_by(payload, idx), '$.name') AS ld_name
+        |FROM ld GROUP BY url""".stripMargin)
+    val truth = {
+      import s.implicits._
+      (0L until n).map { id =>
+        val (c, t, nm) = PagesSynth.jsonldTruth(id)
+        (PagesSynth.urlFor(id), c, Option(t), Option(nm))
+      }.toDF("t_url", "exp_n", "exp_type", "exp_name")
+    }
+    corp.select(col("url"))
+      .join(ext, Seq("url"), "left")
+      .select(col("url"), coalesce(col("n_ld"), lit(0L)).as("n_ld"),
+        col("ld_type"), col("ld_name"))
+      .join(broadcast(truth), col("url") === col("t_url"))
+      .select(col("url"), col("n_ld"), col("ld_type"), col("ld_name"),
+        (col("n_ld") === col("exp_n") &&
+          (col("ld_type") <=> col("exp_type")) &&
+          (col("ld_name") <=> col("exp_name"))).as("ld_ok"))
+      .orderBy(col("url"))
+  }
+
   /** q71: LINK-GRAPH extraction — the crawl-frontier/ranking input a web
     * pipeline derives from every page: per link its entity-decoded href,
     * visible anchor text, `rel=nofollow` bit
@@ -1061,6 +1118,7 @@ object PagesOps {
     "q76_selectors" -> q76Selectors _,
     "q74_markdown" -> q74Markdown _,
     "q71_link_graph" -> q71LinkGraph _,
+    "q142_jsonld" -> q142Jsonld _,
     "q127_template_cluster" -> q127TemplateCluster _,
     "q72_link_rank" -> q72LinkRank _,
     "q89_anchor_text" -> q89AnchorText _,

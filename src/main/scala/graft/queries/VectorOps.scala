@@ -377,6 +377,143 @@ object VectorOps {
         min(col("n2")).as("min_norm2_x1000"), max(col("n2")).as("max_norm2_x1000"))
       .orderBy(col("label"))
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011 §II): the d-dim
+    * space splits into `m` contiguous subspaces of d/m dims, each trained
+    * with its own tiny k-means ([[kmeansCentroids]] over the slice). A
+    * vector's code is the m-array of nearest-subcentroid ids — d doubles
+    * compress to m small ints, the compression that lets a 100 TB vector
+    * corpus keep its *codes* in memory while the raw vectors stay on disk.
+    *
+    * Training cost is m small k-means runs (at corpus scale: on a sample —
+    * the codebooks are a model, not a per-row artifact); encoding is the
+    * centroid-literal narrow projection ([[assign]]'s packed-least trick
+    * per subspace, zero Exchange, pinned in VectorOpsSpec).
+    */
+  private[queries] def pqCodebooks(vecs: DataFrame, m: Int, k: Int,
+                                   iters: Int): Array[Array[Seq[Double]]] = {
+    val d = vecs.select(size(col("e"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    (0 until m).toArray.map { j =>
+      kmeansCentroids(
+        vecs.select(col("vec_id"), slice(col("e"), j * sub + 1, sub).as("e")),
+        k, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Encode every vector as its m-array of subspace centroid ids — ONE
+    * narrow projection (codebooks ride in as literals), no join, no
+    * shuffle; ties break on the lower cid exactly as [[assign]].
+    */
+  private[queries] def pqEncode(vecs: DataFrame,
+                                cbs: Array[Array[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(vecs.sparkSession)
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val codes = (0 until m).map { j =>
+      val packed = cbs(j).zipWithIndex.map { case (c, cid) =>
+        round(sqDist(slice(col("e"), j * sub + 1, sub), typedlit(c)) * 1e6)
+          .cast("long") * 1024 + cid
+      }
+      (least(packed: _*) % 1024).cast("int")
+    }
+    vecs.select(col("vec_id"), col("e"), array(codes: _*).as("codes"))
+  }
+
+  /** q141: PQ asymmetric-distance (ADC) search — the IVF index's natural
+    * companion (TPAMI 2011 §III.B: IVF prunes WHICH vectors to score, PQ
+    * compresses HOW they are scored). m=4 subspaces × k=8 centroids over
+    * the 64-dim corpus; the query stays UNquantized and its per-subspace
+    * distance table (m×k longs on the micro grid) rides into a stateless
+    * projection as literals — scoring touches only the m-byte codes,
+    * never the raw vectors. Top-10 by approximate distance.
+    *
+    * Rows-only (k-means is iterative); `pq_ok` certifies each ADC sum
+    * through a genuinely independent second path: look up the CENTROID
+    * VECTOR by code (array-of-arrays literal) and recompute the subspace
+    * distance with the distributed `vec_sqdist` kernel — the table path
+    * and the kernel path must agree exactly on every row (same micro
+    * rounding, different lookup machinery), so a wrong code, a
+    * misordered table row, or an off-by-one element_at flips the flag.
+    * The lossy-recall quality (ADC top-10 vs exact brute) is measured in
+    * VectorOpsSpec, not flagged — an approximation can't be all-true.
+    */
+  def q141PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val vecs = emb(s, dir).select(col("vec_id"), col("e"))
+    val cbs = pqCodebooks(vecs, m = m, k = 8, iters = 3)
+    val sub = cbs(0)(0).length
+    val coded = pqEncode(vecs, cbs)
+    // the distance tables are computed DISTRIBUTED over the m×k-row
+    // codebook table with the same kernel + rounding the twin path uses,
+    // then collected (a 32-row O(1) read-back) to enter ADC as literals —
+    // so table-vs-twin equality certifies lookup plumbing, not arithmetic
+    val qRow = vecs.filter(col("vec_id") === 0).select(col("e")).head()
+      .getSeq[Double](0)
+    val cbRows = for (j <- cbs.indices; cid <- cbs(j).indices)
+      yield (j, cid, cbs(j)(cid))
+    val tables: Array[Array[Long]] = {
+      val df = s.createDataFrame(cbRows).toDF("j", "cid", "c")
+      graft.functions.GraftExtensions.ensureRegistered(s)
+      val qj = slice(typedlit(qRow), col("j") * sub + 1, lit(sub))
+      df.select(col("j"), col("cid"),
+          round(sqDist(col("c"), qj) * 1e6).cast("long").as("dist"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    }
+    val qLit = typedlit(qRow)
+    val adc = (0 until m).map(j =>
+      element_at(typedlit(tables(j).toSeq),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val twin = (0 until m).map(j =>
+      round(sqDist(
+        element_at(typedlit(cbs(j).toSeq),
+          element_at(col("codes"), j + 1) + 1),
+        slice(qLit, j * sub + 1, sub)) * 1e6).cast("long")).reduce(_ + _)
+    coded.select(col("vec_id"), col("codes"), adc.as("adc_x1e6"),
+        (adc === twin).as("pq_ok"))
+      .orderBy(col("adc_x1e6"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("adc_x1e6"), col("pq_ok"))
+      .orderBy(col("adc_x1e6"), col("vec_id"))
+  }
+
+  /** Production PQ search with exact re-ranking (TPAMI 2011 §III.C): the
+    * ADC pass (a stateless projection over the codes — at corpus scale the
+    * codes are the memory-resident index, ~m bytes/vector) shortlists
+    * `shortlist` candidates, then ONLY those fetch their raw vectors for
+    * an exact distance re-rank. Recall at a given shortlist depth is
+    * measured in VectorOpsSpec (a lossy stage can't be all-true-flagged).
+    */
+  private[queries] def pqSearch(coded: DataFrame,
+                                cbs: Array[Array[Seq[Double]]],
+                                q: Seq[Double], shortlist: Int,
+                                topK: Int): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(coded.sparkSession)
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val tables = cbs.zipWithIndex.map { case (cb, j) =>
+      cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { val d = q(j * sub + i) - c(i); acc += d * d; i += 1 }
+        acc
+      }.toSeq
+    }
+    val adc = (0 until m).map(j =>
+      element_at(typedlit(tables(j)),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    coded.select(col("vec_id"), col("e"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(shortlist)
+      .select(col("vec_id"),
+        round(sqDist(col("e"), typedlit(q)) * 1e6).cast("long").as("dist_x1e6"))
+      .orderBy(col("dist_x1e6"), col("vec_id")).limit(topK)
+  }
+
   /** q124: distributed PCA of the embedding corpus by the covariance
     * method (functions/Pca.scala): one map-combined `Aggregator` pass
     * accumulates the 64-dim mean + second-moment matrix, the driver
@@ -440,6 +577,7 @@ object VectorOps {
     "q27_vector_stats" -> q27VectorStats _,
     "q52_ann_ivf" -> q52AnnIvf _,
     "q94_semdedup" -> q94SemDedup _,
+    "q141_pq_ann" -> q141PqAnn _,
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =

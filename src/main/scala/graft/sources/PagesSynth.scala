@@ -158,4 +158,59 @@ object PagesSynth {
   }
 
   def pagesDF(spark: SparkSession, n: Long): DataFrame = pages(spark, n).toDF()
+
+  // ---- structured-data variant (schema.org JSON-LD planted in the head) ----
+
+  private val ldTypes =
+    Array("Article", "Product", "NewsArticle", "Event", "FAQPage")
+
+  /** The JSON-LD payloads planted into page `id`'s head, in document order.
+    * Coverage by construction: id%3==2 → none (absence path), id%7==0 → a
+    * second block (multi-block path), id%11==3 → the first block truncated
+    * mid-value (malformed-JSON path, parser must yield nulls, not throw).
+    */
+  def jsonldPayloads(id: Long): Seq[String] =
+    if (id % 3 == 2) Seq.empty
+    else {
+      val t = ldTypes((id % 5).toInt)
+      val whole =
+        s"""{"@context":"https://schema.org","@type":"$t","name":"Entity $id","position":${id % 97}}"""
+      val first = if (id % 11 == 3) whole.dropRight(2) else whole
+      val extra =
+        if (id % 7 == 0) Seq(s"""{"@type":"BreadcrumbList","name":"Trail $id"}""")
+        else Seq.empty
+      first +: extra
+    }
+
+  /** Expected extraction truth for page `id`: (block count, first block's
+    * @type, first block's name) — nulls when absent or malformed.
+    */
+  def jsonldTruth(id: Long): (Int, String, String) = {
+    val ps = jsonldPayloads(id)
+    if (ps.isEmpty) (0, null, null)
+    else if (id % 11 == 3) (ps.length, null, null)
+    else (ps.length, ldTypes((id % 5).toInt), s"Entity $id")
+  }
+
+  /** [[htmlFor]] with the planted JSON-LD blocks inserted before `</head>`
+    * — everything else byte-identical to the plain page, so the structured
+    * corpus exercises the full scanner surface too.
+    */
+  def structuredHtmlFor(id: Long): String = {
+    val blocks = jsonldPayloads(id).map(p =>
+      s"""<script type="application/ld+json">$p</script>""").mkString
+    val base = htmlFor(id)
+    val at = base.indexOf("</head>")
+    base.substring(0, at) + blocks + base.substring(at)
+  }
+
+  def structuredPages(spark: SparkSession, n: Long): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions(_.map(id =>
+      Page(urlFor(id), tsFor(id), structuredHtmlFor(id).getBytes(UTF_8),
+        "", lang(id))))
+  }
+
+  def structuredPagesDF(spark: SparkSession, n: Long): DataFrame =
+    structuredPages(spark, n).toDF()
 }

@@ -79,7 +79,9 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q125_fuzzy_decontaminate" -> "fuzzy_ok",
       "q126_bin_pack" -> "pack_ok",
       "q127_template_cluster" -> "tpl_ok",
-      "q129_kcore" -> "core_ok")
+      "q129_kcore" -> "core_ok",
+      "q141_pq_ann" -> "pq_ok",
+      "q142_jsonld" -> "ld_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")

@@ -104,6 +104,62 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.forall(_ >= 0.5), recalls.toString)
   }
 
+  test("q141 flag: every ADC sum matches the centroid-lookup twin path") {
+    val df = VectorOps.q141PqAnn(spark, sfDir)
+    assert(df.count() === 10L)
+    assert(df.filter(!col("pq_ok")).count() === 0L)
+  }
+
+  test("pqEncode is a pure narrow projection: no shuffle, no sort, no join") {
+    val cbs = VectorOps.pqCodebooks(vecs, m = 4, k = 8, iters = 1)
+    val plan = VectorOps.pqEncode(vecs, cbs)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "SortAggregate", "Join", "Sort ").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in:\n${plan.take(1200)}"))
+  }
+
+  test("PQ codes are identical across independent trainings (determinism)") {
+    def runOnce(): Map[Long, Seq[Int]] = {
+      val cbs = VectorOps.pqCodebooks(vecs, m = 4, k = 8, iters = 3)
+      VectorOps.pqEncode(vecs, cbs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    }
+    val a = runOnce()
+    val b = runOnce()
+    assert(a.size == b.size && a.forall { case (k, v) => b(k) == v })
+  }
+
+  test("PQ ADC shortlist + exact re-rank: measured recall@10 vs brute force") {
+    val cbs = VectorOps.pqCodebooks(vecs, m = 8, k = 8, iters = 3)
+    val coded = VectorOps.pqEncode(vecs, cbs).localCheckpoint()
+    val queryIds = Seq(0L, 7L, 23L, 41L)
+    val byDepth = queryIds.map { qid =>
+      val q = vecs.filter(col("vec_id") === qid).select(col("e"))
+        .head().getSeq[Double](0)
+      val brute = vecs
+        .select(col("vec_id"),
+          aggregate(zip_with(col("e"), typedLit(q), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      Seq(50, 100).map { s =>
+        val got = VectorOps.pqSearch(coded, cbs, q, shortlist = s, topK = 10)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(brute).size.toDouble / brute.size
+      }
+    }
+    val Seq(r50, r100) = Seq(0, 1).map(i => byDepth.map(_(i)))
+    info(f"PQ m=8 k=8 re-ranked recall@10 — shortlist 50/500: " +
+      f"${r50.map(r => f"$r%.2f").mkString(" ")}; 100/500: " +
+      f"${r100.map(r => f"$r%.2f").mkString(" ")}")
+    // the §III.C two-stage contract: a deeper ADC shortlist is never worse,
+    // and a 20%-of-corpus shortlist recovers most true neighbors exactly
+    byDepth.foreach(d => assert(d(1) >= d(0), byDepth.toString))
+    assert(r50.forall(_ >= 0.5), byDepth.toString)
+    assert(r100.forall(_ >= 0.7) &&
+      r100.sum / r100.size >= 0.8, byDepth.toString)
+  }
+
   test("IVF recall curve holds at a 10x corpus (3000 synthesized vectors, k=16)") {
     // round-3 verdict #10: the recall measurement existed at one n only.
     // Second scale: a deterministic 16-component Gaussian-mixture corpus,
