@@ -13,7 +13,7 @@ import graft.sources.PagesSynth
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
   *     [--index 64] [--export tokensPerShard] [--pack capTokens] \
-  *     [--warc-out parts] [--sample n]
+  *     [--warc-out parts] [--sample n] [--pii 1]
   *
   * `--curate 1` runs the full production chain in one command: extract →
   * quality → span-clean → dedup → compact with stage defaults
@@ -147,6 +147,16 @@ object ExtractMain {
         s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
           s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
       }.getOrElse("")
+    // --pii: the release gate — emails / phones / IPv4 in the extracted
+    // text masked to typed placeholders (q151's Java∩RE2 regex family),
+    // redacted view + per-doc audit counts at <out>/pii/redacted;
+    // resumable single-unit stage (graft.pipeline.PiiStage)
+    val piiJson = if (opts.contains("--pii")) {
+      val p = graft.pipeline.PiiStage.run(spark, out)
+      s""","pii":{"docs":${p.docs},"emails":${p.emails},""" +
+        s""""phones":${p.phones},"ips":${p.ips},""" +
+        s""""docs_touched":${p.docsTouched}}"""
+    } else ""
     // --index N: build the SURT-ordered crawl index over the corpus (the
     // deduped kept view when --dedup/--curate produced one, else the raw
     // extracted table) into <out>/surt_index with N range partitions —
@@ -234,7 +244,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$exportJson$packJson$sampleJson$warcOutJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$piiJson$exportJson$packJson$sampleJson$warcOutJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

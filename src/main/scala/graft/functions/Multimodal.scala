@@ -53,6 +53,71 @@ object Multimodal {
   final case class RasterStats(kind: String, width: Int, height: Int,
                                pixels: Long, meanLumaX1000: Long, peakLuma: Int)
 
+  /** Streaming per-pixel visitor threaded through the raster decoders.
+    * Coordinates are IMAGE coordinates regardless of storage order — BMP
+    * bottom-up rows and GIF interlace passes are mapped back to their true
+    * y before the call — so a sink sees the same (x, y, luma) stream for
+    * the same picture in any container. `start` fires once with the actual
+    * raster dimensions (for GIF: the first frame's dimensions) before the
+    * first `accept`; luma is the decoders' shared integer Rec.709 value.
+    */
+  trait PixelSink {
+    def start(w: Int, h: Int): Unit
+    def accept(x: Int, y: Int, luma: Int): Unit
+  }
+
+  /** gw×gh block-mean luma accumulator: O(gw·gh) memory no matter the
+    * raster size, filled in the decoders' single streaming pass. The
+    * block of a pixel is `(x·gw ⁄ w, y·gh ⁄ h)` — the same mapping the
+    * seeded test fixtures use, and exact for any w, h.
+    */
+  final class LumaGrid(val gw: Int, val gh: Int) extends PixelSink {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var w = 0
+    var h = 0
+    def start(rw: Int, rh: Int): Unit = { w = rw; h = rh }
+    def accept(x: Int, y: Int, l: Int): Unit = {
+      val i = ((y.toLong * gh) / h).toInt * gw + ((x.toLong * gw) / w).toInt
+      sums(i) += l
+      cnts(i) += 1
+    }
+  }
+
+  /** 64-bit perceptual difference hash (dHash) over any raster this
+    * object can REALLY decode — PNG ([[pngPixels]]), GIF ([[gifPixels]]),
+    * 24-bit BMP / P6 PPM ([[rasterPixels]]). One streaming decode pass
+    * fills a 9×8 block-mean luma grid; bit `y·8+x` is the horizontal
+    * gradient sign `mean(x+1, y) > mean(x, y)`. Block means are compared
+    * as exact integer cross-products (sumA·cntB vs sumB·cntA), never
+    * floats, so the hash is bit-reproducible — and because the sink sees
+    * container-independent (x, y, luma), the SAME picture hashes
+    * identically out of a PNG and a BMP. None when the payload is not
+    * decodable or the raster is smaller than the grid. Never throws.
+    */
+  def dhash64(b: Array[Byte]): Option[Long] = {
+    val g = new LumaGrid(9, 8)
+    val decoded = imageHeader(b) match {
+      case Some(("png", _, _)) => pngPixels(b, g)
+      case Some(("gif", _, _)) => gifPixels(b, g)
+      case _                   => rasterPixels(b, g)
+    }
+    if (decoded.isEmpty || g.w < 9 || g.h < 8) return None
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val i = y * 9 + x
+        if (g.sums(i + 1) * g.cnts(i) > g.sums(i) * g.cnts(i + 1))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bits)
+  }
+
   /** REAL pure-JVM image header parse: PNG (IHDR), JPEG (SOFn segment
     * walk), GIF (logical screen descriptor), WEBP (RIFF chunk walk:
     * VP8 / VP8L / VP8X dimension fields). These are public, stable
@@ -162,7 +227,7 @@ object Multimodal {
     * truncated/garbage input. Dimensions are capped at 2^20 per axis so a
     * lying header cannot provoke a giant allocation or overflow.
     */
-  def rasterPixels(b: Array[Byte]): Option[RasterStats] = {
+  def rasterPixels(b: Array[Byte], sink: PixelSink = null): Option[RasterStats] = {
     val n = b.length
     @inline def u8(i: Int) = b(i) & 0xff
     @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -182,11 +247,16 @@ object Multimodal {
           bpp == 24 && comp == 0 && off >= 54) {
         val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
         if (off.toLong + rowSize.toLong * h <= n) {
+          if (sink ne null) sink.start(w, h)
           var sum = 0L
           var peak = 0
           var y = 0
           while (y < h) {
             var base = off + y * rowSize
+            // positive height = bottom-up storage: file row y is image
+            // row h-1-y (irrelevant for order-free stats, load-bearing
+            // for the sink's spatial grid)
+            val iy = if (hRaw > 0) h - 1 - y else y
             var x = 0
             while (x < w) {
               // BMP stores BGR
@@ -194,6 +264,7 @@ object Multimodal {
                 722 * u8(base)) / 10000
               sum += l
               if (l > peak) peak = l
+              if (sink ne null) sink.accept(x, iy, l)
               base += 3
               x += 1
             }
@@ -236,6 +307,7 @@ object Multimodal {
         i += 1 // exactly ONE whitespace byte separates header from pixels
         val pix = w.toLong * h
         if (i + pix * 3 <= n) {
+          if (sink ne null) sink.start(w, h)
           var sum = 0L
           var peak = 0
           var p = 0L
@@ -245,6 +317,7 @@ object Multimodal {
               722 * u8(base + 2)) / 10000
             sum += l
             if (l > peak) peak = l
+            if (sink ne null) sink.accept((p % w).toInt, (p / w).toInt, l)
             base += 3
             p += 1
           }
@@ -269,7 +342,7 @@ object Multimodal {
     * ignored for luma stats (order-free mean/peak, same integer Rec.709
     * formula as BMP/PPM). Never throws on truncated/garbage input.
     */
-  def pngPixels(b: Array[Byte]): Option[RasterStats] = {
+  def pngPixels(b: Array[Byte], sink: PixelSink = null): Option[RasterStats] = {
     val n = b.length
     @inline def u8(i: Int) = b(i) & 0xff
     @inline def be32(i: Int) =
@@ -322,6 +395,7 @@ object Multimodal {
     var prev = new Array[Byte](rowLen) // zeroed = the spec's virtual row -1
     val inf = new java.util.zip.Inflater()
     try {
+      if (sink ne null) sink.start(w, h)
       var sum = 0L
       var peak = 0
       var y = 0
@@ -373,12 +447,15 @@ object Multimodal {
         }
         // order-free luma stats; alpha channels skipped
         var x = 1
+        var px = 0
         if (bpp <= 2) { // gray / gray+alpha
           while (x < rowLen) {
             val l = row(x) & 0xff
             sum += l
             if (l > peak) peak = l
+            if (sink ne null) sink.accept(px, y, l)
             x += bpp
+            px += 1
           }
         } else { // RGB / RGBA
           while (x < rowLen) {
@@ -386,7 +463,9 @@ object Multimodal {
               722 * (row(x + 2) & 0xff)) / 10000
             sum += l
             if (l > peak) peak = l
+            if (sink ne null) sink.accept(px, y, l)
             x += bpp
+            px += 1
           }
         }
         val t = prev; prev = row; row = t // swap scanline buffers
@@ -408,7 +487,7 @@ object Multimodal {
     * None on palette-less, truncated, or spec-violating data (the
     * header-only path then keeps the dims). Never throws.
     */
-  def gifPixels(b: Array[Byte]): Option[RasterStats] = {
+  def gifPixels(b: Array[Byte], sink: PixelSink = null): Option[RasterStats] = {
     val n = b.length
     @inline def u8(i: Int) = b(i) & 0xff
     @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -465,13 +544,34 @@ object Multimodal {
           var emitted = 0L
           var sum = 0L
           var peak = 0
+          // GIF interlace stores rows in four passes (y ≡ 0 mod 8, then
+          // 4 mod 8, then 2 mod 4, then odd); stats are order-free, but
+          // the sink's spatial grid needs the TRUE y, so map stored-row
+          // index back through the pass structure
+          val interlaced = (iflags & 0x40) != 0
+          val c0 = (fh + 7) / 8
+          val c1 = (fh + 3) / 8
+          val c2 = (fh + 1) / 4
+          @inline def rowToY(r: Int): Int =
+            if (!interlaced) r
+            else if (r < c0) r * 8
+            else if (r < c0 + c1) 4 + (r - c0) * 8
+            else if (r < c0 + c1 + c2) 2 + (r - c0 - c1) * 4
+            else 1 + (r - c0 - c1 - c2) * 2
+          if (sink ne null) sink.start(fw, fh)
           @inline def emit(idx: Int): Boolean = {
+            // a code whose string runs PAST the raster is spec-invalid
+            // (valid streams land exactly on total) — bail instead of
+            // inflating the stats / walking the sink grid out of bounds
+            if (emitted >= total) return false
             if (idx >= ctSize) return false // index outside the palette
             val base = ct + idx * 3
             val l = (2126 * u8(base) + 7152 * u8(base + 1) +
               722 * u8(base + 2)) / 10000
             sum += l
             if (l > peak) peak = l
+            if (sink ne null)
+              sink.accept((emitted % fw).toInt, rowToY((emitted / fw).toInt), l)
             emitted += 1
             true
           }
@@ -624,7 +724,11 @@ object Multimodal {
     * is truncated (the header-only path still reports rate/channels).
     * Never throws.
     */
-  def wavPcmStats(b: Array[Byte]): Option[(Long, Long, Int)] = {
+  /** RIFF walk to the s16le PCM payload: (dataOffset, sampleCount,
+    * blockAlign); None unless the complete data chunk is present and the
+    * fmt chunk declares uncompressed 16-bit PCM.
+    */
+  private def wavPcmPayload(b: Array[Byte]): Option[(Int, Long, Int)] = {
     val n = b.length
     @inline def u8(i: Int) = b(i) & 0xff
     @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -653,8 +757,51 @@ object Multimodal {
       }
       i += 8 + size + (size & 1)
     }
-    if (!fmtOk || dataAt < 0 || dataAt + dataLen > n) return None
-    val samples = dataLen / 2
+    if (!fmtOk || dataAt < 0 || dataAt + dataLen > n) None
+    else Some((dataAt.toInt, dataLen / 2, blockAlign))
+  }
+
+  /** 64-bit audio envelope hash — the dHash idea on the |sample| energy
+    * envelope of an s16le PCM payload: 65 equal time windows, bit i =
+    * [energy(i+1) > energy(i)], window sums compared as exact integer
+    * cross-products. Invariant by construction to uniform volume scaling
+    * (every window scales together — the gradient signs survive) and to
+    * any reordering WITHIN a window (the sums are order-free, so micro
+    * time-jitter does not move the hash); distinct material differs in
+    * the envelope shape itself. None unless a complete payload with ≥ 65
+    * samples is present. Never throws.
+    */
+  def ahash64(b: Array[Byte]): Option[Long] = wavPcmPayload(b) match {
+    case Some((off, samples, _))
+        if samples >= 65 && off + samples * 2 <= b.length =>
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var k = 0L
+      while (k < samples) {
+        val i = (off + k * 2).toInt
+        val v = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toShort.toInt
+        val w = ((k * 65) / samples).toInt
+        sums(w) += math.abs(v)
+        cnts(w) += 1
+        k += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) bits |= 1L << i
+        i += 1
+      }
+      Some(bits)
+    case _ => None
+  }
+
+  def wavPcmStats(b: Array[Byte]): Option[(Long, Long, Int)] = {
+    @inline def u8(i: Int) = b(i) & 0xff
+    val payload = wavPcmPayload(b)
+    if (payload.isEmpty) return None
+    val (dataAtI, samples, blockAlign) = payload.get
+    val dataAt = dataAtI.toLong
+    val dataLen = samples * 2
     if (samples == 0) return Some((0L, 0L, 0))
     var sumAbs = 0L
     var peak = 0

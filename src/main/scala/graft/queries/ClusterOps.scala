@@ -263,6 +263,56 @@ object ClusterOps {
       .orderBy(col("node"))
   }
 
+  /** q152: TRUSTRANK — biased PageRank whose teleport vector is uniform
+    * over a hand-audited TRUSTED SEED set instead of all nodes (Gyöngyi,
+    * Garcia-Molina & Pedersen, "Combating Web Spam with TrustRank",
+    * VLDB 2004): trust flows out of the seeds along links and decays with
+    * distance, so a link-farm island that q53's uniform teleport still
+    * funds receives (almost) nothing here — the spam-demotion complement
+    * to q129's k-core signal. Same graph, same 3-iteration unroll, same
+    * 1e-9 rounding discipline as q53 (every intermediate snapped, so the
+    * DuckDB replay is float-exact); seeds = node % 17 == 0, the
+    * deterministic stand-in for a manual audit.
+    *
+    * Scale shape: identical to q53 — per iteration one edge⋈rank
+    * equi-join and one dst-keyed map-combined aggregate over a
+    * localCheckpointed rank table; the seed set never materializes
+    * beyond a boolean column.
+    */
+  def q152TrustRank(s: SparkSession, dir: String): DataFrame = {
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val ns = nodes.where(col("node") % 17 === 0).count().toDouble
+    val od = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val trust = nodes.select(col("node"),
+      when(col("node") % 17 === 0, round9(lit(1.0) / ns))
+        .otherwise(lit(0.0)).as("t"))
+      .localCheckpoint()
+    var r = trust.select(col("node"), col("t").as("r")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, col("src") === col("node")).join(od, "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
+      r = trust
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round9(lit(0.15) * col("t") +
+            lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    r.join(trust, "node")
+      .select(col("node"), round(col("r") * 1e9).cast("long").as("trust_x1e9"),
+        (col("t") > 0.0).as("is_seed"))
+      .orderBy(col("node"))
+  }
+
   /** q120: per-node triangle counts on an undirected host-link-style graph
     * by the degree-ordered node-iterator (public: Suri & Vassilvitskii,
     * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
@@ -464,7 +514,63 @@ object ClusterOps {
       .orderBy(col("node"))
   }
 
+  /** q149: REDIRECT-CHAIN RESOLUTION BY POINTER DOUBLING — map every url
+    * to its final landing url through a table of (src → dst) redirects,
+    * the canonicalization step a crawler runs before dedup/frontier
+    * decisions (HTTP 3xx chains; RFC 9110 §15.4 allows arbitrary chain
+    * depth, crawlers cap it). A sequential walk is O(chain length) ROUNDS
+    * of driver-coordinated joins; pointer DOUBLING composes the partial
+    * walk with itself — `m′(u) = m(m(u))` — so r rounds cover chains of
+    * 2^r hops: 3 rounds here for the planted depth-7 chains, O(log d) at
+    * any scale, each round one equi-join (the Kiveris large-star shuffle
+    * discipline, localCheckpointed lineage).
+    *
+    * Chains derive from doc_id (id%8≠0 redirects to id−1: depth-0..7
+    * chains ending at multiples of 8) plus a planted 3-CYCLE — a redirect
+    * loop must come out `resolved = false`, not hang or resolve
+    * arbitrarily. Hop counts are carried through the composition (sums,
+    * not 2^r), so the output hops equal the true chain length — which the
+    * DuckDB oracle recomputes by a literal RECURSIVE-CTE walk.
+    */
+  def q149RedirectResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = tbl(s, dir, "documents").select(col("doc_id"))
+    val cyc = Seq(
+      (1000000001L, 1000000002L), (1000000002L, 1000000003L),
+      (1000000003L, 1000000001L)).toDF("src", "dst")
+    val edges = docs.filter(pmod(col("doc_id"), lit(8L)) =!= 0L)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1L).as("dst"))
+      .unionByName(cyc)
+      .localCheckpoint()
+    val nodes = docs.select(col("doc_id").as("id"))
+      .unionByName(cyc.select(col("src").as("id")))
+    var m = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+    for (_ <- 1 to 3) // 2^3 = 8 ≥ the deepest terminating chain (7)
+      m = m.as("x").join(m.as("y"), col("x.cur") === col("y.src"), "left")
+        .select(col("x.src").as("src"),
+          coalesce(col("y.cur"), col("x.cur")).as("cur"),
+          (col("x.hops") + coalesce(col("y.hops"), lit(0L))).as("hops"))
+        .localCheckpoint()
+    val outs = edges.select(col("src").as("o_src")).distinct()
+    nodes.join(m, col("id") === col("src"), "left")
+      .join(outs, col("cur") === col("o_src"), "left")
+      .select(col("id"),
+        concat(lit("https://r.example/"), col("id")).as("src_url"),
+        when(col("src").isNull,
+            concat(lit("https://r.example/"), col("id")))
+          .when(col("o_src").isNull,
+            concat(lit("https://r.example/"), col("cur")))
+          .otherwise(lit(null).cast("string")).as("final_url"),
+        when(col("src").isNull, 0L)
+          .when(col("o_src").isNull, col("hops"))
+          .otherwise(-1L).as("hops"),
+        (col("src").isNull || col("o_src").isNull).as("resolved"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_redirect_resolve" -> q149RedirectResolve _,
+    "q152_trustrank" -> q152TrustRank _,
     "q49_dedup_clusters" -> q49DedupClusters _,
     "q134_cluster_split" -> q134ClusterSplit _,
     "q53_pagerank" -> q53PageRank _,
@@ -514,6 +620,38 @@ object ClusterOps {
        |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle resolves the same chains by a LITERAL recursive walk
+    // (hops < 8 cap: deepest terminating chain is 7, so only real
+    // terminals ever reach `term`; cycle walks age out at the cap)
+    "q149_redirect_resolve" ->
+      s"""WITH RECURSIVE
+         |cyc(src, dst) AS (VALUES (1000000001, 1000000002),
+         |  (1000000002, 1000000003), (1000000003, 1000000001)),
+         |e AS (SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+         |      WHERE doc_id % 8 <> 0
+         |      UNION ALL SELECT src, dst FROM cyc),
+         |walk AS (
+         |  SELECT src AS id, dst AS cur, 1 AS hops FROM e
+         |  UNION ALL
+         |  SELECT w.id, e.dst, w.hops + 1 FROM walk w
+         |  JOIN e ON e.src = w.cur WHERE w.hops < 8),
+         |nodes AS (SELECT doc_id AS id FROM documents
+         |          UNION ALL SELECT src FROM cyc),
+         |term AS (SELECT id, cur, hops FROM walk
+         |         WHERE cur NOT IN (SELECT src FROM e)),
+         |srcs AS (SELECT DISTINCT src FROM e)
+         |SELECT n.id, 'https://r.example/' || n.id AS src_url,
+         |  CASE WHEN s.src IS NULL THEN 'https://r.example/' || n.id
+         |       WHEN t.id IS NOT NULL THEN 'https://r.example/' || t.cur
+         |       ELSE NULL END AS final_url,
+         |  CAST(CASE WHEN s.src IS NULL THEN 0
+         |            WHEN t.id IS NOT NULL THEN t.hops
+         |            ELSE -1 END AS BIGINT) AS hops,
+         |  (s.src IS NULL OR t.id IS NOT NULL) AS resolved
+         |FROM nodes n
+         |LEFT JOIN srcs s ON s.src = n.id
+         |LEFT JOIN term t ON t.id = n.id
+         |ORDER BY n.id""".stripMargin,
     "q49_dedup_clusters" ->
       s"""WITH RECURSIVE
          |$ccCtes
@@ -542,6 +680,37 @@ object ClusterOps {
          |FROM b ORDER BY doc_id""".stripMargin,
     // Three power iterations unrolled as chained CTEs, each snapped to the
     // same 1e-9 grid as the Spark loop.
+    // q53's unroll with the teleport vector biased to the seed set; t is
+    // itself 1e-9-snapped so both engines iterate from identical doubles
+    "q152_trustrank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT tr.node,
+           |    round(1e9*(0.15*tr.t +
+           |      0.85*COALESCE(SUM($prev.r/od.deg), 0)))/1e9 AS r
+           |  FROM tr
+           |  LEFT JOIN e ON e.dst = tr.node
+           |  LEFT JOIN $prev ON $prev.node = e.src
+           |  LEFT JOIN od ON od.src = e.src
+           |  GROUP BY tr.node, tr.t)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+         |  FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes WHERE node % 17 = 0),
+         |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+         |tr AS (SELECT node,
+         |  CASE WHEN node % 17 = 0 THEN round(1e9*(1.0/(SELECT ns FROM ns)))/1e9
+         |       ELSE 0.0 END AS t FROM nodes),
+         |r0 AS (SELECT node, t AS r FROM tr),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT r3.node, CAST(round(r3.r*1e9) AS BIGINT) AS trust_x1e9,
+         |  (tr.t > 0.0) AS is_seed
+         |FROM r3 JOIN tr ON tr.node = r3.node ORDER BY r3.node""".stripMargin
+    },
     "q53_pagerank" -> {
       def iter(prev: String, cur: String) =
         s"""$cur AS (

@@ -512,7 +512,136 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** q147: DOMAIN DISTINCTIVENESS BY TOTAL-VARIATION DISTANCE — how far
+    * each source's unigram distribution sits from the corpus-wide one,
+    * TV(p_s, q) = ½·Σ_t |p_s(t) − q(t)|. The distribution-shift screen of
+    * the data-selection family: a source whose token distribution is far
+    * from the corpus mean is boilerplate, spam, or another language
+    * (q103/q107 attack the same decision from the model side; this is
+    * the model-free screen).
+    *
+    * EXACT-INTEGER discipline (q55/q114 precedent): with obs = count of
+    * token t in source s, dt = Σ_t obs, cc = corpus count of t, ct = Σ cc,
+    * the TV numerator over tokens PRESENT in s is Σ|obs·ct − dt·cc|, and
+    * the absent-token mass folds in closed form to dt·(ct − Σ_present cc)
+    * — so the full-vocabulary TV needs NO domain×vocabulary grid. Both
+    * terms are exact BIGINTs; tv_ppm = num·10⁶ ÷ (2·dt·ct) by integer
+    * division on both engines. Hash-identical, no float ordering anywhere.
+    *
+    * Scale shape: one explode → one (source, tok) map-combined aggregate;
+    * the vocabulary side re-enters BROADCAST (the q55/q56 Zipf-head
+    * discipline — [[AdvancedOps.saltedJoin]] is the beyond-broadcast
+    * fallback), per-source totals broadcast too; nothing vocabulary-sized
+    * shuffles twice, nothing corpus-sized shuffles more than once.
+    */
+  def q147DomainTv(s: SparkSession, dir: String): DataFrame = {
+    val dom = tbl(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("obs"))
+    val corp = dom.groupBy(col("tok")).agg(sum(col("obs")).as("cc"))
+    val dts = dom.groupBy(col("source")).agg(sum(col("obs")).as("dt"))
+    val ctDf = corp.agg(sum(col("cc")).as("ct"))
+    dom.join(broadcast(corp), "tok")
+      .join(broadcast(dts), "source")
+      .crossJoin(broadcast(ctDf))
+      .groupBy(col("source"), col("dt"), col("ct"))
+      .agg(
+        sum(abs(col("obs") * col("ct") - col("dt") * col("cc")))
+          .as("present_num"),
+        sum(col("cc")).as("cc_present"),
+        count(lit(1)).as("vocab_in_source"))
+      .select(col("source"), col("dt").as("dom_tokens"),
+        col("ct").as("corpus_tokens"), col("vocab_in_source"),
+        (col("present_num") + col("dt") * (col("ct") - col("cc_present")))
+          .as("tv_num"), col("dt"), col("ct"))
+      .withColumn("tv_ppm", expr(
+        "tv_num * CAST(1000000 AS BIGINT) DIV (2 * dt * ct)"))
+      .drop("dt", "ct")
+      .orderBy(col("source"))
+  }
+
+  /** q150: DISTRIBUTION-DRIFT MONITORING — the exact two-sample
+    * KOLMOGOROV–SMIRNOV statistic between every pair of sources' document
+    * length distributions, D = sup_v |F_a(v) − F_b(v)|. The between-crawl
+    * / between-source drift alarm: a source whose length ECDF moved is a
+    * template change, a scraper break, or an injection — before any
+    * content model sees it. Complements q147 (token-distribution shift)
+    * on the size axis and q144 (per-doc outliers) with a whole-
+    * distribution view.
+    *
+    * EXACT-INTEGER discipline: on discrete data the sup is attained on
+    * the merged value grid, and |F_a − F_b| at grid point v is
+    * |cum_a·n_b − cum_b·n_a| / (n_a·n_b) — numerator and argmax computed
+    * in BIGINT, ks_x1e6 by integer division. No float enters the max.
+    *
+    * Scale shape: one (source, value) map-combined aggregate; the value
+    * GRID (distinct lengths — bounded by the value domain, the q133
+    * histogram discipline) crossed with the O(sources) totals, one
+    * source-keyed cumulative window, one grid-keyed pair join whose
+    * fan-out is sources², never documents².
+    */
+  def q150KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("source"), col("n_chars"))
+    val grid = d.select(col("n_chars").as("v")).distinct()
+    val srcs = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val bySv = d.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumnRenamed("n_chars", "v")
+    val fl = srcs.crossJoin(grid)
+      .join(bySv, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    fl.as("a").join(fl.as("b"),
+        col("a.v") === col("b.v") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
+        .as("ks_num"))
+      .withColumn("ks_x1e6",
+        expr("ks_num * CAST(1000000 AS BIGINT) DIV (n_a * n_b)"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q153: CORPUS-BALANCE DIAGNOSTICS — the GINI COEFFICIENT of
+    * per-source document counts and token mass, the one-number skew
+    * alarm for a training mix (G = 0 perfectly balanced sources, → 1 one
+    * source owns the corpus; mixture designers track exactly this before
+    * reaching for q139's temperature reweighting). Computed by the
+    * sorted-prefix identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) — all
+    * BIGINT, gini_x1e6 by integer division, no float anywhere.
+    *
+    * The ranking window is over ONE ROW PER SOURCE — bounded by the
+    * source count, not the corpus (q133's single-partition-window
+    * objection applies to per-document windows; a mixture has dozens of
+    * sources, so this is the legitimate tiny-global-sort case).
+    */
+  def q153ShardGini(s: SparkSession, dir: String): DataFrame = {
+    val per = tbl(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .localCheckpoint()
+    def gini(valueCol: String, name: String): DataFrame =
+      per.select(col("source"), col(valueCol).as("x"))
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+          sum(col("i") * col("x")).as("six"))
+        .select(lit(name).as("metric"), col("n"), col("total"),
+          (lit(2L) * col("six") - (col("n") + 1L) * col("total"))
+            .as("gini_num"))
+        .withColumn("gini_x1e6",
+          expr("gini_num * CAST(1000000 AS BIGINT) DIV (n * total)"))
+    gini("docs", "docs_per_source")
+      .unionByName(gini("chars", "chars_per_source"))
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_shard_gini" -> q153ShardGini _,
+    "q150_ks_drift" -> q150KsDrift _,
+    "q147_domain_tv" -> q147DomainTv _,
     "q103_dsir_weights" -> q103DsirWeights _,
     "q143_readability" -> q143Readability _,
     "q144_outlier_mad" -> q144OutlierMad _,
@@ -527,6 +656,59 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    "q153_shard_gini" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM documents GROUP BY 1),
+         |g AS (
+         |  SELECT 'docs_per_source' AS metric, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS total, CAST(SUM(i * x) AS BIGINT) AS six
+         |  FROM (SELECT docs AS x,
+         |    ROW_NUMBER() OVER (ORDER BY docs, source) AS i FROM per)
+         |  UNION ALL
+         |  SELECT 'chars_per_source', COUNT(*),
+         |    CAST(SUM(x) AS BIGINT), CAST(SUM(i * x) AS BIGINT)
+         |  FROM (SELECT chars AS x,
+         |    ROW_NUMBER() OVER (ORDER BY chars, source) AS i FROM per))
+         |SELECT metric, CAST(n AS BIGINT) AS n, total,
+         |  CAST(2 * six - (n + 1) * total AS BIGINT) AS gini_num,
+         |  CAST((2 * six - (n + 1) * total) * 1000000 // (n * total) AS BIGINT) AS gini_x1e6
+         |FROM g ORDER BY metric""".stripMargin,
+    "q150_ks_drift" ->
+      s"""WITH grid AS (SELECT DISTINCT n_chars AS v FROM documents),
+         |srcs AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |bysv AS (SELECT source, n_chars AS v, COUNT(*) AS c
+         |         FROM documents GROUP BY 1, 2),
+         |fl AS (
+         |  SELECT s.source, s.n, g.v,
+         |    SUM(COALESCE(b.c, 0)) OVER (PARTITION BY s.source ORDER BY g.v) AS cum
+         |  FROM srcs s CROSS JOIN grid g
+         |  LEFT JOIN bysv b ON b.source = s.source AND b.v = g.v)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |  CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS ks_num,
+         |  CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) * 1000000 // (a.n * b.n) AS BIGINT) AS ks_x1e6
+         |FROM fl a JOIN fl b ON a.v = b.v AND a.source < b.source
+         |GROUP BY a.source, b.source, a.n, b.n
+         |ORDER BY source_a, source_b""".stripMargin,
+    "q147_domain_tv" ->
+      s"""WITH tk AS (SELECT source, unnest($dkTokens) AS tok FROM documents),
+         |dom AS (SELECT source, tok, COUNT(*) AS obs FROM tk GROUP BY 1, 2),
+         |corp AS (SELECT tok, CAST(SUM(obs) AS BIGINT) AS cc FROM dom GROUP BY 1),
+         |dts AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS dt FROM dom GROUP BY 1),
+         |n AS (SELECT CAST(SUM(cc) AS BIGINT) AS ct FROM corp),
+         |agg AS (
+         |  SELECT d.source, dts.dt, (SELECT ct FROM n) AS ct,
+         |    COUNT(*) AS vocab_in_source,
+         |    CAST(SUM(ABS(d.obs * (SELECT ct FROM n) - dts.dt * c.cc)) AS BIGINT) AS present_num,
+         |    CAST(SUM(c.cc) AS BIGINT) AS cc_present
+         |  FROM dom d JOIN corp c USING (tok) JOIN dts USING (source)
+         |  GROUP BY d.source, dts.dt)
+         |SELECT source, dt AS dom_tokens, ct AS corpus_tokens,
+         |  CAST(vocab_in_source AS BIGINT) AS vocab_in_source,
+         |  CAST(present_num + dt * (ct - cc_present) AS BIGINT) AS tv_num,
+         |  CAST((present_num + dt * (ct - cc_present)) * 1000000 // (2 * dt * ct) AS BIGINT) AS tv_ppm
+         |FROM agg ORDER BY source""".stripMargin,
     "q143_readability" ->
       s"""WITH a AS (SELECT doc_id,
          |    CAST(len($dkTokens) AS BIGINT) AS words,

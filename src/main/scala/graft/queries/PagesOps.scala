@@ -1110,7 +1110,240 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q145: PERCEPTUAL IMAGE NEAR-DUP DETECTION — dHash + banded hamming
+    * join. Every image reduces, inside the scan stage, to a 64-bit
+    * difference hash ([[Multimodal.dhash64]]: ONE streaming decode pass
+    * into a 9×8 block-mean luma grid, then 64 horizontal gradient signs
+    * compared as exact integer cross-products). Near-dups are then found
+    * EXACTLY for radius ≤ 3 by the pigeonhole band join the text side
+    * uses for SimHash (q23/q41): 4 disjoint 16-bit bands — any pair
+    * within hamming 3 leaves ≥ 1 band untouched — then exact `bit_count`
+    * on candidates only. The image blob itself never shuffles: only
+    * (url, 8-byte hash) rows leave the scan stage, so the join cost is
+    * independent of image size at 100 TB.
+    *
+    * Planted truth ([[graft.sources.MediaSynth.neardupImagesDF]]): per
+    * group a base PNG, a sum-cancelling-noise PNG (planted hamming 0), a
+    * one-block-bumped PNG (planted hamming ≤ 2), and the SAME picture
+    * re-encoded as a BMP — the cross-container duplicate that certifies
+    * the hash is container-independent — plus unrelated singletons.
+    * `img_ok` is a full-outer equality of detected vs planted pairs:
+    * all-true ⇔ exact recall AND exact precision on the planted corpus.
+    */
+  def q145ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = graft.sources.MediaSynth.neardupImagesDF(s, 20, 12)
+    val hashed = imgs.select(col("url"), col("group_id"), col("bytes"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (url, gid, bytes) =>
+        (url, gid, Multimodal.dhash64(bytes).getOrElse(Long.MinValue))
+      }
+      .toDF("url", "group_id", "dhash")
+      .filter(col("dhash") =!= Long.MinValue)
+      // tiny signature table, materialized once for both self-join sides
+      // (the q63 discipline)
+      .localCheckpoint()
+    val bands = hashed.select(col("url"), col("group_id"), col("dhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("dhash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("url"), col("group_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.url") < col("b.url"))
+      .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
+        col("a.group_id").as("ga"), col("b.group_id").as("gb"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    val detected = cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+    val members = hashed.filter(col("group_id") >= 0)
+      .select(col("url"), col("group_id"))
+    val planted = members.as("x").join(members.as("y"),
+        col("x.group_id") === col("y.group_id") &&
+          col("x.url") < col("y.url"))
+      .select(col("x.url").as("p_a"), col("y.url").as("p_b"))
+    detected.join(planted,
+        col("url_a") === col("p_a") && col("url_b") === col("p_b"),
+        "full_outer")
+      .select(
+        coalesce(col("url_a"), col("p_a")).as("url_a"),
+        coalesce(col("url_b"), col("p_b")).as("url_b"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"),
+        (col("url_a").isNotNull && col("p_a").isNotNull &&
+          col("ga") === col("gb")).as("img_ok"))
+      .orderBy(col("url_a"), col("url_b"))
+  }
+
+  /** q146: DOCUMENT OUTLINE EXTRACTION — hierarchical section numbering
+    * (1, 1.1, 1.1.1, 1.2, 2, …) over the h1–h6 heading sequence of every
+    * page, the structural skeleton a layout-aware chunker or TOC builder
+    * consumes. Skipped levels render as 0 (an h3 directly under an h1 is
+    * `1.0.1`), headings before any ancestor count from 0 (`0.1`) — both
+    * conventions pinned by planted literals.
+    *
+    * Two INDEPENDENT implementations certify each other (`outline_ok`):
+    * a relational one — for each level k, a running `Σ[lvl<k]` window
+    * assigns the reset-group and a running `Σ[lvl=k]` within (url, group)
+    * numbers it, the label being the first `lvl` components — and a
+    * sequential counter fold per url (groupByKey; the obvious
+    * single-pass algorithm). Window partitions all share the url prefix,
+    * so a url-bucketed layout co-locates every one of them; heading rows
+    * are O(10) per document, the only thing shuffled.
+    */
+  def q146HeadingOutline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // hand-planted docs with LITERAL expected outlines (skipped-level and
+    // orphan-heading conventions)
+    val plantedDocs = Seq(
+      ("plant://outline/a",
+        "<h1>A</h1><p>x</p><h2>B</h2><h3>C</h3><h2>D</h2><h1>E</h1><h2>F</h2>"),
+      ("plant://outline/b",
+        "<h2>pre</h2><h1>A</h1><h3>deep</h3><h3>deep2</h3><h2>up</h2>"),
+      ("plant://outline/c", "<p>no headings at all</p>"))
+    val expected = Seq(
+      ("plant://outline/a", Seq("1", "1.1", "1.1.1", "1.2", "2", "2.1")),
+      ("plant://outline/b", Seq("0.1", "1", "1.0.1", "1.0.2", "1.1")))
+    // seed-derived deep-outline corpus: 60 docs of 12 headings over
+    // levels 1..4 — volume for the twin beyond the synth pages' single h1
+    val deepDocs = (0 until 60).map { i =>
+      val sb = new StringBuilder("<html><body>")
+      for (j <- 0 until 12) {
+        val lvl = 1 + Math.floorMod(i * 31 + j * 17 + (i * j) % 7, 4)
+        sb.append(s"<h$lvl>s$j</h$lvl><p>t</p>")
+      }
+      (f"plant://outline/deep/$i%02d", sb.append("</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ deepDocs).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    val hset = Set("h1", "h2", "h3", "h4", "h5", "h6")
+    val heads = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val bytes = if (html == null) Array.emptyByteArray else html
+      HtmlScanner.parse(bytes).iterator.collect {
+        case nd if nd.nodeType == NodeType.StartTag &&
+            hset(nd.tagName.toLowerCase) =>
+          (url, nd.idx, nd.tagName.toLowerCase.charAt(1) - '0')
+      }
+    }.toDF("url", "idx", "lvl")
+    // relational path: per level k, reset-group then running rank
+    val wBase = Window.partitionBy(col("url")).orderBy(col("idx"))
+    var df = heads
+    for (k <- 1 to 6)
+      df = df.withColumn(s"g$k",
+        sum(when(col("lvl") < k, 1).otherwise(0)).over(wBase))
+    for (k <- 1 to 6)
+      df = df.withColumn(s"c$k",
+        sum(when(col("lvl") === k, 1).otherwise(0))
+          .over(Window.partitionBy(col("url"), col(s"g$k")).orderBy(col("idx"))))
+    val sqlPath = df.withColumn("label",
+        concat_ws(".", slice(
+          transform(array((1 to 6).map(k => col(s"c$k")): _*),
+            x => x.cast("string")),
+          lit(1), col("lvl"))))
+      .withColumn("rank", row_number().over(wBase))
+      .withColumn("n_heads", count(lit(1)).over(Window.partitionBy(col("url"))))
+      .select(col("url"), col("idx"), col("lvl"), col("label"),
+        col("rank"), col("n_heads"))
+    // independent sequential-counter reference (the obvious algorithm)
+    val typed = heads.as[(String, Int, Int)].groupByKey(_._1)
+      .flatMapGroups { (url: String, it: Iterator[(String, Int, Int)]) =>
+        val hs = it.toArray.sortBy(_._2)
+        val cnt = new Array[Int](6)
+        hs.iterator.map { case (_, idx, lvl) =>
+          cnt(lvl - 1) += 1
+          var j = lvl
+          while (j < 6) { cnt(j) = 0; j += 1 }
+          (url, idx, cnt.take(lvl).mkString("."))
+        }
+      }.toDF("t_url", "t_idx", "t_label")
+    val exp = expected.flatMap { case (u, ls) =>
+      ls.zipWithIndex.map { case (l, i) => (u, i + 1, l, ls.length) }
+    }.toDF("e_url", "e_rank", "e_label", "e_n")
+    sqlPath
+      .join(typed, col("url") === col("t_url") && col("idx") === col("t_idx"))
+      .join(exp, col("url") === col("e_url") && col("rank") === col("e_rank"),
+        "left")
+      .select(col("url"), col("idx"), col("lvl"), col("label"),
+        (col("label") === col("t_label") &&
+          (col("e_label").isNull ||
+            (col("e_label") === col("label") && col("e_n") === col("n_heads"))))
+          .as("outline_ok"))
+      .orderBy(col("url"), col("idx"))
+  }
+
+  /** q148: AUDIO NEAR-DUP DETECTION — envelope hash + banded hamming
+    * join, the q145 discipline on the audio axis. Every PCM clip reduces
+    * in the scan stage to a 64-bit envelope hash
+    * ([[Multimodal.ahash64]]: 65 equal time windows of Σ|sample|, 64
+    * gradient signs by exact integer cross-products) that is invariant
+    * by construction to uniform VOLUME scaling (every window scales
+    * together) and to micro TIME-JITTER within a window (order-free
+    * sums) — the two transformations a re-encoded copy of the same
+    * material actually undergoes. Near-dups via the 4×16-bit pigeonhole
+    * band join, exact for radius ≤ 3, `bit_count` on candidates only;
+    * the waveform never shuffles.
+    *
+    * Planted truth ([[graft.sources.MediaSynth.neardupAudioDF]]): per
+    * group the base clip, a 5/8-volume re-master (planted hamming 0), a
+    * within-window jitter variant (hamming 0), a one-window level bump
+    * (hamming ≤ 2), plus unrelated singletons. `aud_ok` = full-outer
+    * detected==planted equality: exact recall AND precision.
+    */
+  def q148AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val auds = graft.sources.MediaSynth.neardupAudioDF(s, 20, 12)
+    val hashed = auds.select(col("url"), col("group_id"), col("bytes"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (url, gid, bytes) =>
+        (url, gid, Multimodal.ahash64(bytes).getOrElse(Long.MinValue))
+      }
+      .toDF("url", "group_id", "ahash")
+      .filter(col("ahash") =!= Long.MinValue)
+      .localCheckpoint()
+    val bands = hashed.select(col("url"), col("group_id"), col("ahash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("ahash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("url"), col("group_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.url") < col("b.url"))
+      .select(col("a.url").as("url_a"), col("b.url").as("url_b"),
+        col("a.group_id").as("ga"), col("b.group_id").as("gb"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    val detected = cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+    val members = hashed.filter(col("group_id") >= 0)
+      .select(col("url"), col("group_id"))
+    val planted = members.as("x").join(members.as("y"),
+        col("x.group_id") === col("y.group_id") &&
+          col("x.url") < col("y.url"))
+      .select(col("x.url").as("p_a"), col("y.url").as("p_b"))
+    detected.join(planted,
+        col("url_a") === col("p_a") && col("url_b") === col("p_b"),
+        "full_outer")
+      .select(
+        coalesce(col("url_a"), col("p_a")).as("url_a"),
+        coalesce(col("url_b"), col("p_b")).as("url_b"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"),
+        (col("url_a").isNotNull && col("p_a").isNotNull &&
+          col("ga") === col("gb")).as("aud_ok"))
+      .orderBy(col("url_a"), col("url_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_audio_neardup" -> q148AudioNeardup _,
+    "q146_heading_outline" -> q146HeadingOutline _,
+    "q145_image_neardup" -> q145ImageNeardup _,
     "q108_canonical" -> q108Canonical _,
     "q79_charset" -> q79Charset _,
     "q78_feeds" -> q78Feeds _,

@@ -879,6 +879,57 @@ object TextOps {
     * Scale: a stateless codegen'd projection — no shuffle at all beyond
     * the ORDER BY the driver contract requires.
     */
+  /** q151: PII DETECTION + REDACTION — emails, E.164-style phone numbers
+    * and IPv4 addresses found by anchored ASCII regex classes and masked
+    * to typed placeholders, the scrubbing pass every
+    * publicly-releasable training corpus runs (the C4/Dolma pipelines
+    * ship exactly this email/phone/IP regex family). Patterns use only
+    * the regex-dialect intersection of Java (Spark) and RE2 (the DuckDB
+    * oracle): ASCII classes, bounded repetition, `\b` word boundaries —
+    * no lookaround, so both engines provably match the same spans and
+    * the redacted text hashes identically.
+    *
+    * PII is PLANTED deterministically on top of the corpus text (doc_id
+    * keyed: every 3rd doc an email, every 5th an IP, every 7th a phone —
+    * ids divisible by 15/21/35/105 carry several kinds), so recall is
+    * checkable while the original prose exercises the false-positive
+    * surface. Scale shape: stateless per-row projection, no shuffle but
+    * the final ORDER BY; the redacted text never leaves the row.
+    */
+  def q151PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9]{2} [0-9]{3} [0-9]{6}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val d = tbl(s, dir, "documents")
+    val wired = d.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(200)),
+            lit(".3.44 logged"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call +44 207 "),
+            lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 6, "0"),
+            lit(" today"))).otherwise(lit(""))).as("wire"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("wire"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    wired.select(col("doc_id"),
+        size(regexp_extract_all(col("wire"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("wire"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("wire"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(redacted.cast("binary")).as("redacted_md5"),
+        (length(col("wire")) - length(redacted)).cast("long").as("shrunk"))
+      .orderBy(col("doc_id"))
+  }
+
   def q113TextSanitize(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
     // NB literal codepoints, NOT Spark SQL char(n): char() wraps at n%256
@@ -2057,6 +2108,7 @@ object TextOps {
     "q101_contamination_frac" -> q101ContaminationFrac _,
     "q111_syndication" -> q111Syndication _,
     "q113_text_sanitize" -> q113TextSanitize _,
+    "q151_pii_redact" -> q151PiiRedact _,
     "q114_exact_quantiles" -> q114ExactQuantiles _,
     "q115_vocab_growth" -> q115VocabGrowth _,
     "q116_prefix_join" -> q116PrefixJoin _,
@@ -2591,6 +2643,29 @@ object TextOps {
          |  (SELECT s.len FROM s
          |   WHERE s.rn = (k.pct * (SELECT n FROM n) + 99) // 100) AS len
          |FROM k ORDER BY k.stat""".stripMargin,
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    // global by default); patterns are the Java∩RE2 dialect intersection
+    "q151_pii_redact" ->
+      """WITH wired AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail.example.org now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200) || '.3.44 logged' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call +44 207 ' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') || ' today' ELSE '' END AS wire
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, wire,
+        |    regexp_replace(regexp_replace(regexp_replace(wire,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+[0-9]{2} [0-9]{3} [0-9]{6}', '[PHONE]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS red
+        |  FROM wired)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(wire, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(wire, '\+[0-9]{2} [0-9]{3} [0-9]{6}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(wire, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(red) AS redacted_md5,
+        |  CAST(length(wire) - length(red) AS BIGINT) AS shrunk
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q113_text_sanitize" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 4

@@ -161,7 +161,24 @@ object MediaSynth {
     * pattern values BEFORE filtering/compression, so the decoder is
     * checked through the full byte pipeline, not against itself.
     */
-  def pngPixelBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+  def pngPixelBytes(w: Int, h: Int, colorType: Int): Array[Byte] =
+    pngEncode(w, h, colorType, (x, y, cur, base) =>
+      colorType match {
+        case 0 => cur(base) = grayAt(x, y).toByte
+        case 4 =>
+          cur(base) = grayAt(x, y).toByte
+          cur(base + 1) = ((x + 3 * y) % 256).toByte // alpha (ignored in stats)
+        case _ =>
+          val (r, g, b) = rgbAt(x, y)
+          cur(base) = r.toByte; cur(base + 1) = g.toByte; cur(base + 2) = b.toByte
+          if (colorType == 6) cur(base + 3) = ((x + 3 * y) % 256).toByte
+      })
+
+  /** The shared PNG encode path (filter rotation + deflate + split IDAT);
+    * `fillPixel(x, y, buf, base)` writes one pixel's `bpp` bytes.
+    */
+  private def pngEncode(w: Int, h: Int, colorType: Int,
+      fillPixel: (Int, Int, Array[Byte], Int) => Unit): Array[Byte] = {
     val bpp = colorType match {
       case 0 => 1
       case 2 => 3
@@ -174,19 +191,7 @@ object MediaSynth {
     val cur = new Array[Byte](w * bpp)    // unfiltered pixel bytes, this row
     val prv = new Array[Byte](w * bpp)
     for (y <- 0 until h) {
-      for (x <- 0 until w) {
-        val base = x * bpp
-        colorType match {
-          case 0 => cur(base) = grayAt(x, y).toByte
-          case 4 =>
-            cur(base) = grayAt(x, y).toByte
-            cur(base + 1) = ((x + 3 * y) % 256).toByte // alpha (ignored in stats)
-          case _ =>
-            val (r, g, b) = rgbAt(x, y)
-            cur(base) = r.toByte; cur(base + 1) = g.toByte; cur(base + 2) = b.toByte
-            if (colorType == 6) cur(base + 3) = ((x + 3 * y) % 256).toByte
-        }
-      }
+      for (x <- 0 until w) fillPixel(x, y, cur, x * bpp)
       val ft = y % 5
       raw(y * rowLen) = ft.toByte
       for (i <- 0 until w * bpp) {
@@ -263,7 +268,7 @@ object MediaSynth {
     * all get exercised; truth comes from the raw index/palette values
     * before encoding.
     */
-  def gifPixelBytes(w: Int, h: Int): Array[Byte] = {
+  def gifPixelBytes(w: Int, h: Int, interlaced: Boolean = false): Array[Byte] = {
     val minCode = 8
     val clear = 1 << minCode
     val eoi = clear + 1
@@ -282,8 +287,13 @@ object MediaSynth {
     var nextCode = eoi + 1
     put(clear)
     var prev = -1
-    var y = 0
-    while (y < h) {
+    // interlaced storage writes rows in the four GIF passes (y ≡ 0 mod 8,
+    // 4 mod 8, 2 mod 4, odd) — same pixels, permuted row order
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until h
+      else (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++
+        (1 until h by 2)
+    for (y <- rowOrder) {
       var x = 0
       while (x < w) {
         val k = idxAt(x, y)
@@ -317,7 +327,6 @@ object MediaSynth {
         }
         x += 1
       }
-      y += 1
     }
     if (prev >= 0) put(prev)
     put(eoi)
@@ -336,7 +345,7 @@ object MediaSynth {
     }
     bb.write(0x2C) // image descriptor: full-frame at (0,0), no LCT
     bb.write(le16(0)); bb.write(le16(0)); bb.write(le16(w)); bb.write(le16(h))
-    bb.write(0)
+    bb.write(if (interlaced) 0x40 else 0)
     bb.write(minCode)
     var off = 0
     while (off < lzw.length) {
@@ -466,7 +475,11 @@ object MediaSynth {
   /** Spec-valid 24-bit BI_RGB BMP (bottom-up, 4-byte-padded rows) carrying
     * the [[rgbAt]] pixel pattern — a REAL-pixel fixture.
     */
-  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+  def bmpBytes(w: Int, h: Int): Array[Byte] = bmpOfRgb(w, h, rgbAt)
+
+  /** 24-bit BI_RGB BMP of an arbitrary RGB pattern. */
+  private def bmpOfRgb(w: Int, h: Int,
+      rgbFn: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val dataOff = 54
     val total = dataOff + rowSize * h
@@ -483,11 +496,194 @@ object MediaSynth {
     le32(rowSize * h).copyToArray(out, 34)
     for (row <- 0 until h; x <- 0 until w) {
       val y = h - 1 - row // bottom-up storage
-      val (r, g, b) = rgbAt(x, y)
+      val (r, g, b) = rgbFn(x, y)
       val base = dataOff + row * rowSize + x * 3
       out(base) = b.toByte; out(base + 1) = g.toByte; out(base + 2) = r.toByte
     }
     out
+  }
+
+  // ---- seeded near-dup image family (q145 fixtures) ----------------------
+
+  /** splitmix64 finalizer (Steele/Lea/Flood 2014, public domain). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Four coarse luma levels for the seeded block pattern: any two blocks
+    * are either exactly equal or ≥ 60 apart, so a near-dup variant's
+    * sum-cancelling ±2 pixel noise can never flip a dHash gradient sign.
+    */
+  private val BlockLevels = Array(30, 90, 150, 210)
+
+  /** Luma level of dHash block (cx ∈ 0..8, cy ∈ 0..7) for a seed. */
+  def blockLevel(seed: Long, cx: Int, cy: Int): Int =
+    BlockLevels(((mix64(seed * 977 + cy * 9 + cx) >>> 32) & 3).toInt)
+
+  /** Fixture dims chosen so every dHash 9×8 block is exactly 10×10 px. */
+  val NeardupW = 90
+  val NeardupH = 80
+
+  private def seedLuma(seed: Long, x: Int, y: Int): Int =
+    blockLevel(seed, x / 10, y / 10)
+
+  private def grayPng(w: Int, h: Int, lumaAt: (Int, Int) => Int): Array[Byte] =
+    pngEncode(w, h, 2, (x, y, cur, base) => {
+      // r=g=b=luma: the decoders' integer Rec.709 (2126r+7152g+722b)/10000
+      // reproduces the sample EXACTLY, keeping block sums integral
+      val l = lumaAt(x, y).toByte
+      cur(base) = l; cur(base + 1) = l; cur(base + 2) = l
+    })
+
+  /** Base picture of a near-dup group. */
+  def seededPng(seed: Long): Array[Byte] =
+    grayPng(NeardupW, NeardupH, seedLuma(seed, _, _))
+
+  /** Near-dup: ±2 checker noise that cancels EXACTLY inside every 10×10
+    * block (50 `+2` and 50 `-2` pixels per block) — every byte of the
+    * raster differs from the base, every block sum (hence the dHash) is
+    * identical. Hamming distance to the base: exactly 0.
+    */
+  def seededNoisyPng(seed: Long): Array[Byte] =
+    grayPng(NeardupW, NeardupH, (x, y) =>
+      seedLuma(seed, x, y) + (if (((x + y) & 1) == 0) 2 else -2))
+
+  /** Near-dup: ONE block bumped a full 60-luma level step — can flip at
+    * most the two dHash bits comparing that block with its left and right
+    * neighbors (hamming ≤ 2 from the base, inside the detection radius).
+    */
+  def seededBumpPng(seed: Long): Array[Byte] = {
+    val bx = ((mix64(seed ^ 0x5bf03721L) >>> 8) % 9).toInt
+    val by = ((mix64(seed ^ 0x1c8e44d9L) >>> 8) % 8).toInt
+    grayPng(NeardupW, NeardupH, (x, y) => {
+      val l = seedLuma(seed, x, y)
+      if (x / 10 == bx && y / 10 == by) { if (l <= 150) l + 60 else l - 60 }
+      else l
+    })
+  }
+
+  /** The SAME picture as [[seededPng]] re-encoded as a 24-bit BMP — the
+    * cross-container duplicate (dHash must come out bit-identical).
+    */
+  def seededBmp(seed: Long): Array[Byte] =
+    bmpOfRgb(NeardupW, NeardupH, (x, y) => {
+      val l = seedLuma(seed, x, y)
+      (l, l, l)
+    })
+
+  // ---- seeded near-dup audio family (q148 fixtures) ----------------------
+
+  /** 65 envelope windows × 160 samples — the [[graft.functions.Multimodal.ahash64]]
+    * window count, sample count an exact multiple so every window is the
+    * same size.
+    */
+  val AudioWindows = 65
+  val AudioWinSamples = 160
+
+  /** Per-window amplitude level ∈ {256, 1024, 4096, 16384}: 4× gaps, so
+    * integer truncation under volume scaling can never reorder two
+    * DISTINCT levels, while equal levels produce byte-identical windows
+    * (hence exactly equal envelope sums) under any uniform scaling.
+    */
+  def audioLevel(seed: Long, w: Int): Int =
+    Array(256, 1024, 4096, 16384)(((mix64(seed * 4099 + w) >>> 32) & 3).toInt)
+
+  /** Triangle carrier, period 64, range [-64, 63]. */
+  private def tri(j: Int): Int = {
+    val m = j % 64
+    (if (m < 32) m - 16 else 47 - m) * 4
+  }
+
+  /** Seeded WAV (mono s16le, 8 kHz): per-window triangle carrier scaled by
+    * the seed's level sequence. `volNum/volDen` applies a uniform volume
+    * change (sample-wise integer scaling); `rotate` cyclically shifts the
+    * samples WITHIN each window by a seed-derived offset (bytes differ,
+    * order-free window sums identical); `bumpWin` ≥ 0 moves that one
+    * window a full level step (±2 envelope-hash bits at most).
+    */
+  def seededWav(seed: Long, volNum: Int = 1, volDen: Int = 1,
+      rotate: Boolean = false, bumpWin: Int = -1): Array[Byte] = {
+    val frames = AudioWindows * AudioWinSamples
+    val data = new Array[Byte](frames * 2)
+    val rot = if (rotate) 1 + ((mix64(seed ^ 0x7e11a3L) >>> 8) % 151).toInt else 0
+    for (w <- 0 until AudioWindows) {
+      var lvl = audioLevel(seed, w)
+      if (w == bumpWin) lvl = if (lvl <= 4096) lvl * 4 else lvl / 4
+      for (j <- 0 until AudioWinSamples) {
+        val jj = (j + rot) % AudioWinSamples
+        val s = lvl * tri(jj) / 64 * volNum / volDen
+        val base = (w * AudioWinSamples + j) * 2
+        data(base) = s.toByte
+        data(base + 1) = (s >> 8).toByte
+      }
+    }
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000 * 2) ++ le16(2) ++ le16(16)
+    val dataChunk = "data".getBytes ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ dataChunk
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  /** One audio row of the planted near-dup corpus. */
+  final case class NeardupAud(url: String, bytes: Array[Byte], group_id: Long)
+
+  /** Planted near-dup audio corpus for q148: per group — the base clip, a
+    * 5/8-volume re-master (envelope hash unchanged), a within-window
+    * time-jitter variant (rotated samples, hash unchanged), and a
+    * one-window level bump (hamming ≤ 2) — plus unrelated singletons.
+    */
+  def neardupAudioDF(spark: SparkSession, groups: Int, singles: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, (groups + singles).toLong)
+      .repartition(4)
+      .as[Long].flatMap { id =>
+        if (id < groups) {
+          val seed = 0xBEA7000L + id * 6007L
+          val bump = (Math.floorMod(mix64(seed), 65L)).toInt
+          Seq(
+            NeardupAud(f"aud://grp/$id%03d/a.wav", seededWav(seed), id),
+            NeardupAud(f"aud://grp/$id%03d/b.wav",
+              seededWav(seed, volNum = 5, volDen = 8), id),
+            NeardupAud(f"aud://grp/$id%03d/c.wav",
+              seededWav(seed, rotate = true), id),
+            NeardupAud(f"aud://grp/$id%03d/d.wav",
+              seededWav(seed, bumpWin = bump), id))
+        } else {
+          val seed = 0xD15C000L + id * 15013L
+          Seq(NeardupAud(f"aud://solo/$id%03d.wav", seededWav(seed), -1 - id))
+        }
+      }.toDF()
+  }
+
+  /** One image row of the planted near-dup corpus. */
+  final case class NeardupImg(url: String, bytes: Array[Byte], group_id: Long)
+
+  /** Planted near-dup image corpus for q145: per group — a base PNG, a
+    * sum-cancelling-noise PNG (hamming 0), a one-block-bumped PNG
+    * (hamming ≤ 2) and the base picture as a BMP (cross-container,
+    * hamming 0) — plus `singles` unrelated singleton images (group_id
+    * < 0, expected to pair with nothing). Fully deterministic.
+    */
+  def neardupImagesDF(spark: SparkSession, groups: Int, singles: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, (groups + singles).toLong)
+      .repartition(4) // the synth is per-row embarrassingly parallel
+      .as[Long].flatMap { id =>
+        if (id < groups) {
+          val seed = 0xA11CE000L + id * 7919L
+          Seq(
+            NeardupImg(f"img://grp/$id%03d/a.png", seededPng(seed), id),
+            NeardupImg(f"img://grp/$id%03d/b.png", seededNoisyPng(seed), id),
+            NeardupImg(f"img://grp/$id%03d/c.png", seededBumpPng(seed), id),
+            NeardupImg(f"img://grp/$id%03d/d.bmp", seededBmp(seed), id))
+        } else {
+          val seed = 0x50C1A150L + id * 104729L
+          Seq(NeardupImg(f"img://solo/$id%03d.png", seededPng(seed), -1 - id))
+        }
+      }.toDF()
   }
 
   /** Binary P6 PPM with a header comment, carrying the same [[rgbAt]]

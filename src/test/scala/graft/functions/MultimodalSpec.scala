@@ -565,6 +565,156 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dhash64: matches a naive ImageIO-based reference on PNG, GIF and BMP") {
+    import graft.sources.MediaSynth
+    // independent reference: decode the WHOLE raster with the JDK, then
+    // compute the 9x8 block means and gradient signs the obvious way
+    def naive(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val l = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000
+        val cx = (x.toLong * 9 / w).toInt
+        val cy = (y.toLong * 8 / h).toInt
+        sums(cy)(cx) += l
+        cnts(cy)(cx) += 1
+      }
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (sums(y)(x + 1) * cnts(y)(x) > sums(y)(x) * cnts(y)(x + 1))
+          bits |= 1L << (y * 8 + x)
+      bits
+    }
+    for ((w, h) <- Seq((90, 80), (64, 48), (127, 33), (9, 8))) {
+      val png = MediaSynth.pngPixelBytes(w, h, 2)
+      assert(Multimodal.dhash64(png) === Some(naive(png)), s"png ${w}x$h")
+      val gif = MediaSynth.gifPixelBytes(w, h)
+      assert(Multimodal.dhash64(gif) === Some(naive(gif)), s"gif ${w}x$h")
+      val bmp = MediaSynth.bmpBytes(w, h)
+      assert(Multimodal.dhash64(bmp) === Some(naive(bmp)), s"bmp ${w}x$h")
+      // pngPixelBytes / bmpBytes / ppmBytes carry the SAME rgbAt picture:
+      // the hash must be container-independent
+      assert(Multimodal.dhash64(png) === Multimodal.dhash64(bmp))
+      assert(Multimodal.dhash64(MediaSynth.ppmBytes(w, h)) ===
+        Multimodal.dhash64(bmp))
+    }
+    // below the 9x8 grid: None, not a degenerate hash
+    assert(Multimodal.dhash64(MediaSynth.pngPixelBytes(8, 8, 2)).isEmpty)
+    assert(Multimodal.dhash64(MediaSynth.pngPixelBytes(9, 7, 2)).isEmpty)
+  }
+
+  test("dhash64: GIF interlaced == non-interlaced (row re-mapping is exact)") {
+    import graft.sources.MediaSynth
+    for ((w, h) <- Seq((90, 80), (40, 21), (16, 9))) {
+      val plain = MediaSynth.gifPixelBytes(w, h)
+      val inter = MediaSynth.gifPixelBytes(w, h, interlaced = true)
+      assert(!java.util.Arrays.equals(plain, inter)) // genuinely different bytes
+      // order-free stats agree...
+      assert(Multimodal.gifPixels(plain) === Multimodal.gifPixels(inter))
+      // ...and so does the SPATIAL hash — only true if rowToY is right
+      if (w >= 9 && h >= 8)
+        assert(Multimodal.dhash64(plain) === Multimodal.dhash64(inter),
+          s"interlace mapping broke at ${w}x$h")
+    }
+  }
+
+  test("dhash64: seeded near-dup family has the planted hamming structure") {
+    import graft.sources.MediaSynth
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = (0 until 20).map(i => 0xA11CE000L + i * 7919L)
+    val hashes = seeds.map(s => Multimodal.dhash64(MediaSynth.seededPng(s)).get)
+    seeds.zip(hashes).foreach { case (s, base) =>
+      // cross-container dup: exactly equal
+      assert(Multimodal.dhash64(MediaSynth.seededBmp(s)) === Some(base))
+      // sum-cancelling noise: exactly equal despite every byte differing
+      assert(Multimodal.dhash64(MediaSynth.seededNoisyPng(s)) === Some(base))
+      // one-block bump: within the detection radius
+      val bumped = Multimodal.dhash64(MediaSynth.seededBumpPng(s)).get
+      assert(ham(base, bumped) <= 2, s"seed $s bump hamming ${ham(base, bumped)}")
+    }
+    // distinct seeds are far apart — no cross-group false positives at
+    // radius 3 (deterministic corpus: this either always holds or never)
+    for (i <- hashes.indices; j <- hashes.indices if i < j)
+      assert(ham(hashes(i), hashes(j)) > 3, s"seeds $i/$j too close")
+  }
+
+  test("ahash64: volume/jitter invariance, bump bound, naive-reference equality") {
+    import graft.sources.MediaSynth
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // independent reference: decode samples with JDK AudioSystem, window
+    // sums the obvious way
+    def naive(bytes: Array[Byte]): Long = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      for (k <- 0 until n) {
+        val v = ((raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8)).toShort
+        val w = (k.toLong * 65 / n).toInt
+        sums(w) += math.abs(v.toInt)
+        cnts(w) += 1
+      }
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) acc | (1L << i) else acc
+      }
+    }
+    val seeds = (0 until 20).map(i => 0xBEA7000L + i * 6007L)
+    val hashes = seeds.map(s => Multimodal.ahash64(MediaSynth.seededWav(s)).get)
+    seeds.zip(hashes).foreach { case (s, base) =>
+      assert(naive(MediaSynth.seededWav(s)) === base)
+      // 5/8-volume re-master: envelope gradient signs survive scaling
+      assert(Multimodal.ahash64(
+        MediaSynth.seededWav(s, volNum = 5, volDen = 8)) === Some(base))
+      // within-window time jitter: order-free sums, hash unchanged
+      assert(Multimodal.ahash64(
+        MediaSynth.seededWav(s, rotate = true)) === Some(base))
+      // one-window level bump: at most the two adjacent comparisons flip
+      val bump = (Math.floorMod(
+        (s * 0x9E3779B97F4A7C15L) ^ s, 65L)).toInt // any in-range window
+      val bumped = Multimodal.ahash64(
+        MediaSynth.seededWav(s, bumpWin = bump)).get
+      assert(ham(base, bumped) <= 2, s"seed $s bump hamming ${ham(base, bumped)}")
+    }
+    for (i <- hashes.indices; j <- hashes.indices if i < j)
+      assert(ham(hashes(i), hashes(j)) > 3, s"seeds $i/$j too close")
+    // truncation + bit-flip fuzz
+    val base = MediaSynth.seededWav(99L)
+    val rnd = new scala.util.Random(11)
+    (0 until 60).foreach { _ =>
+      Multimodal.ahash64(java.util.Arrays.copyOf(base, rnd.nextInt(base.length)))
+    }
+    (0 until 400).foreach { _ =>
+      val b = base.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.ahash64(b)
+    }
+  }
+
+  test("dhash64: truncation and bit-flip fuzz never throws") {
+    import graft.sources.MediaSynth
+    val fixtures = Seq(MediaSynth.seededPng(42L), MediaSynth.gifPixelBytes(40, 30),
+      MediaSynth.bmpBytes(40, 30), MediaSynth.ppmBytes(40, 30))
+    val rnd = new scala.util.Random(7)
+    for (base <- fixtures) {
+      (0 until 60).foreach { _ =>
+        Multimodal.dhash64(java.util.Arrays.copyOf(base, rnd.nextInt(base.length)))
+      }
+      (0 until 400).foreach { _ =>
+        val b = base.clone()
+        val at = rnd.nextInt(b.length)
+        b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+        Multimodal.dhash64(b)
+      }
+    }
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)

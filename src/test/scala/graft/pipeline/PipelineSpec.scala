@@ -707,4 +707,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p3 = PackStage.run(spark, out, cap / 2)
     assert(p3.bins > p1.bins && p3.tokens === p1.tokens && p3.allOk)
   }
+
+  test("pii stage: planted PII redacted, counts match a driver-side regex reference, resumable") {
+    val out = Files.createTempDirectory("graft-pii").toString
+    // plant all three PII kinds into every 3rd page's html so they flow
+    // through extraction into the text PiiStage reads
+    val pii = "<p>contact alice@mail.example.org from 10.1.2.3 call +44 207 123456</p>"
+    val pages = PagesSynth.pagesDF(spark, 90L)
+      .withColumn("html",
+        when(pmod(xxhash64(col("url")), lit(3)) === 0,
+          concat(col("html"), lit(pii.getBytes(UTF_8))))
+          .otherwise(col("html")))
+    ExtractJob.run(spark, pages, out,
+      ExtractJob.Config(numParts = 4, batchSize = 4))
+    // driver-side reference: java.util.regex over the extracted text,
+    // independent of Spark's regexp_* family
+    val extracted = spark.read.parquet(ExtractJob.extractedPath(out))
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def countRe(re: String, s: String): Long =
+      re.r.findAllMatchIn(s).size.toLong
+    val expEmails = extracted.values.map(countRe(PiiStage.EmailRe, _)).sum
+    val expPhones = extracted.values.map(countRe(PiiStage.PhoneRe, _)).sum
+    val expIps = extracted.values.map(countRe(PiiStage.IpRe, _)).sum
+    val expTouched = extracted.values.count(t =>
+      countRe(PiiStage.EmailRe, t) + countRe(PiiStage.PhoneRe, t) +
+        countRe(PiiStage.IpRe, t) > 0).toLong
+    assert(expEmails >= 25L && expPhones >= 25L && expIps >= 25L,
+      s"plant failed to reach the extracted text: $expEmails/$expPhones/$expIps")
+    val s1 = PiiStage.run(spark, out)
+    assert(s1.docs === 90L)
+    assert(s1.emails === expEmails && s1.phones === expPhones &&
+      s1.ips === expIps && s1.docsTouched === expTouched, s"summary: $s1")
+    // redacted view: touched rows carry typed placeholders and no raw
+    // match survives; untouched rows are byte-identical to the source text
+    val red = spark.read.parquet(PiiStage.redactedPath(out))
+      .select("url", "n_emails", "n_phones", "n_ips", "red_text").collect()
+    assert(red.length === 90)
+    red.foreach { r =>
+      val (url, txt) = (r.getString(0), r.getString(4))
+      assert(countRe(PiiStage.EmailRe, txt) === 0L, s"raw email survived in $url")
+      assert(countRe(PiiStage.PhoneRe, txt) === 0L, s"raw phone survived in $url")
+      assert(countRe(PiiStage.IpRe, txt) === 0L, s"raw ip survived in $url")
+      if (r.getLong(1) + r.getLong(2) + r.getLong(3) > 0) {
+        assert(txt.contains("[EMAIL]") || txt.contains("[PHONE]") ||
+          txt.contains("[IP]"), s"touched row lost its placeholder: $url")
+      } else assert(txt === extracted(url), s"untouched row rewritten: $url")
+    }
+    // resume: committed manifest answers without rewriting the view
+    val f = new java.io.File(PiiStage.redactedPath(out))
+      .listFiles().filter(_.getName.startsWith("part_id=")).head
+    val mtime = f.lastModified()
+    assert(PiiStage.run(spark, out) === s1)
+    assert(f.lastModified() === mtime, "resume rewrote the redacted view")
+    // kill before the unit -> partial; re-run completes
+    val out2 = Files.createTempDirectory("graft-pii2").toString
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 30L), out2,
+      ExtractJob.Config(numParts = 2, batchSize = 2))
+    assert(PiiStage.runResumable(spark, out2, maxUnits = 0).isEmpty)
+    assert(PiiStage.runResumable(spark, out2).nonEmpty)
+  }
 }

@@ -81,7 +81,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q127_template_cluster" -> "tpl_ok",
       "q129_kcore" -> "core_ok",
       "q141_pq_ann" -> "pq_ok",
-      "q142_jsonld" -> "ld_ok")
+      "q142_jsonld" -> "ld_ok",
+      "q145_image_neardup" -> "img_ok",
+      "q146_heading_outline" -> "outline_ok",
+      "q148_audio_neardup" -> "aud_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
