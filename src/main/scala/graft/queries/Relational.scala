@@ -649,6 +649,94 @@ object Relational {
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q154: URL-TEMPLATE trap mining — collapse every url to host + the
+    * digit-erased path TEMPLATE and flag templates whose DISTINCT-url
+    * count blows past a per-template crawl budget (IRLbot's budget
+    * enforcement, Lee et al. WWW'09, moved from site to template grain):
+    * calendars, session-id urls and unbounded pagination all mint fresh
+    * urls under one template forever, and an unmetered crawler spends its
+    * whole host budget inside the trap. Three planted path families make
+    * both shapes measurable: `/article/K` draws from a FIXED pool of 40
+    * ids per host (a real site's finite content — can never exceed the
+    * budget at any corpus scale), while `/cal/Y/M/D` and
+    * `/item/K?session=S` mint distinct urls proportional to crawl volume
+    * (the session family crosses the budget at every harness scale).
+    *
+    * Scale shape: the template projection is stateless; one map-combined
+    * (host, template) aggregate; host totals are a ≤#hosts-row rollup
+    * that re-enters BROADCAST. The url corpus shuffles once, on the
+    * (host, template) key it groups by.
+    */
+  def q154UrlTemplates(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://sup"), (col("l_suppkey") % 40).cast("string"),
+      lit(".example.com"),
+      when(col("l_linenumber") % 3 === 0,
+        concat(lit("/article/"), (col("l_orderkey") % 40).cast("string")))
+        .when(col("l_linenumber") % 3 === 1,
+          concat(lit("/cal/"), (col("l_orderkey") % 25 + 1995).cast("string"),
+            lit("/"), (col("l_orderkey") % 12 + 1).cast("string"),
+            lit("/"), (col("l_partkey") % 28 + 1).cast("string")))
+        .otherwise(concat(lit("/item/"), col("l_partkey").cast("string"),
+          lit("?session="), col("l_orderkey").cast("string"))))
+    val u = tbl(s, dir, "lineitem")
+      .select(url.as("url"))
+      .select(regexp_extract(col("url"), "^https://([^/]+)", 1).as("host"),
+        regexp_replace(regexp_extract(col("url"), "^https://[^/]+(.*)$", 1),
+          "[0-9]+", "N").as("template"),
+        col("url"))
+    val byTpl = u.groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("url")).as("uniq_urls"), count(lit(1)).as("hits"))
+    val byHost = byTpl.groupBy(col("host"))
+      .agg(sum(col("uniq_urls")).as("host_urls"))
+    byTpl.join(broadcast(byHost), "host")
+      .select(col("host"), col("template"), col("uniq_urls"), col("hits"),
+        expr("uniq_urls * CAST(10000 AS BIGINT) DIV host_urls").as("share_bp"),
+        (col("uniq_urls") > lit(45L)).as("trap"))
+      .orderBy(col("host"), col("template"))
+  }
+
+  /** q155: RE-VISIT SCHEDULING — estimate each page's change rate from
+    * its crawl history and derive the re-crawl interval (the freshness
+    * policy of Cho & Garcia-Molina, TOIT 2003: pages that change on
+    * every visit get re-crawled at the observed gap; pages that never
+    * change back off exponentially). The change-rate estimator is the
+    * repo's floor-log₂ surrogate of the C&G-M MLE λ̂·T = −ln((n−X)/n):
+    * `lam_bits = bitlen(n+1) − bitlen(n−X+1)` (q84/q103 discipline —
+    * bit-identical in both engines), and the interval is the observed
+    * mean gap arithmetic-shifted right by lam_bits, floored at one day.
+    * Visit histories are synthesized from orders (page = custkey-bucket,
+    * visit day = epoch-day of o_orderdate, changed = an orderkey residue
+    * against a per-page planted rate 1/7…6/7 — so the interval spread is
+    * a real signal, not noise).
+    *
+    * Scale shape: one map-combined page-keyed aggregate over a stateless
+    * projection; everything after is per-group O(1) arithmetic. This is
+    * the whole-web-history shape: the crawl log never shuffles twice.
+    */
+  def q155RevisitSchedule(s: SparkSession, dir: String): DataFrame = {
+    val v = tbl(s, dir, "orders")
+      .select((col("o_custkey") % 250).as("page"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        col("o_orderkey"))
+      .withColumn("chg",
+        when(col("o_orderkey") % 7 < (col("page") % 6 + 1), 1L).otherwise(0L))
+    v.groupBy(col("page"))
+      .agg(count(lit(1)).as("n"), sum(col("chg")).as("x"),
+        (max(col("day")) - min(col("day"))).as("span"))
+      .filter(col("n") >= 2)
+      .withColumn("gap_days", expr("span DIV (n - 1)"))
+      .withColumn("lam_bits",
+        (length(bin(col("n") + 1)) - length(bin(col("n") - col("x") + 1)))
+          .cast("long"))
+      .select(col("page"), col("n"), col("x"),
+        expr("x * CAST(10000 AS BIGINT) DIV n").as("p_bp"),
+        col("lam_bits"), col("gap_days"),
+        expr("GREATEST(CAST(1 AS BIGINT), SHIFTRIGHT(gap_days, CAST(lam_bits AS INT)))")
+          .as("interval_days"))
+      .orderBy(col("page"))
+  }
+
   /** Deterministic per-host fixtures of the q73 frontier: robots.txt with
     * a Sitemap: pointer, and the sitemap XML that pointer names. Used by
     * both the distributed query (inside flatMap) and LinkGraphSpec's
@@ -881,6 +969,8 @@ object Relational {
     "q131_scd2" -> q131Scd2 _,
     "q132_sliding_rate" -> q132SlidingRate _,
     "q48_url_parse" -> q48UrlParse _,
+    "q154_url_templates" -> q154UrlTemplates _,
+    "q155_revisit_schedule" -> q155RevisitSchedule _,
     "q119_url_blocklist" -> q119UrlBlocklist _,
     "q135_domain_blocklist" -> q135DomainBlocklist _,
     "q136_tracking_params" -> q136TrackingParams _,
@@ -1083,6 +1173,48 @@ object Relational {
         |    AS BIGINT)) AS orders,
         |  CAST(MAX(len(string_split(url, '/')) - 3) AS BIGINT) AS max_depth
         |FROM u GROUP BY host ORDER BY host""".stripMargin,
+    "q154_url_templates" ->
+      """WITH u AS (
+        |  SELECT 'https://sup' || CAST(l_suppkey % 40 AS VARCHAR) || '.example.com' ||
+        |    CASE WHEN l_linenumber % 3 = 0
+        |           THEN '/article/' || CAST(l_orderkey % 40 AS VARCHAR)
+        |         WHEN l_linenumber % 3 = 1
+        |           THEN '/cal/' || CAST(l_orderkey % 25 + 1995 AS VARCHAR) ||
+        |                '/' || CAST(l_orderkey % 12 + 1 AS VARCHAR) ||
+        |                '/' || CAST(l_partkey % 28 + 1 AS VARCHAR)
+        |         ELSE '/item/' || CAST(l_partkey AS VARCHAR) ||
+        |              '?session=' || CAST(l_orderkey AS VARCHAR) END AS url
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |    regexp_replace(regexp_extract(url, '^https://[^/]+(.*)$', 1),
+        |      '[0-9]+', 'N', 'g') AS template, url
+        |  FROM u),
+        |bt AS (SELECT host, template, COUNT(DISTINCT url) AS uniq_urls,
+        |         COUNT(*) AS hits FROM t GROUP BY 1, 2),
+        |bh AS (SELECT host, CAST(SUM(uniq_urls) AS BIGINT) AS host_urls
+        |       FROM bt GROUP BY 1)
+        |SELECT host, template, uniq_urls, hits,
+        |  uniq_urls * CAST(10000 AS BIGINT) // host_urls AS share_bp,
+        |  uniq_urls > 45 AS trap
+        |FROM bt JOIN bh USING (host) ORDER BY host, template""".stripMargin,
+    "q155_revisit_schedule" ->
+      """WITH v AS (
+        |  SELECT o_custkey % 250 AS page,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CASE WHEN o_orderkey % 7 < (o_custkey % 250) % 6 + 1
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders),
+        |a AS (SELECT page, COUNT(*) AS n, CAST(SUM(chg) AS BIGINT) AS x,
+        |        MAX(day) - MIN(day) AS span FROM v GROUP BY 1),
+        |b AS (SELECT page, n, x, span // (n - 1) AS gap_days,
+        |        CAST(length(bin(n + 1)) - length(bin(n - x + 1)) AS BIGINT)
+        |          AS lam_bits
+        |      FROM a WHERE n >= 2)
+        |SELECT page, n, x, x * CAST(10000 AS BIGINT) // n AS p_bp,
+        |  lam_bits, gap_days,
+        |  greatest(CAST(1 AS BIGINT), gap_days >> lam_bits) AS interval_days
+        |FROM b ORDER BY page""".stripMargin,
     // The oracle constructs the rules the robots.txt PARSE must produce:
     // graftbot group (order/order-pub, odd hosts add /item/) on h%5<>0
     // hosts; h%5=0 hosts have no graftbot group, so the `*` group's

@@ -1448,6 +1448,62 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q156: HOST-LEVEL boilerplate line removal — drop lines that repeat
+    * across MOST documents of the same source/host (cookie banners,
+    * consent notices, footer chrome: the cross-document chrome that q91's
+    * within-doc dedup and q70's corpus-wide span dedup both leave
+    * standing; CCNet removes exactly this class by per-shard line
+    * frequency, Wenzek et al. LREC 2020). A line is boilerplate for its
+    * source iff it appears in ≥ 3 documents AND ≥ 60 % of the source's
+    * documents — the per-host threshold keeps one site's chrome from
+    * deleting another site's content. Documents are rebuilt from the
+    * surviving lines in original order and fingerprinted, so the oracle
+    * checks the edit, not just counts. Lines are the q91 planting (the
+    * corpus has no newlines): 6-token slices, plus a per-source banner
+    * wired onto 3/4 of docs (must be removed) and a rarer promo line on
+    * ~9 % (must survive the 60 % gate).
+    *
+    * Scale shape: one explode → one map-combined (source, line)
+    * distinct-doc aggregate; the boilerplate set (a handful of lines per
+    * host) re-enters BROADCAST as a per-source sorted array, so the
+    * rebuild is a stateless per-row array filter — the corpus text never
+    * shuffles at all. The only Exchange over full rows is the edge
+    * ORDER BY.
+    */
+  def q156HostBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val content = transform(
+      sequence(lit(0), ((size(t) + 5) / 6).cast("int") - 1),
+      i => array_join(slice(t, i * 6 + 1, lit(6)), " "))
+    val banner = when(col("doc_id") % 4 =!= 3,
+      array(concat(lit("we use cookies on "), col("source"))))
+      .otherwise(array().cast("array<string>"))
+    val promo = when(col("doc_id") % 11 === 0,
+      array(concat(lit("weekly promo at "), col("source"))))
+      .otherwise(array().cast("array<string>"))
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(banner, promo, content).as("lines"))
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(col("lines")).as("line"))
+    val df = ex.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("d"))
+    val sd = docs.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val boiler = df.join(broadcast(sd), "source")
+      .filter(col("d") >= 3 && col("d") * 10 >= col("nd") * 6)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("line"))).as("bl"))
+    docs.join(broadcast(boiler), Seq("source"), "left")
+      .withColumn("bl", coalesce(col("bl"), array().cast("array<string>")))
+      .withColumn("kept",
+        filter(col("lines"), x => !array_contains(col("bl"), x)))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).cast("long").as("n_dropped"),
+        md5s(array_join(col("kept"), "\n")).as("rebuilt_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q92: BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) —
     * the ranking function of every search-indexed corpus, here over a
     * fixed three-term query. All arithmetic is integer so the DuckDB
@@ -2094,6 +2150,7 @@ object TextOps {
     "q88_mixture_sample" -> q88MixtureSample _,
     "q90_gopher_battery" -> q90GopherBattery _,
     "q91_line_dedup" -> q91LineDedup _,
+    "q156_host_boilerplate" -> q156HostBoilerplate _,
     "q92_bm25_topk" -> q92Bm25 _,
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
@@ -2499,6 +2556,33 @@ object TextOps {
          |  md5(string_agg(CASE WHEN pos = first_pos THEN line END, chr(10)
          |    ORDER BY pos)) AS rebuilt_fp
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q156_host_boilerplate" ->
+      s"""WITH b AS (SELECT doc_id, source, $dkTokens AS t FROM documents),
+         |d0 AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN doc_id % 4 <> 3
+         |          THEN ['we use cookies on ' || source] ELSE [] END) ||
+         |    (CASE WHEN doc_id % 11 = 0
+         |          THEN ['weekly promo at ' || source] ELSE [] END) ||
+         |    list_transform(generate_series(0, CAST((len(t)+5)//6 AS INT)-1),
+         |      i -> array_to_string(t[i*6+1:i*6+6], ' ')) AS lines
+         |  FROM b),
+         |ex AS (SELECT doc_id, source, UNNEST(lines) AS line FROM d0),
+         |df AS (SELECT source, line, COUNT(DISTINCT doc_id) AS d
+         |       FROM ex GROUP BY 1, 2),
+         |sd AS (SELECT source, COUNT(*) AS nd FROM d0 GROUP BY 1),
+         |bo AS (SELECT source, list_sort(list(line)) AS bl
+         |       FROM df JOIN sd USING (source)
+         |       WHERE d >= 3 AND d * 10 >= 6 * nd GROUP BY 1),
+         |k AS (SELECT doc_id, lines, COALESCE(bl, []) AS bl
+         |      FROM d0 LEFT JOIN bo USING (source)),
+         |f AS (SELECT doc_id, lines,
+         |        list_filter(lines, x -> NOT list_contains(bl, x)) AS kept
+         |      FROM k)
+         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+         |  md5(array_to_string(kept, chr(10))) AS rebuilt_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
