@@ -717,6 +717,133 @@ object Multimodal {
     Some((w, h, durMs))
   }
 
+  /** Parsed EXIF/TIFF metadata — the curation-relevant subset: dims and
+    * orientation (a page's "portrait" photo may be a rotated landscape
+    * raster), capture timestamp (freshness signals), camera make
+    * (bot/stock-photo detection), and — the privacy gate — whether a GPS
+    * IFD is present at all (corpora scrub geotags before release; the
+    * detector is the prerequisite). Absent fields are 0 / "" / false.
+    */
+  final case class ExifMeta(container: String, bigEndian: Boolean,
+      orientation: Int, width: Int, height: Int, make: String,
+      dateTime: String, gpsPresent: Boolean)
+
+  /** REAL pure-JVM EXIF/TIFF IFD walk (TIFF 6.0 + JPEG APP1 "Exif"
+    * embedding, CIPA DC-008): both byte orders (`II`/`MM`), IFD0 tags
+    * 0x0100/0x0101 dims, 0x0112 orientation, 0x010F make, 0x0132
+    * DateTime, 0x8825 GPS-IFD presence, and the 0x8769 Exif sub-IFD's
+    * 0xA002/0xA003 pixel dims as the fallback dimension source. Same
+    * contract as [[imageHeader]]: fixed public container fields, no
+    * codec, bounds-checked everywhere, entry walk capped (256 entries,
+    * one sub-IFD hop), never throws on truncated/garbage/lying-offset
+    * input. None when the bytes are neither a TIFF nor a JPEG with an
+    * Exif APP1.
+    */
+  def exifMeta(b: Array[Byte]): Option[ExifMeta] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+
+    // Parse a TIFF stream at [base, limit); container tags the source.
+    def tiff(base: Int, limit: Int, container: String): Option[ExifMeta] = {
+      if (base + 8 > limit) return None
+      val big =
+        if (b(base) == 'M' && b(base + 1) == 'M') true
+        else if (b(base) == 'I' && b(base + 1) == 'I') false
+        else return None
+      @inline def r16(i: Int): Int =
+        if (big) (u8(i) << 8) | u8(i + 1) else u8(i) | (u8(i + 1) << 8)
+      @inline def r32(i: Int): Long =
+        if (big)
+          ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+        else
+          ((u8(i + 3).toLong << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)) & 0xffffffffL
+      if (r16(base + 2) != 42) return None
+      var orientation = 0
+      var w = 0
+      var h = 0
+      var subW = 0
+      var subH = 0
+      var make = ""
+      var dt = ""
+      var gps = false
+      // Read one IFD; returns the Exif sub-IFD pointer if seen (else -1).
+      def readIfd(ifdOff: Long, isSub: Boolean): Long = {
+        var exifPtr = -1L
+        if (ifdOff < 8 || base + ifdOff + 2 > limit) return exifPtr
+        val cnt = math.min(r16(base + ifdOff.toInt), 256)
+        var e = 0
+        while (e < cnt) {
+          val at = base + ifdOff.toInt + 2 + e * 12
+          if (at + 12 > limit) return exifPtr
+          val tag = r16(at)
+          val typ = r16(at + 2)
+          val count = r32(at + 4)
+          // SHORT (3) reads the first 2 value bytes, LONG (4) all 4;
+          // inline when the payload fits 4 bytes, else via the offset.
+          def num: Int = {
+            val v = if (typ == 3) r16(at + 8) else if (typ == 4) r32(at + 8).toInt else -1
+            if (v < 0) 0 else v
+          }
+          def ascii: String =
+            if (typ != 2 || count < 1 || count > 64) ""
+            else {
+              val offL = if (count <= 4) (at + 8).toLong
+                         else base.toLong + r32(at + 8)
+              if (offL < base || offL + count > limit) ""
+              else {
+                val off = offL.toInt
+                var end = off
+                val stop = off + count.toInt
+                while (end < stop && b(end) != 0) end += 1
+                new String(b, off, end - off, UTF_8)
+              }
+            }
+          tag match {
+            case 0x0100 if !isSub => w = num
+            case 0x0101 if !isSub => h = num
+            case 0x0112 if !isSub => orientation = num
+            case 0x010F if !isSub => make = ascii
+            case 0x0132 if !isSub => dt = ascii
+            case 0x8825 if !isSub => gps = true
+            case 0x8769 if !isSub && typ == 4 => exifPtr = r32(at + 8)
+            case 0xA002 if isSub => subW = num
+            case 0xA003 if isSub => subH = num
+            case _ =>
+          }
+          e += 1
+        }
+        exifPtr
+      }
+      val exifPtr = readIfd(r32(base + 4), isSub = false)
+      if (exifPtr > 0) readIfd(exifPtr, isSub = true)
+      Some(ExifMeta(container, big, orientation,
+        if (w > 0) w else subW, if (h > 0) h else subH, make, dt, gps))
+    }
+
+    if (n >= 8 && ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      return tiff(0, n, "tiff")
+    // JPEG: segment walk (the imageHeader discipline) to APP1 "Exif\0\0"
+    if (n >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < n) {
+        if (u8(i) != 0xFF) return None
+        var j = i
+        while (j < n && u8(j) == 0xFF) j += 1
+        if (j + 2 >= n) return None
+        val marker = u8(j)
+        if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS: no APP1
+        val segLen = be16(j + 1)
+        if (marker == 0xE1 && segLen >= 8 && j + 9 < n &&
+            b(j + 3) == 'E' && b(j + 4) == 'x' && b(j + 5) == 'i' &&
+            b(j + 6) == 'f' && b(j + 7) == 0 && b(j + 8) == 0)
+          return tiff(j + 9, math.min(n, j + 1 + segLen), "jpeg")
+        i = j + 1 + segLen
+      }
+    }
+    None
+  }
+
   /** REAL PCM SAMPLE decode for RIFF/WAVE with a 16-bit PCM `fmt ` chunk:
     * walks to the `data` chunk and computes (frames, mean |sample| ×1000
     * normalized to full scale 32768, peak |sample|) over every sample of

@@ -313,6 +313,69 @@ object ClusterOps {
       .orderBy(col("node"))
   }
 
+  /** q159: GRAPH MIXING diagnostics — reciprocity and degree
+    * assortativity of the directed host link graph, the two one-number
+    * structure alarms of webgraph analysis (Newman, PRL 2002 for
+    * assortativity): organic webs reciprocate a minority of links and
+    * mix DISassortatively (hubs link to leaves, r < 0), while link farms
+    * reciprocate near-everything inside the farm. Reciprocity = share of
+    * directed edges whose reverse exists (one self-semi-join).
+    * Assortativity = Pearson r of end-degrees over the symmetrized edge
+    * list; by symmetry Σj = Σk and Σj² = Σk², so
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — every term an exact BIGINT
+    * (the mod-100 node space bounds all products far inside BIGINT), the
+    * ×1e6 ratio computed sign-safely (DuckDB's `//` floors where Spark's
+    * DIV truncates, so negative numerators divide as magnitudes), with
+    * r ≡ 0 on a zero-variance (regular) graph. The allowed-pair mask
+    * (each node s keeps (s%7+1)/10 of its out-space) gives the graph a
+    * built-in degree spread that SURVIVES edge saturation — without it
+    * the mod graph completes at sf0.01 and every degree equals n−1 (the
+    * div-by-zero this guard + mask were added for).
+    *
+    * Scale shape: one degree aggregate, two broadcast-sized degree
+    * re-joins, one global map-combined moment aggregate — four exact
+    * moments summarize any edge count; the scalar frames cross-join as
+    * 1-row broadcasts (the repo's O(1)-scalar discipline).
+    */
+  def q159GraphMixing(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst") &&
+        (col("src") * 31 + col("dst") * 17) % 10 < col("src") % 7 + 1)
+      .distinct()
+      .localCheckpoint()
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nRecip = e.as("x")
+      .join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val dj = deg.select(col("u"), col("d").as("dj"))
+    val dk = deg.select(col("u").as("v"), col("d").as("dk"))
+    val jk = sym.join(dj, "u").join(dk, "v")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj")).as("sj"),
+        sum(col("dj") * col("dj")).as("sj2"))
+    nEdges.crossJoin(nRecip).crossJoin(jk)
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip * CAST(1000000 AS BIGINT) DIV n_edges").as("recip_x1e6"),
+        (col("m2") * col("sjk") - col("sj") * col("sj")).as("assort_num"),
+        (col("m2") * col("sj2") - col("sj") * col("sj")).as("assort_den"))
+      .withColumn("assort_x1e6",
+        expr("""CASE WHEN assort_den = 0 THEN CAST(0 AS BIGINT)
+               WHEN assort_num >= 0
+               THEN assort_num * CAST(1000000 AS BIGINT) DIV assort_den
+               ELSE -((-assort_num) * CAST(1000000 AS BIGINT) DIV assort_den)
+               END"""))
+      .orderBy(col("n_edges"))
+  }
+
   /** q120: per-node triangle counts on an undirected host-link-style graph
     * by the degree-ordered node-iterator (public: Suri & Vassilvitskii,
     * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
@@ -571,6 +634,7 @@ object ClusterOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_redirect_resolve" -> q149RedirectResolve _,
     "q152_trustrank" -> q152TrustRank _,
+    "q159_graph_mixing" -> q159GraphMixing _,
     "q49_dedup_clusters" -> q49DedupClusters _,
     "q134_cluster_split" -> q134ClusterSplit _,
     "q53_pagerank" -> q53PageRank _,
@@ -682,6 +746,36 @@ object ClusterOps {
     // same 1e-9 grid as the Spark loop.
     // q53's unroll with the teleport vector biased to the seed set; t is
     // itself 1e-9-snapped so both engines iterate from identical doubles
+    "q159_graph_mixing" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+        |  FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100
+        |    AND ((l_orderkey % 100) * 31 + (l_suppkey % 100) * 17) % 10
+        |        < (l_orderkey % 100) % 7 + 1),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM e x
+        |      WHERE EXISTS (SELECT 1 FROM e y
+        |                    WHERE y.src = x.dst AND y.dst = x.src)),
+        |sym AS (SELECT DISTINCT u, v FROM
+        |  (SELECT src AS u, dst AS v FROM e
+        |   UNION ALL SELECT dst AS u, src AS v FROM e)),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |jk AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |         CAST(SUM(a.d * b.d) AS BIGINT) AS sjk,
+        |         CAST(SUM(a.d) AS BIGINT) AS sj,
+        |         CAST(SUM(a.d * a.d) AS BIGINT) AS sj2
+        |       FROM sym JOIN dg a ON sym.u = a.u JOIN dg b ON sym.v = b.u)
+        |SELECT n_edges, n_recip,
+        |  n_recip * CAST(1000000 AS BIGINT) // n_edges AS recip_x1e6,
+        |  m2 * sjk - sj * sj AS assort_num,
+        |  m2 * sj2 - sj * sj AS assort_den,
+        |  CASE WHEN m2 * sj2 - sj * sj = 0 THEN CAST(0 AS BIGINT)
+        |    WHEN m2 * sjk - sj * sj >= 0
+        |    THEN (m2 * sjk - sj * sj) * CAST(1000000 AS BIGINT)
+        |         // (m2 * sj2 - sj * sj)
+        |    ELSE -((sj * sj - m2 * sjk) * CAST(1000000 AS BIGINT)
+        |         // (m2 * sj2 - sj * sj)) END AS assort_x1e6
+        |FROM ne, r, jk ORDER BY n_edges""".stripMargin,
     "q152_trustrank" -> {
       def iter(prev: String, cur: String) =
         s"""$cur AS (

@@ -1294,6 +1294,45 @@ object PagesOps {
     * (hamming ≤ 2), plus unrelated singletons. `aud_ok` = full-outer
     * detected==planted equality: exact recall AND precision.
     */
+  /** q157: EXIF/TIFF metadata extraction ([[Multimodal.exifMeta]]) over a
+    * mixed corpus of standalone TIFFs, Exif-carrying JPEGs (both byte
+    * orders, varied orientation, GPS planted on half) and EXIF-free
+    * blobs — the metadata sibling of q33's content decode. The
+    * curation-relevant outputs: orientation (rotation-aware dedup/
+    * display), capture timestamp, camera make, and the GPS-presence bit
+    * every public corpus must scrub before release. `exif_ok` compares
+    * all eight fields to the planted truth (EXIF-free rows must yield
+    * nothing); MultimodalSpec cross-checks the same parse against the
+    * JDK's independent ImageIO TIFF decoder (pixels, dims AND the
+    * 271/274/306 metadata-tree fields) plus truncation/bit-flip fuzz.
+    *
+    * Scale shape: stateless per-row parse; the blob never shuffles —
+    * only the parsed scalar fields reach the edge ORDER BY.
+    */
+  def q157Exif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.sources.MediaSynth.exifDF(s, 60)
+    docs.select(col("url"), col("bytes"), col("exp_container"),
+        col("exp_big"), col("exp_orient"), col("exp_w"), col("exp_h"),
+        col("exp_make"), col("exp_dt"), col("exp_gps"))
+      .as[(String, Array[Byte], String, Boolean, Int, Int, Int, String, String, Boolean)]
+      .map { case (url, bytes, ec, eb, eo, ew, eh, em, ed, eg) =>
+        Multimodal.exifMeta(bytes) match {
+          case Some(m) =>
+            (url, m.container, m.bigEndian, m.orientation, m.width,
+              m.height, m.make, m.dateTime, m.gpsPresent,
+              ec.nonEmpty && m.container == ec && m.bigEndian == eb &&
+                m.orientation == eo && m.width == ew && m.height == eh &&
+                m.make == em && m.dateTime == ed && m.gpsPresent == eg)
+          case None =>
+            (url, "", false, 0, 0, 0, "", "", false, ec.isEmpty)
+        }
+      }
+      .toDF("url", "container", "big_endian", "orientation", "width",
+        "height", "make", "datetime", "gps_present", "exif_ok")
+      .orderBy(col("url"))
+  }
+
   def q148AudioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val auds = graft.sources.MediaSynth.neardupAudioDF(s, 20, 12)
@@ -1342,6 +1381,7 @@ object PagesOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_audio_neardup" -> q148AudioNeardup _,
+    "q157_exif" -> q157Exif _,
     "q146_heading_outline" -> q146HeadingOutline _,
     "q145_image_neardup" -> q145ImageNeardup _,
     "q108_canonical" -> q108Canonical _,

@@ -1504,6 +1504,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q158: CODE-SWITCH / mixed-language detection — label disjoint
+    * 30-token windows with q18's language heuristic and score each doc by
+    * the share of windows DISAGREEING with its plurality language.
+    * Mixed-language pages (navigation in one language, body in another;
+    * spam stuffing a second script) poison monolingual training mixes,
+    * and a doc-level language ID alone cannot see them — q18 labels a doc
+    * 'cjk' on a single CJK character anywhere. Planted: every 6th doc
+    * gets a 40-token CJK run appended, so planted docs mix (measured
+    * median 5000 bp vs 0 for clean docs at sf0.001; a very short doc can
+    * be swallowed whole by the run and legitimately score 0).
+    * Tie-break on equal counts is lexicographic (cjk < en < other), the
+    * same closed form in both engines.
+    *
+    * Scale shape: the window labeling is a per-row HOF projection (no
+    * explode — the label alphabet has 3 symbols, so per-doc counts fold
+    * in-row); the ONLY Exchange in the plan is the edge ORDER BY.
+    */
+  def q158CodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val wire = concat(lower(trim(col("text"))),
+      when(col("doc_id") % 6 === 0, expr("repeat(' 汉字', 40)"))
+        .otherwise(lit("")))
+    val t = split(wire, WS)
+    val win = (i: Column) => slice(t, i * 30 + 1, lit(30))
+    val labels = transform(
+      sequence(lit(0), (size(t) / 30).cast("int") - 1),
+      i => when(regexp_count(array_join(win(i), " "), lit("[一-鿿]")) > 0, "cjk")
+        .when(size(filter(win(i), x => x.isin(stopwords: _*))) * 100 >= 90, "en")
+        .otherwise("other"))
+    tbl(s, dir, "documents")
+      .filter(size(t) >= 60)
+      .select(col("doc_id"), labels.as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_win"),
+        size(filter(col("ls"), x => x === "cjk")).cast("long").as("n_cjk"),
+        size(filter(col("ls"), x => x === "en")).cast("long").as("n_en"),
+        size(filter(col("ls"), x => x === "other")).cast("long").as("n_other"))
+      .select(col("doc_id"), col("n_win"),
+        when(col("n_cjk") >= col("n_en") && col("n_cjk") >= col("n_other"), "cjk")
+          .when(col("n_en") >= col("n_other"), "en")
+          .otherwise("other").as("major_lang"),
+        greatest(col("n_cjk"), col("n_en"), col("n_other")).as("n_major"))
+      .withColumn("switch_bp",
+        expr("(n_win - n_major) * CAST(10000 AS BIGINT) DIV n_win"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q92: BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) —
     * the ranking function of every search-indexed corpus, here over a
     * fixed three-term query. All arithmetic is integer so the DuckDB
@@ -2151,6 +2197,7 @@ object TextOps {
     "q90_gopher_battery" -> q90GopherBattery _,
     "q91_line_dedup" -> q91LineDedup _,
     "q156_host_boilerplate" -> q156HostBoilerplate _,
+    "q158_code_switch" -> q158CodeSwitch _,
     "q92_bm25_topk" -> q92Bm25 _,
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
@@ -2583,6 +2630,38 @@ object TextOps {
          |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
          |  md5(array_to_string(kept, chr(10))) AS rebuilt_fp
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q158_code_switch" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, lower(trim(text)) ||
+        |    CASE WHEN doc_id % 6 = 0 THEN repeat(' 汉字', 40) ELSE '' END AS wire
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(wire, '[ \t\n\f\r\x0B]+') AS t
+        |  FROM w0),
+        |lb AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(0, CAST(len(t)//30 AS INT)-1),
+        |    i -> CASE
+        |      WHEN regexp_matches(array_to_string(t[i*30+1:i*30+30], ' '),
+        |        '[一-鿿]') THEN 'cjk'
+        |      WHEN len(list_filter(t[i*30+1:i*30+30],
+        |        x -> list_contains(['the','a','of','and','to','in'], x)))
+        |        * 100 >= 90 THEN 'en'
+        |      ELSE 'other' END) AS ls
+        |  FROM tk WHERE len(t) >= 60),
+        |c AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_win,
+        |  CAST(len(list_filter(ls, x -> x = 'cjk')) AS BIGINT) AS n_cjk,
+        |  CAST(len(list_filter(ls, x -> x = 'en')) AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(ls, x -> x = 'other')) AS BIGINT) AS n_other
+        |  FROM lb)
+        |SELECT doc_id, n_win,
+        |  CASE WHEN n_cjk >= n_en AND n_cjk >= n_other THEN 'cjk'
+        |       WHEN n_en >= n_other THEN 'en' ELSE 'other' END AS major_lang,
+        |  greatest(n_cjk, n_en, n_other) AS n_major,
+        |  (n_win - greatest(n_cjk, n_en, n_other)) * CAST(10000 AS BIGINT)
+        |    // n_win AS switch_bp
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl

@@ -426,6 +426,112 @@ object MediaSynth {
 
   private def le16ArrLe(v: Int) = Array(v.toByte, ((v >> 8) & 0x3F).toByte)
 
+  final case class ExifDoc(url: String, bytes: Array[Byte],
+      exp_container: String, exp_big: Boolean, exp_orient: Int,
+      exp_w: Int, exp_h: Int, exp_make: String, exp_dt: String,
+      exp_gps: Boolean)
+
+  /** EXIF fixture corpus for q157: standalone TIFFs and Exif-carrying
+    * JPEGs in both byte orders with varied orientation/GPS planting,
+    * interleaved with EXIF-free blobs (plain PNG/GIF/JPEG) that must
+    * yield no metadata.
+    */
+  def exifDF(spark: SparkSession, count: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, count.toLong).as[Long].map { id =>
+      val i = id.toInt
+      val w = 17 + i
+      val h = 9 + (i % 13)
+      val o = i % 8 + 1
+      val gps = i % 2 == 0
+      val big = i % 4 >= 2
+      val make = s"graftcam-$o"
+      val dt = f"2021:0${o % 9 + 1}:07 10:${o + 10}%02d:00"
+      i % 5 match {
+        case 0 | 1 =>
+          ExifDoc(f"media://exif/$i%05d.tif", tiffBytes(w, h, o, gps, big),
+            "tiff", big, o, w, h, make, dt, gps)
+        case 2 | 3 =>
+          ExifDoc(f"media://exif/$i%05d.jpg", jpegExifBytes(w, h, o, gps, big),
+            "jpeg", big, o, w, h, make, dt, gps)
+        case _ =>
+          val bytes = i % 15 match {
+            case 4 => pngBytes(w, h)
+            case 9 => gifBytes(w, h)
+            case _ => jpegBytes(w, h) // JPEG with no APP1: the near-miss
+          }
+          ExifDoc(f"media://exif/$i%05d.bin", bytes, "", false, 0, 0, 0, "", "", false)
+      }
+    }.toDF()
+  }
+
+  /** Spec-valid, FULLY DECODABLE grayscale TIFF (TIFF 6.0 baseline:
+    * uncompressed, one strip, BlackIsZero) carrying a real EXIF tag set —
+    * Orientation, Make, DateTime, an Exif sub-IFD (PixelX/YDimension) and
+    * optionally a GPS IFD pointer — in either byte order. The raster is
+    * the [[grayAt]] pattern, so the JDK's independent ImageIO TIFF
+    * decoder can cross-check dims AND pixels, and its metadata tree the
+    * tag values.
+    */
+  def tiffBytes(w: Int, h: Int, orientation: Int, gps: Boolean,
+      bigEndian: Boolean): Array[Byte] = {
+    def e16(v: Int) = if (bigEndian) be16(v) else le16(v)
+    def e32(v: Int) = if (bigEndian) be32(v) else le32(v)
+    val make = s"graftcam-$orientation".getBytes("ISO-8859-1") :+ 0.toByte
+    val dt = (f"2021:0${orientation % 9 + 1}:07 10:${orientation + 10}%02d:00"
+      .getBytes("ISO-8859-1")) :+ 0.toByte // 19 chars + NUL = 20 bytes
+    val nIfd0 = if (gps) 14 else 13
+    val ifd0Size = 2 + nIfd0 * 12 + 4
+    val exifOff = 8 + ifd0Size
+    val exifSize = 2 + 2 * 12 + 4
+    val gpsOff = exifOff + exifSize
+    val gpsSize = if (gps) 2 + 12 + 4 else 0
+    val makeOff = gpsOff + gpsSize
+    val dtOff = makeOff + make.length
+    val stripOff = dtOff + dt.length
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]) =
+      e16(tag) ++ e16(typ) ++ e32(count) ++ value.padTo(4, 0.toByte)
+    def shortVal(v: Int) = if (bigEndian) be16(v) ++ be16(0) else le16(v) ++ le16(0)
+    val ifd0 = e16(nIfd0) ++
+      entry(0x0100, 3, 1, shortVal(w)) ++
+      entry(0x0101, 3, 1, shortVal(h)) ++
+      entry(0x0102, 3, 1, shortVal(8)) ++
+      entry(0x0103, 3, 1, shortVal(1)) ++
+      entry(0x0106, 3, 1, shortVal(1)) ++
+      entry(0x010F, 2, make.length, e32(makeOff)) ++
+      entry(0x0111, 4, 1, e32(stripOff)) ++
+      entry(0x0112, 3, 1, shortVal(orientation)) ++
+      entry(0x0115, 3, 1, shortVal(1)) ++
+      entry(0x0116, 3, 1, shortVal(h)) ++
+      entry(0x0117, 4, 1, e32(w * h)) ++
+      entry(0x0132, 2, dt.length, e32(dtOff)) ++
+      entry(0x8769, 4, 1, e32(exifOff)) ++
+      (if (gps) entry(0x8825, 4, 1, e32(gpsOff)) else Array.emptyByteArray) ++
+      e32(0)
+    val exifIfd = e16(2) ++
+      entry(0xA002, 4, 1, e32(w)) ++
+      entry(0xA003, 4, 1, e32(h)) ++
+      e32(0)
+    val gpsIfd =
+      if (gps) e16(1) ++ entry(0x0000, 1, 4, Array[Byte](2, 3, 0, 0)) ++ e32(0)
+      else Array.emptyByteArray
+    val strip = Array.tabulate(w * h)(i => grayAt(i % w, i / w).toByte)
+    val hdr = (if (bigEndian) "MM".getBytes ++ be16(42)
+               else "II".getBytes ++ le16(42)) ++ e32(8)
+    hdr ++ ifd0 ++ exifIfd ++ gpsIfd ++ make ++ dt ++ strip
+  }
+
+  /** JPEG wrapping [[tiffBytes]] in an APP1 "Exif" segment (CIPA DC-008
+    * embedding) ahead of the [[jpegBytes]] header-only frame. */
+  def jpegExifBytes(w: Int, h: Int, orientation: Int, gps: Boolean,
+      bigEndian: Boolean): Array[Byte] = {
+    val tif = tiffBytes(w, h, orientation, gps, bigEndian)
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tif
+    val app1 = Array(0xFF, 0xE1).map(_.toByte) ++ be16(payload.length + 2) ++ payload
+    val base = jpegBytes(w, h)
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
   /** Spec-valid PCM WAV: RIFF header + 16-byte fmt chunk + a small silent
     * data chunk (every field a header parser reads is real).
     */

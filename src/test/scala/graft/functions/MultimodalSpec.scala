@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.PagesSynth
+import graft.sources.{MediaSynth, PagesSynth}
 
 /** Multimodal plumbing unit coverage (previously only exercised through
   * q33's rows-only driver check): stub determinism, null/empty safety,
@@ -712,6 +712,100 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
         Multimodal.dhash64(b)
       }
+    }
+  }
+
+  // --- EXIF/TIFF metadata ---
+
+  /** The JDK's independent TIFF metadata tree: TIFFField values for the
+    * given tag numbers (e.g. 271 Make, 274 Orientation, 306 DateTime).
+    */
+  private def imageIoTiffFields(bytes: Array[Byte], tags: Set[String]): Map[String, String] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val rs = javax.imageio.ImageIO.getImageReaders(in)
+    assert(rs.hasNext, "JDK has no TIFF reader for the fixture")
+    val r = rs.next()
+    r.setInput(in)
+    val tree = r.getImageMetadata(0).getAsTree("javax_imageio_tiff_image_1.0")
+    val out = scala.collection.mutable.Map[String, String]()
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeName == "TIFFField") {
+        val num = n.getAttributes.getNamedItem("number").getNodeValue
+        if (tags.contains(num)) {
+          val sb = new StringBuilder
+          val kids = n.getChildNodes
+          for (i <- 0 until kids.getLength) {
+            val vals = kids.item(i).getChildNodes
+            for (k <- 0 until vals.getLength) {
+              val va = vals.item(k).getAttributes
+              if (va != null && va.getNamedItem("value") != null)
+                sb.append(va.getNamedItem("value").getNodeValue)
+            }
+          }
+          out(num) = sb.toString
+        }
+      }
+      val ks = n.getChildNodes
+      for (i <- 0 until ks.getLength) walk(ks.item(i))
+    }
+    walk(tree)
+    out.toMap
+  }
+
+  test("exifMeta: ImageIO TIFF reference equality — dims, pixels, Make/Orientation/DateTime") {
+    for (big <- Seq(false, true); gps <- Seq(false, true); o <- Seq(1, 3, 6, 8);
+         (w, h) <- Seq((33, 21), (7, 5))) {
+      val t = MediaSynth.tiffBytes(w, h, o, gps, big)
+      val m = Multimodal.exifMeta(t).get
+      assert(m.container == "tiff" && m.bigEndian == big && m.gpsPresent == gps)
+      // dims + every pixel against the JDK's independent TIFF decoder
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      assert(m.width == img.getWidth && m.height == img.getHeight)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == (x * 11 + y * 17) % 256,
+          s"pixel ($x,$y) big=$big")
+      // metadata fields against the JDK's metadata tree
+      val fields = imageIoTiffFields(t, Set("271", "274", "306"))
+      assert(fields.get("271").contains(m.make), s"Make big=$big o=$o")
+      assert(fields.get("274").contains(m.orientation.toString))
+      assert(fields.get("306").contains(m.dateTime))
+    }
+  }
+
+  test("exifMeta: JPEG APP1 embedding == standalone TIFF; near-misses yield None") {
+    for (big <- Seq(false, true); gps <- Seq(false, true); o <- Seq(1, 6)) {
+      val t = Multimodal.exifMeta(MediaSynth.tiffBytes(31, 17, o, gps, big)).get
+      val j = Multimodal.exifMeta(MediaSynth.jpegExifBytes(31, 17, o, gps, big)).get
+      assert(j == t.copy(container = "jpeg"),
+        "the embedded TIFF must parse identically through the APP1 wrapper")
+    }
+    assert(Multimodal.exifMeta(MediaSynth.jpegBytes(20, 10)).isEmpty,
+      "JPEG without an Exif APP1 has no metadata")
+    assert(Multimodal.exifMeta(MediaSynth.pngBytes(20, 10)).isEmpty)
+    assert(Multimodal.exifMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.exifMeta("II??junk".getBytes).isEmpty,
+      "an II prefix without the 42 magic is not a TIFF")
+  }
+
+  test("exifMeta: truncation and bit-flip fuzz never throws") {
+    val rnd = new scala.util.Random(41)
+    for (big <- Seq(false, true)) {
+      val base = MediaSynth.tiffBytes(25, 14, 6, gps = true, big)
+      val jpg = MediaSynth.jpegExifBytes(25, 14, 6, gps = true, big)
+      for (cut <- 0 to base.length) Multimodal.exifMeta(base.take(cut))
+      for (cut <- 0 to jpg.length by 3) Multimodal.exifMeta(jpg.take(cut))
+      for (_ <- 1 to 500) {
+        val c = base.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        Multimodal.exifMeta(c) // lying offsets/counts must be contained
+      }
+    }
+    for (_ <- 1 to 2000) {
+      val g = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(g)
+      Multimodal.exifMeta(g)
     }
   }
 

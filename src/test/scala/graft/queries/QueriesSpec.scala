@@ -83,6 +83,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q141_pq_ann" -> "pq_ok",
       "q142_jsonld" -> "ld_ok",
       "q145_image_neardup" -> "img_ok",
+      "q157_exif" -> "exif_ok",
       "q146_heading_outline" -> "outline_ok",
       "q148_audio_neardup" -> "aud_ok")
     flags.foreach { case (name, flag) =>
