@@ -844,6 +844,87 @@ object Multimodal {
     None
   }
 
+  /** Parsed MP3 stream metadata: frame-header facts (ID3-aware), CBR
+    * duration estimate, and the ID3v2 title/artist text frames — the
+    * audio sibling of [[exifMeta]]. Absent text fields are "".
+    */
+  final case class Mp3Meta(bitrateKbps: Int, sampleRate: Int, channels: Int,
+      durMs: Long, title: String, artist: String)
+
+  /** REAL pure-JVM MP3 metadata parse (ISO/IEC 11172-3 frame header +
+    * id3.org's ID3v2.3/2.4 tag spec): skips the ID3v2 tag by its
+    * syncsafe size while lifting TIT2/TPE1 (latin-1, UTF-8 and
+    * BOM'd UTF-16 encodings), then finds the first MPEG-1 Layer III
+    * frame sync and reads the bitrate/samplerate/channel-mode table
+    * fields. Duration is the CBR estimate audioBytes·8/kbps. Codec-free
+    * (no entropy decode), never throws, sync scan bounded to 64 KB.
+    * None when no valid frame sync is found.
+    */
+  def mp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
+    val n = b.length
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    @inline def syncsafe(i: Int): Long =
+      ((u8(i) & 0x7f).toLong << 21) | ((u8(i + 1) & 0x7f) << 14) |
+        ((u8(i + 2) & 0x7f) << 7) | (u8(i + 3) & 0x7f)
+    var off = 0
+    var title = ""
+    var artist = ""
+    if (n >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val major = u8(3)
+      val tagEnd = math.min(n.toLong, 10L + syncsafe(6)).toInt
+      var i = 10
+      var stop = false
+      while (!stop && i + 10 <= tagEnd) {
+        val c0 = b(i)
+        // the tag's zero-padding area ends the frame walk
+        if (c0 == 0) stop = true
+        else {
+          val id = new String(b, i, 4, UTF_8)
+          val fsz = (if (major >= 4) syncsafe(i + 4) else be32(i + 4)).toInt
+          if (fsz < 0 || i + 10 + fsz > tagEnd) stop = true
+          else {
+            if ((id == "TIT2" || id == "TPE1") && fsz >= 2) {
+              val enc = u8(i + 10)
+              val raw = enc match {
+                case 0 => new String(b, i + 11, fsz - 1, java.nio.charset.StandardCharsets.ISO_8859_1)
+                case 1 => // UTF-16 is 2-byte units: a dangling odd byte is
+                  // not text (the terminator is 00 00) — drop it
+                  new String(b, i + 11, (fsz - 1) & ~1, java.nio.charset.StandardCharsets.UTF_16)
+                case 3 => new String(b, i + 11, fsz - 1, UTF_8)
+                case _ => ""
+              }
+              val txt = raw.takeWhile(_ != '\u0000')
+              if (id == "TIT2") title = txt else artist = txt
+            }
+            i += 10 + fsz
+          }
+        }
+      }
+      off = tagEnd
+    }
+    // MPEG-1 Layer III frame sync: 11 set bits, version 3, layer 1
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val rates = Array(44100, 48000, 32000, 0)
+    val scanEnd = math.min(n - 4, off + 65536)
+    var i = math.max(off, 0)
+    while (i <= scanEnd) {
+      if (u8(i) == 0xFF && (u8(i + 1) & 0xFE) == 0xFA) { // FB=no-CRC, FA=CRC
+        val brIdx = u8(i + 2) >> 4
+        val srIdx = (u8(i + 2) >> 2) & 3
+        if (brIdx >= 1 && brIdx <= 14 && srIdx <= 2) {
+          val channels = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
+          val br = kbps(brIdx)
+          return Some(Mp3Meta(br, rates(srIdx), channels,
+            (n - i).toLong * 8 / br, title, artist))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** REAL PCM SAMPLE decode for RIFF/WAVE with a 16-bit PCM `fmt ` chunk:
     * walks to the `data` chunk and computes (frames, mean |sample| ×1000
     * normalized to full scale 32768, peak |sample|) over every sample of

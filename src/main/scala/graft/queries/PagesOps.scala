@@ -1333,6 +1333,67 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q160: SUBTITLE TEXT EXTRACTION ([[graft.core.SubtitleParser]]) —
+    * SRT and WebVTT caption files parsed into cues and clean transcript
+    * text (captions are punctuated human prose, a prized webtext source
+    * crawls surface next to the media files the multimodal family
+    * header-parses). Fixtures plant the CLEAN text first and wrap it in
+    * each format's markup (`<i>`/`<c.cls>`/karaoke stamps/`{\an8}`/
+    * `&amp;`/NOTE blocks/cue ids/cue settings/a malformed timing line),
+    * so `sub_ok` proves the parser recovers the plant: kind, cue count,
+    * summed duration AND the md5 of the rebuilt transcript.
+    *
+    * Scale shape: stateless per-row parse; only scalars + the text md5
+    * leave the scan.
+    */
+  def q160Subtitles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.MediaSynth.subtitleDF(s, 60)
+      .as[graft.sources.MediaSynth.SubDoc]
+      .map { d =>
+        val cues = graft.core.SubtitleParser.parse(d.bytes)
+        val kind = graft.core.SubtitleParser.kind(d.bytes)
+        val text = graft.core.SubtitleParser.text(d.bytes)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (d.url, kind, cues.length.toLong,
+          cues.map(c => c.endMs - c.startMs).sum, md5,
+          kind == d.exp_kind && cues.length == d.exp_cues &&
+            cues.map(c => c.endMs - c.startMs).sum == d.exp_dur_ms &&
+            text == d.exp_text)
+      }
+      .toDF("url", "kind", "n_cues", "dur_ms", "text_md5", "sub_ok")
+      .orderBy(col("url"))
+  }
+
+  /** q161: MP3 METADATA ([[Multimodal.mp3Meta]]) — ID3v2 title/artist
+    * (both tag majors, latin-1/UTF-16/UTF-8 text encodings) plus
+    * frame-header bitrate/samplerate/channel-mode and the CBR duration
+    * estimate; the audio sibling of q157's EXIF leg. Non-MP3 blobs must
+    * yield nothing. `mp3_ok` compares every field to the planted truth.
+    */
+  def q161Mp3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.MediaSynth.mp3DF(s, 60)
+      .as[graft.sources.MediaSynth.Mp3Doc]
+      .map { d =>
+        Multimodal.mp3Meta(d.bytes) match {
+          case Some(m) =>
+            (d.url, m.bitrateKbps, m.sampleRate, m.channels, m.durMs,
+              m.title, m.artist,
+              d.exp_kbps > 0 && m.bitrateKbps == d.exp_kbps &&
+                m.sampleRate == d.exp_rate && m.channels == d.exp_ch &&
+                m.durMs == d.exp_dur_ms && m.title == d.exp_title &&
+                m.artist == d.exp_artist)
+          case None =>
+            (d.url, 0, 0, 0, 0L, "", "", d.exp_kbps == 0)
+        }
+      }
+      .toDF("url", "kbps", "sample_rate", "channels", "dur_ms", "title",
+        "artist", "mp3_ok")
+      .orderBy(col("url"))
+  }
+
   def q148AudioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val auds = graft.sources.MediaSynth.neardupAudioDF(s, 20, 12)
@@ -1382,6 +1443,8 @@ object PagesOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_audio_neardup" -> q148AudioNeardup _,
     "q157_exif" -> q157Exif _,
+    "q160_subtitles" -> q160Subtitles _,
+    "q161_mp3" -> q161Mp3 _,
     "q146_heading_outline" -> q146HeadingOutline _,
     "q145_image_neardup" -> q145ImageNeardup _,
     "q108_canonical" -> q108Canonical _,

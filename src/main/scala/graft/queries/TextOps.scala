@@ -1550,6 +1550,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q162: KWIC SNIPPET generation — the search-result presentation step
+    * the q92/q97/q140 retrieval family stops short of: for each document
+    * containing a query term, emit the first occurrence position and a
+    * 7-token keyword-in-context window (±3 tokens, clamped at the
+    * document edges — a window near position 1 shifts right instead of
+    * shrinking, the classical KWIC convention). Query terms are q92's.
+    *
+    * Scale shape: the 3-term array is a per-row literal Generate (fan-out
+    * 3), position + slice are stateless; at retrieval scale this runs
+    * over the top-k hits, not the corpus — here over all docs so the
+    * oracle covers every edge (absent terms filtered, edge clamps).
+    */
+  def q162Kwic(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "line", "query")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .withColumn("pos", array_position(col("t"), col("term")))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"),
+        array_join(
+          slice(col("t"), greatest(lit(1), col("pos") - 3).cast("int"), lit(7)),
+          " ").as("snippet"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** q92: BM25 top-k retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) —
     * the ranking function of every search-indexed corpus, here over a
     * fixed three-term query. All arithmetic is integer so the DuckDB
@@ -2198,6 +2225,7 @@ object TextOps {
     "q91_line_dedup" -> q91LineDedup _,
     "q156_host_boilerplate" -> q156HostBoilerplate _,
     "q158_code_switch" -> q158CodeSwitch _,
+    "q162_kwic" -> q162Kwic _,
     "q92_bm25_topk" -> q92Bm25 _,
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
@@ -2662,6 +2690,16 @@ object TextOps {
         |  (n_win - greatest(n_cjk, n_en, n_other)) * CAST(10000 AS BIGINT)
         |    // n_win AS switch_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q162_kwic" ->
+      s"""WITH tk AS (SELECT doc_id, $dkTokens AS t FROM documents),
+         |e AS (SELECT doc_id, t, unnest(['dup', 'line', 'query']) AS term
+         |      FROM tk),
+         |p AS (SELECT doc_id, term, t, list_position(t, term) AS pos FROM e)
+         |SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(t[greatest(1, pos - 3):greatest(1, pos - 3) + 6],
+         |    ' ') AS snippet
+         |FROM p WHERE pos IS NOT NULL AND pos > 0
+         |ORDER BY doc_id, term""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl

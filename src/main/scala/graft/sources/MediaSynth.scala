@@ -426,6 +426,143 @@ object MediaSynth {
 
   private def le16ArrLe(v: Int) = Array(v.toByte, ((v >> 8) & 0x3F).toByte)
 
+  final case class Mp3Doc(url: String, bytes: Array[Byte],
+      exp_kbps: Int, exp_rate: Int, exp_ch: Int, exp_dur_ms: Long,
+      exp_title: String, exp_artist: String)
+
+  /** CBR MPEG-1 Layer III stream: optional ID3v2.3/2.4 tag carrying
+    * TIT2/TPE1 in the requested text encoding (0 latin-1, 1 UTF-16 BOM,
+    * 3 UTF-8) plus zero padding, then `nFrames` spec-sized frames
+    * (frameLen = 144·bitrate/sampleRate) whose payloads are deterministic
+    * non-sync junk. Every field a header parser reads is real.
+    */
+  def mp3Bytes(brIdx: Int, srIdx: Int, nFrames: Int, mono: Boolean,
+      title: String, artist: String, v24: Boolean, enc: Int,
+      withTag: Boolean): Array[Byte] = {
+    val kbpsTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val rateTab = Array(44100, 48000, 32000)
+    def syncsafe(v: Int) = Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def textPayload(s: String): Array[Byte] = enc match {
+      case 0 => Array(0.toByte) ++ s.getBytes("ISO-8859-1") :+ 0.toByte
+      case 1 => // BOM'd, with the spec's two-byte UTF-16 terminator
+        Array(1.toByte) ++ s.getBytes("UTF-16") ++ Array(0.toByte, 0.toByte)
+      case _ => Array(3.toByte) ++ s.getBytes("UTF-8") :+ 0.toByte
+    }
+    def frame(id: String, payload: Array[Byte]) =
+      id.getBytes ++ (if (v24) syncsafe(payload.length) else be32(payload.length)) ++
+        Array[Byte](0, 0) ++ payload
+    val tag = if (!withTag) Array.emptyByteArray else {
+      val frames = frame("TIT2", textPayload(title)) ++ frame("TPE1", textPayload(artist))
+      val padded = frames ++ new Array[Byte](17) // zero padding area
+      "ID3".getBytes ++ Array((if (v24) 4 else 3).toByte, 0.toByte, 0.toByte) ++
+        syncsafe(padded.length) ++ padded
+    }
+    val kbps = kbpsTab(brIdx)
+    val rate = rateTab(srIdx)
+    val frameLen = 144 * (kbps * 1000) / rate
+    val audio = Array.tabulate(nFrames * frameLen) { j =>
+      if (j % frameLen == 0) 0xFF.toByte
+      else if (j % frameLen == 1) 0xFB.toByte
+      else if (j % frameLen == 2) ((brIdx << 4) | (srIdx << 2)).toByte
+      else if (j % frameLen == 3) (if (mono) 0xC0 else 0x00).toByte
+      else ((j * 31 + 7) % 251).toByte // payload junk, never 0xFF
+    }
+    tag ++ audio
+  }
+
+  /** MP3 fixture corpus for q161: tag/no-tag, both ID3 majors, all three
+    * text encodings, mono/stereo, varied bitrate/rate, interleaved with
+    * non-MP3 blobs that must yield no metadata.
+    */
+  def mp3DF(spark: SparkSession, count: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, count.toLong).as[Long].map { id =>
+      val i = id.toInt
+      if (i % 5 == 4) {
+        val bytes = if (i % 10 == 4) wavBytes(8000, 1) else pngBytes(9, 9)
+        Mp3Doc(f"media://aud/$i%05d.bin", bytes, 0, 0, 0, 0L, "", "")
+      } else {
+        val brIdx = 1 + i % 14
+        val srIdx = i % 3
+        val withTag = i % 4 != 3
+        val title = if (withTag) s"Track $i" else ""
+        val artist = if (withTag) s"Artist ${i % 7}" else ""
+        val bytes = mp3Bytes(brIdx, srIdx, 3 + i % 4, mono = i % 2 == 0,
+          title, artist, v24 = i % 3 == 1, enc = i % 3, withTag)
+        val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)(brIdx)
+        val rate = Array(44100, 48000, 32000)(srIdx)
+        val tagLen = if (withTag) {
+          // header(10) + 2 frames(10+1+len+1 each) + padding(17)
+          val tl = s"Track $i"
+          val ar = s"Artist ${i % 7}"
+          // payload = encoding byte + text bytes + NUL terminator
+          // (1 byte for latin-1/UTF-8, 2 for UTF-16)
+          def enc(s: String) = i % 3 match {
+            case 0 => 2 + s.getBytes("ISO-8859-1").length
+            case 1 => 3 + s.getBytes("UTF-16").length
+            case _ => 2 + s.getBytes("UTF-8").length
+          }
+          10 + (10 + enc(tl)) + (10 + enc(ar)) + 17
+        } else 0
+        val audioBytes = bytes.length - tagLen
+        Mp3Doc(f"media://aud/$i%05d.mp3", bytes, kbps, rate,
+          if (i % 2 == 0) 1 else 2, audioBytes.toLong * 8 / kbps, title, artist)
+      }
+    }.toDF()
+  }
+
+  final case class SubDoc(url: String, bytes: Array[Byte], exp_kind: String,
+      exp_cues: Int, exp_dur_ms: Long, exp_text: String)
+
+  /** SRT/WebVTT fixture corpus for q160. The CLEAN text is generated
+    * first, then wrapped in the markup each format carries (`<i>`,
+    * `<c.cls>`, `<v Name>`, karaoke stamps, `{\an8}` overrides, `&amp;`
+    * entities, NOTE blocks, cue ids, cue settings, one malformed timing
+    * line per 5th doc) — the parser must recover the plant exactly.
+    */
+  def subtitleDF(spark: SparkSession, count: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, count.toLong).as[Long].map { id =>
+      val i = id.toInt
+      val vtt = i % 2 == 1
+      val nCues = 3 + i % 4
+      val sb = new StringBuilder
+      val clean = new StringBuilder
+      var dur = 0L
+      if (vtt) sb.append("WEBVTT\n\nNOTE this block is ignored\nstill ignored\n\n")
+      for (c <- 0 until nCues) {
+        val startMs = i * 41L + c * 2000L
+        val endMs = startMs + 1500L + (c % 3) * 250L
+        dur += endMs - startMs
+        def ts(ms: Long): String = {
+          val sep = if (vtt) "." else ","
+          f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d$sep${ms % 1000}%03d"
+        }
+        val line1 = s"word$i alpha $c beta"
+        val line2 = s"gamma & delta $c"
+        if (clean.nonEmpty) clean.append('\n')
+        clean.append(line1).append('\n').append(line2)
+        if (i % 5 == 0 && c == 1) // malformed cue: dropped, payload consumed
+          sb.append("bad --> cue\nswallowed junk line\n\n")
+        if (!vtt) sb.append(c + 1).append('\n')
+        else sb.append("cue-id-").append(c).append('\n')
+        sb.append(ts(startMs)).append(" --> ").append(ts(endMs))
+        if (vtt && c % 2 == 1) sb.append(" align:start line:0%")
+        sb.append('\n')
+        val deco1 =
+          if (vtt) s"<c.yellow><00:00:01.000>word$i</c> <i>alpha $c</i> beta"
+          else (if (c == 0) "{\\an8}" else "") + s"word$i <i>alpha $c</i> beta"
+        sb.append(deco1).append('\n')
+        sb.append(s"gamma &amp; delta $c").append('\n')
+        sb.append('\n')
+      }
+      SubDoc(f"media://sub/$i%05d.${if (vtt) "vtt" else "srt"}",
+        sb.toString.getBytes("UTF-8"), if (vtt) "vtt" else "srt",
+        nCues, dur, clean.toString)
+    }.toDF()
+  }
+
   final case class ExifDoc(url: String, bytes: Array[Byte],
       exp_container: String, exp_big: Boolean, exp_orient: Int,
       exp_w: Int, exp_h: Int, exp_make: String, exp_dt: String,

@@ -809,6 +809,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mp3Meta: tag-skip invariance, all text encodings, and fuzz") {
+    // frame facts must be identical with and without the ID3 tag in front
+    for (brIdx <- Seq(1, 9, 14); srIdx <- 0 to 2; mono <- Seq(true, false)) {
+      val bare = MediaSynth.mp3Bytes(brIdx, srIdx, 4, mono, "", "",
+        v24 = false, enc = 0, withTag = false)
+      val tagged = MediaSynth.mp3Bytes(brIdx, srIdx, 4, mono, "T", "A",
+        v24 = false, enc = 0, withTag = true)
+      val a = Multimodal.mp3Meta(bare).get
+      val b = Multimodal.mp3Meta(tagged).get
+      assert((a.bitrateKbps, a.sampleRate, a.channels, a.durMs) ===
+        (b.bitrateKbps, b.sampleRate, b.channels, b.durMs), s"br=$brIdx sr=$srIdx")
+      assert(a.title === "" && b.title === "T" && b.artist === "A")
+    }
+    // the three ID3 text encodings and both tag majors round-trip a
+    // non-ASCII title exactly (latin-1 only for its own repertoire)
+    for (enc <- 0 to 2; v24 <- Seq(false, true)) {
+      val title = if (enc == 0) "Café Track" else "Café 漢 Track"
+      val m = Multimodal.mp3Meta(MediaSynth.mp3Bytes(5, 0, 2, mono = false,
+        title, "Artist", v24, enc, withTag = true)).get
+      assert(m.title === title && m.artist === "Artist", s"enc=$enc v24=$v24")
+    }
+    // never throws: truncations, bit flips, garbage
+    val base = MediaSynth.mp3Bytes(9, 1, 3, mono = false, "T", "A",
+      v24 = true, enc = 1, withTag = true)
+    for (cut <- 0 to base.length) Multimodal.mp3Meta(base.take(cut))
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 500) {
+      val c = base.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Multimodal.mp3Meta(c)
+    }
+    for (_ <- 1 to 2000) {
+      val g = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(g)
+      Multimodal.mp3Meta(g)
+    }
+    assert(Multimodal.mp3Meta(MediaSynth.wavBytes(8000, 1)).isEmpty,
+      "a RIFF/WAVE stream is not an MP3")
+  }
+
   test("features match the driver query row-for-row on synthetic pages") {
     val pages = PagesSynth.pagesDF(spark, 50L)
     val got = Multimodal.features(pages)

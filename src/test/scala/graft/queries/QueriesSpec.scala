@@ -84,6 +84,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q142_jsonld" -> "ld_ok",
       "q145_image_neardup" -> "img_ok",
       "q157_exif" -> "exif_ok",
+      "q160_subtitles" -> "sub_ok",
+      "q161_mp3" -> "mp3_ok",
       "q146_heading_outline" -> "outline_ok",
       "q148_audio_neardup" -> "aud_ok")
     flags.foreach { case (name, flag) =>
