@@ -159,6 +159,62 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** q163: DATA CARD — the per-source datasheet every released corpus
+    * publishes (Gebru et al., "Datasheets for Datasets", CACM 2021;
+    * Dolma/FineWeb ship exactly this rollup): volume (docs/tokens/
+    * chars), exact-duplicate share (corpus-wide md5 groups, the q15
+    * key), quality-gate pass share (q17's integer rule), dominant
+    * language with its share, and the exact median length (q106's rank
+    * discipline: rn == (n+1) div 2 over a (value, doc_id) total order).
+    * One row per source, every number a BIGINT or basis points.
+    *
+    * Scale shape: one md5-keyed join (dup membership — the q15/q51
+    * discipline), one map-combined source aggregate, a (source, lang)
+    * aggregate of ≤ S·L rows, and the per-source median window; the
+    * tiny per-source frames re-enter by BROADCAST join.
+    */
+  def q163DataCard(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(t).cast("long").as("ntok"),
+        size(filter(t, x => x.isin(TextOps.stopwords: _*)))
+          .cast("long").as("stop"),
+        md5(col("text").cast("binary")).as("fp"))
+      .localCheckpoint() // feeds dup join, source agg, lang agg, median
+    val fpCnt = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val srcAgg = base.join(fpCnt, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("ntok") >= 10 && col("stop") * 20 >= col("ntok"), 1L)
+          .otherwise(0L)).as("pass_docs"))
+    val lw = Window.partitionBy(col("source"))
+      .orderBy(col("lc").desc, col("lang"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(lw))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc"))
+    val mw = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val med = base
+      .withColumn("rn", row_number().over(mw))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === floor((col("n") + 1) / 2).cast("long"))
+      .select(col("source"), col("n_chars").as("len_p50"))
+    srcAgg.join(broadcast(topLang), "source").join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("dup_docs * CAST(10000 AS BIGINT) DIV n_docs").as("dup_bp"),
+        expr("pass_docs * CAST(10000 AS BIGINT) DIV n_docs").as("pass_bp"),
+        col("top_lang"),
+        expr("lc * CAST(10000 AS BIGINT) DIV n_docs").as("top_lang_bp"),
+        col("len_p50"))
+      .orderBy(col("source"))
+  }
+
   /** Tokens per cleaning segment and the per-segment keep threshold
     * (average bits x100 per token). The harness LM is near-uniform over
     * its ~60-word vocabulary, so per-token cost concentrates at exactly
@@ -640,6 +696,7 @@ object CurationOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_shard_gini" -> q153ShardGini _,
+    "q163_data_card" -> q163DataCard _,
     "q150_ks_drift" -> q150KsDrift _,
     "q147_domain_tv" -> q147DomainTv _,
     "q103_dsir_weights" -> q103DsirWeights _,
@@ -656,6 +713,47 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    "q163_data_card" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    CAST(len($dkTokens) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter($dkTokens,
+         |      x -> list_contains(['the','a','of','and','to','in'], x)))
+         |      AS BIGINT) AS stop,
+         |    md5(text) AS fp
+         |  FROM documents),
+         |fc AS (SELECT fp, COUNT(*) AS c FROM base GROUP BY 1),
+         |sa AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_docs,
+         |    CAST(SUM(CASE WHEN ntok >= 10 AND stop * 20 >= ntok
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs
+         |  FROM base JOIN fc USING (fp) GROUP BY 1),
+         |tl AS (
+         |  SELECT source, lang AS top_lang, lc FROM (
+         |    SELECT source, lang, COUNT(*) AS lc,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY COUNT(*) DESC, lang) AS rn
+         |    FROM base GROUP BY source, lang)
+         |  WHERE rn = 1),
+         |md AS (
+         |  SELECT source, n_chars AS len_p50 FROM (
+         |    SELECT source, n_chars, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY n_chars, doc_id) AS rn,
+         |      COUNT(*) OVER (PARTITION BY source) AS n
+         |    FROM base)
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT source, n_docs, n_tokens, n_chars,
+         |  dup_docs * CAST(10000 AS BIGINT) // n_docs AS dup_bp,
+         |  pass_docs * CAST(10000 AS BIGINT) // n_docs AS pass_bp,
+         |  top_lang, lc * CAST(10000 AS BIGINT) // n_docs AS top_lang_bp,
+         |  len_p50
+         |FROM sa JOIN tl USING (source) JOIN md USING (source)
+         |ORDER BY source""".stripMargin,
     "q153_shard_gini" ->
       s"""WITH per AS (SELECT source, COUNT(*) AS docs,
          |    CAST(SUM(n_chars) AS BIGINT) AS chars

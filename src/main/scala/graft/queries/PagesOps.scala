@@ -1394,6 +1394,49 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q164: CONTENT-TYPE DISPATCH extraction ([[graft.core.AnyExtract]])
+    * — one entry point over the mixed payloads a real crawl segment
+    * interleaves: HTML pages, PDFs, RSS/Atom feeds, subtitle assets,
+    * plus junk and empty blobs. Sniffing is structural (magic bytes or a
+    * successful skeleton parse), never extension-based. Each branch
+    * delegates to its separately-certified extractor, so `any_ok`
+    * certifies exactly the ROUTING: the sniffed kind matches the planted
+    * kind AND the text equals what the format's own extractor produces
+    * (PDF/subtitle/feed rows carry generator-side ground truth).
+    */
+  def q164ExtractAny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(0L, 500L).as[Long].map { id =>
+      val (url, bytes, expKind, expText) = (id % 5) match {
+        case 0 =>
+          val p = PagesSynth.pageFor(id)
+          (p.url, p.html, "html",
+            graft.core.Extractor.extractBytes(p.html).text)
+        case 1 =>
+          val pdf = graft.sources.PdfSynth.pdfFor(id, id % 4 == 1)
+          (f"any://pdf/$id%05d.bin", pdf, "pdf",
+            graft.sources.PdfSynth.textFor(id))
+        case 2 =>
+          val d = graft.sources.MediaSynth.subDocFor(id.toInt)
+          (d.url, d.bytes, "subtitle", d.exp_text)
+        case 3 =>
+          val xml = s"<rss><channel><title>c$id</title>" +
+            s"<item><title>item $id a</title><description>sum $id a</description></item>" +
+            s"<item><title>item $id b</title><description>sum $id b</description></item>" +
+            "</channel></rss>"
+          (f"any://feed/$id%05d.bin", xml.getBytes("UTF-8"), "feed",
+            s"item $id a\nsum $id a\nitem $id b\nsum $id b")
+        case _ =>
+          if (id % 20 == 4) (f"any://junk/$id%05d.bin", Array.emptyByteArray, "empty", "")
+          else (f"any://junk/$id%05d.bin", s"plain payload $id 0123456789".getBytes("UTF-8"),
+            "other", "")
+      }
+      val (kind, text) = graft.core.AnyExtract.extract(bytes)
+      (url, kind, text.length.toLong, kind == expKind && text == expText)
+    }.toDF("url", "kind", "text_chars", "any_ok")
+      .orderBy(col("url"))
+  }
+
   def q148AudioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val auds = graft.sources.MediaSynth.neardupAudioDF(s, 20, 12)
@@ -1445,6 +1488,7 @@ object PagesOps {
     "q157_exif" -> q157Exif _,
     "q160_subtitles" -> q160Subtitles _,
     "q161_mp3" -> q161Mp3 _,
+    "q164_extract_any" -> q164ExtractAny _,
     "q146_heading_outline" -> q146HeadingOutline _,
     "q145_image_neardup" -> q145ImageNeardup _,
     "q108_canonical" -> q108Canonical _,

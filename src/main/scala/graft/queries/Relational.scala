@@ -684,8 +684,11 @@ object Relational {
         regexp_replace(regexp_extract(col("url"), "^https://[^/]+(.*)$", 1),
           "[0-9]+", "N").as("template"),
         col("url"))
+    // materialized once: feeds the host rollup AND the join left side
+    // (without this the scan + distinct-count subtree runs twice)
     val byTpl = u.groupBy(col("host"), col("template"))
       .agg(countDistinct(col("url")).as("uniq_urls"), count(lit(1)).as("hits"))
+      .localCheckpoint()
     val byHost = byTpl.groupBy(col("host"))
       .agg(sum(col("uniq_urls")).as("host_urls"))
     byTpl.join(broadcast(byHost), "host")

@@ -40,7 +40,7 @@ object TextOps {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Exact dedup by content hash: one hash-groupBy shuffle on the md5 key;
     * keeper = min(doc_id). At 100 TB: group on the 128-bit digest, never on

@@ -523,8 +523,11 @@ object MediaSynth {
     */
   def subtitleDF(spark: SparkSession, count: Int): DataFrame = {
     import spark.implicits._
-    spark.range(0L, count.toLong).as[Long].map { id =>
-      val i = id.toInt
+    spark.range(0L, count.toLong).as[Long].map(id => subDocFor(id.toInt)).toDF()
+  }
+
+  /** One deterministic subtitle fixture (see [[subtitleDF]]). */
+  def subDocFor(i: Int): SubDoc = {
       val vtt = i % 2 == 1
       val nCues = 3 + i % 4
       val sb = new StringBuilder
@@ -560,7 +563,6 @@ object MediaSynth {
       SubDoc(f"media://sub/$i%05d.${if (vtt) "vtt" else "srt"}",
         sb.toString.getBytes("UTF-8"), if (vtt) "vtt" else "srt",
         nCues, dur, clean.toString)
-    }.toDF()
   }
 
   final case class ExifDoc(url: String, bytes: Array[Byte],
