@@ -1437,6 +1437,145 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** Block-level element names that delimit text blocks for q165 —
+    * boilerpipe's segmentation grain.
+    */
+  private val BpBlockTags = Seq("p", "div", "h1", "h2", "h3", "h4", "h5",
+    "h6", "ul", "ol", "li", "table", "tr", "td", "nav", "footer", "header",
+    "article", "section", "blockquote", "br", "form", "title", "body")
+
+  /** q165: DENSITOMETRIC boilerplate classification (Kohlschütter,
+    * Fankhauser & Nejdl, "Boilerplate Detection using Shallow Text
+    * Features", WSDM 2010 — the boilerpipe NumWordsRulesClassifier
+    * stump): segment each page's node stream into text blocks at
+    * block-level tags, compute per-block word count and LINK DENSITY
+    * (words inside `<a>` ÷ words), then classify with the published
+    * decision stump — curr ld > 1/3 ⇒ boilerplate; prev ld > 5/9 ⇒
+    * content iff curr > 40 words or next > 17; else content iff curr >
+    * 16 or next > 15 or prev > 4. All thresholds are the paper's own
+    * rationals, so every comparison is exact integer (3·lw > w,
+    * 9·plw > 5·pw). This is the feature-based complement to the
+    * extractor's tag-rule boilerplate stripping — the classifier that
+    * works on pages whose chrome is NOT inside nav/footer tags.
+    *
+    * Certification (`bp_ok`, q146's twin discipline): the relational
+    * path — ONE url-keyed Exchange serving three running sums (block id,
+    * `<a>` nesting, raw-text nesting) + one block rollup + one lag/lead
+    * window — must md5-equal an independent sequential per-page fold
+    * over the same scanner stream, block-for-block.
+    */
+  def q165Boilerpipe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.register(s)
+    pages(s).createOrReplaceTempView("pages_bp")
+    val nodes = s.sql(
+      """SELECT url, n.idx, n.ntype, n.tag, n.text
+        |FROM pages_bp LATERAL VIEW html_nodes(html) n""".stripMargin)
+    val w = Window.partitionBy(col("url")).orderBy(col("idx"))
+    val anno = nodes
+      .withColumn("blk", sum(when(col("ntype").isin("START", "CLOSE") &&
+        col("tag").isin(BpBlockTags: _*), 1).otherwise(0)).over(w))
+      .withColumn("in_a",
+        sum(when(col("ntype") === "START" && col("tag") === "a", 1)
+          .when(col("ntype") === "CLOSE" && col("tag") === "a", -1)
+          .otherwise(0)).over(w))
+      .withColumn("in_raw",
+        sum(when(col("ntype") === "START" && col("tag").isin("script", "style"), 1)
+          .when(col("ntype") === "CLOSE" && col("tag").isin("script", "style"), -1)
+          .otherwise(0)).over(w))
+    val blocks = anno.filter(col("ntype") === "TEXT" && col("in_raw") <= 0)
+      // count non-empty split tokens: immune to the Spark-trim (space
+      // only) vs Java-trim (all controls) divergence at text-node edges
+      .withColumn("wcnt",
+        size(filter(split(col("text"), TextOps.WS), x => length(x) > 0))
+          .cast("long"))
+      .filter(col("wcnt") > 0)
+      .groupBy(col("url"), col("blk"))
+      .agg(sum(col("wcnt")).as("words"),
+        sum(when(col("in_a") > 0, col("wcnt")).otherwise(0L)).as("lw"))
+    val bw = Window.partitionBy(col("url")).orderBy(col("blk"))
+    val cls = blocks
+      .withColumn("pw", coalesce(lag(col("words"), 1).over(bw), lit(0L)))
+      .withColumn("plw", coalesce(lag(col("lw"), 1).over(bw), lit(0L)))
+      .withColumn("nw", coalesce(lead(col("words"), 1).over(bw), lit(0L)))
+      .withColumn("content",
+        when(col("lw") * 3 > col("words"), lit(false))
+          .otherwise(when(col("plw") * 9 > col("pw") * 5,
+            col("words") > 40 || col("nw") > 17)
+            .otherwise(col("words") > 16 || col("nw") > 15 || col("pw") > 4)))
+    val sig = cls.groupBy(col("url"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("content"), 1L).otherwise(0L)).as("content_blocks"),
+        sum(when(col("content"), col("words")).otherwise(0L)).as("content_words"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("blk"), col("words"), col("lw"),
+            col("content")))),
+          x => concat_ws(":", x.getField("blk").cast("string"),
+            x.getField("words").cast("string"), x.getField("lw").cast("string"),
+            x.getField("content").cast("string"))), "|").cast("binary"))
+          .as("blocks_md5"))
+    val twin = pages(s).select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .map { case (url, html) => (url, bpSequential(html)) }
+      .toDF("t_url", "t_md5")
+    sig.join(twin, col("url") === col("t_url"))
+      .select(col("url"), col("n_blocks"), col("content_blocks"),
+        col("content_words"), (col("blocks_md5") === col("t_md5")).as("bp_ok"))
+      .orderBy(col("url"))
+  }
+
+  /** The q165 twin: an independent SEQUENTIAL fold over the scanner's
+    * node stream — plain counters, no windows, no shared code with the
+    * relational path — producing the same per-block
+    * `blk:words:lw:content` line and its md5.
+    */
+  private def bpSequential(html: Array[Byte]): String = {
+    val tags = BpBlockTags.toSet
+    var blk = 0L
+    var inA = 0
+    var inRaw = 0
+    val order = scala.collection.mutable.ArrayBuffer[Long]()
+    val words = scala.collection.mutable.HashMap[Long, Long]()
+    val links = scala.collection.mutable.HashMap[Long, Long]()
+    for (nd <- HtmlScanner.parse(html)) {
+      nd.nodeType match {
+        case NodeType.StartTag | NodeType.CloseTag =>
+          val t = nd.tagName
+          if (tags(t)) blk += 1
+          val d = if (nd.nodeType == NodeType.StartTag) 1 else -1
+          if (t == "a") inA += d
+          if (t == "script" || t == "style") inRaw += d
+        case NodeType.Content if inRaw <= 0 =>
+          val wc = nd.text.split("[ \t\n\f\r\u000B]+").count(_.nonEmpty)
+          if (wc > 0) {
+            if (!words.contains(blk)) order += blk
+            words(blk) = words.getOrElse(blk, 0L) + wc
+            if (inA > 0) links(blk) = links.getOrElse(blk, 0L) + wc
+          }
+        case _ =>
+      }
+    }
+    val arr = order.sorted.toArray
+    val parts = arr.indices.map { i =>
+      val b = arr(i)
+      val w = words(b)
+      val l = links.getOrElse(b, 0L)
+      val (pw, pl) =
+        if (i > 0) (words(arr(i - 1)), links.getOrElse(arr(i - 1), 0L))
+        else (0L, 0L)
+      val nw = if (i + 1 < arr.length) words(arr(i + 1)) else 0L
+      val content =
+        if (l * 3 > w) false
+        else if (pl * 9 > pw * 5) w > 40 || nw > 17
+        else w > 16 || nw > 15 || pw > 4
+      s"$b:$w:$l:$content"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   def q148AudioNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val auds = graft.sources.MediaSynth.neardupAudioDF(s, 20, 12)
@@ -1489,6 +1628,7 @@ object PagesOps {
     "q160_subtitles" -> q160Subtitles _,
     "q161_mp3" -> q161Mp3 _,
     "q164_extract_any" -> q164ExtractAny _,
+    "q165_boilerpipe" -> q165Boilerpipe _,
     "q146_heading_outline" -> q146HeadingOutline _,
     "q145_image_neardup" -> q145ImageNeardup _,
     "q108_canonical" -> q108Canonical _,

@@ -87,6 +87,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q160_subtitles" -> "sub_ok",
       "q161_mp3" -> "mp3_ok",
       "q164_extract_any" -> "any_ok",
+      "q165_boilerpipe" -> "bp_ok",
       "q146_heading_outline" -> "outline_ok",
       "q148_audio_neardup" -> "aud_ok")
     flags.foreach { case (name, flag) =>
