@@ -694,7 +694,41 @@ object CurationOps {
       .orderBy(col("metric"))
   }
 
+  /** q168: SOFT-404 detection (Bar-Yossef, Broder, Kumar, Tomkins, WWW
+    * 2004, "Sic transit gloria telae") — pages that answer 200 with an
+    * error body poison a crawl corpus silently; the gate is the
+    * published detector's deterministic core: error-phrase evidence
+    * (ONE Aho–Corasick automaton walk per body —
+    * [[graft.functions.BlocklistHits]], q119's codegen'd expression,
+    * O(len) per row at any phrase-list size) combined with the
+    * short-thin-body signal. Every 11th doc is PLANTED as an error page
+    * (canned banner + truncated body), so detection truth exists by
+    * construction; the DuckDB oracle recomputes the same overlapping
+    * phrase counts by position×pattern substring arithmetic, so the
+    * automaton, the stump thresholds, and the planted outcome are all
+    * hash-checked. Scale shape: stateless per-row projection (automaton
+    * built once, shipped as a plan reference), zero shuffles before the
+    * final order — the gate belongs inside the fetch/extract scan.
+    */
+  def q168Soft404(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val banner = "error 404 - page not found. the page you requested " +
+      "does not exist or is no longer available. "
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(banner), substring(col("text"), 1, 40)))
+        .otherwise(col("text")).as("body"))
+    d.select(col("doc_id"),
+        length(col("body")).cast("long").as("body_len"),
+        expr("blocklist_hits(body, array('page not found'," +
+          "'does not exist','no longer available','error 404'))")
+          .as("hits"))
+      .withColumn("soft404", col("hits") >= 2 && col("body_len") < 200)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_soft404" -> q168Soft404 _,
     "q153_shard_gini" -> q153ShardGini _,
     "q163_data_card" -> q163DataCard _,
     "q150_ks_drift" -> q150KsDrift _,
@@ -713,6 +747,28 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    // q168: position×pattern substring arithmetic counts the same
+    // overlapping occurrences the Aho–Corasick walk does (q119 idiom)
+    "q168_soft404" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN 'error 404 - page not found. the page you requested ' ||
+        |         'does not exist or is no longer available. ' ||
+        |         substr(text, 1, 40)
+        |    ELSE text END AS body
+        |  FROM documents),
+        |p AS (SELECT unnest(['page not found','does not exist',
+        |                     'no longer available','error 404']) AS pat),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(list_sum(list_transform(generate_series(1, len(d.body)),
+        |      i -> CASE WHEN substr(d.body, i, len(p.pat)) = p.pat
+        |           THEN 1 ELSE 0 END))) AS BIGINT) AS hits
+        |  FROM d, p GROUP BY d.doc_id)
+        |SELECT d.doc_id, CAST(length(d.body) AS BIGINT) AS body_len,
+        |  h.hits, (h.hits >= 2 AND length(d.body) < 200) AS soft404
+        |FROM d JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q163_data_card" ->
       s"""WITH base AS (
          |  SELECT doc_id, source, lang, n_chars,

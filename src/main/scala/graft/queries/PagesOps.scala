@@ -1622,7 +1622,174 @@ object PagesOps {
       .orderBy(col("url_a"), col("url_b"))
   }
 
+  /** q169: IMAGE–ALT-TEXT PAIR MINING — the LAION-style multimodal
+    * harvesting step (Schuhmann et al., NeurIPS 2022 datasets track:
+    * image–text pairs from Common Crawl come from exactly this walk):
+    * every `<img>` yields (src, entity-decoded alt, figure caption,
+    * in_figure), where the caption is the raw concatenation of the TEXT
+    * nodes inside the `<figcaption>` of the most recently OPENED
+    * `<figure>` (nested/stray markup policy is that one sentence, applied
+    * identically in both paths below; stray `</figure>` may drive the
+    * depth negative rather than being "fixed").
+    *
+    * Not SQL-expressible (the scanner is the operator) → self-certifying
+    * `pair_ok`: the RELATIONAL path (html_nodes generator → running
+    * figure/figcaption depth windows → one groupBy per figure) must agree
+    * null-safely on every field with an independent SEQUENTIAL
+    * single-pass walker, and the four hand-planted docs must additionally
+    * equal their literal expected pairs (entity alt, empty-vs-missing
+    * alt, two imgs sharing one caption, img outside any figure, figure
+    * with no img yielding nothing). The organic synth pages carry no
+    * `<img>` at all — a 2000-page negative control.
+    *
+    * Scale shape: one generator pass, one url-keyed window, one
+    * (url, figure) groupBy, broadcast-joined literal expectations; no
+    * all-pairs, no driver loops. At 100 TB this is the extract-stage
+    * sibling that feeds image fetch + CLIP-filter stages downstream.
+    */
+  def q169AltText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.register(s)
+    val plantedDocs = Seq(
+      ("plant://alt/a",
+        "<figure><img src=\"/a.png\" alt=\"dog &amp; cat\">" +
+          "<figcaption>A dog <b>and</b> cat.</figcaption></figure>"),
+      ("plant://alt/b",
+        "<p><img src=\"/b1.png\"><img src=\"/b2.png\" alt=\"\"></p>"),
+      ("plant://alt/c",
+        "<figure><img src=\"/c1.png\" alt=\"one\"/>" +
+          "<img src=\"/c2.png\" alt=\"two\"/>" +
+          "<figcaption>shared cap</figcaption></figure>"),
+      ("plant://alt/d",
+        "<img src=\"/d.png\" alt=\"lonely\">" +
+          "<figure><figcaption>no image here</figcaption></figure>"))
+    val volume = (0 until 60).map { i =>
+      val sb = new StringBuilder("<html><body>")
+      for (j <- 0 until 6) {
+        sb.append("<figure><img src=\"/img/").append(i).append('_').append(j)
+          .append(".jpg\" alt=\"alt ").append((i * 7 + j) % 50)
+          .append(" &amp; ").append(j)
+          .append("\"><figcaption>cap ").append(i).append(" <i>").append(j)
+          .append("</i> end</figcaption></figure>")
+      }
+      sb.append("<img src=\"/bare/").append(i).append(".png\" alt=\"bare ")
+        .append(i).append("\">")
+      if (i % 5 == 0)
+        sb.append("<img src=\"/noalt/").append(i).append(".png\">")
+      (f"plant://alt/vol/$i%02d", sb.append("</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_alt")
+    val nodes = s.sql(
+      """SELECT url, n.idx, n.ntype, lower(n.tag) AS tag, n.text, n.attrs,
+        |       n.self_closing
+        |FROM pages_alt LATERAL VIEW html_nodes(html) n
+        |WHERE (n.ntype = 'START'
+        |       AND lower(n.tag) IN ('figure', 'figcaption', 'img'))
+        |   OR (n.ntype = 'CLOSE' AND lower(n.tag) IN ('figure', 'figcaption'))
+        |   OR n.ntype = 'TEXT'""".stripMargin)
+    val w = Window.partitionBy(col("url")).orderBy(col("idx"))
+    def depth(tag: String): org.apache.spark.sql.Column = sum(
+      when(col("ntype") === "START" && col("tag") === tag &&
+        !col("self_closing"), 1)
+        .when(col("ntype") === "CLOSE" && col("tag") === tag, -1)
+        .otherwise(0)).over(w)
+    val ev = nodes
+      .withColumn("figd", depth("figure"))
+      .withColumn("capd", depth("figcaption"))
+      .withColumn("fig", sum(when(col("ntype") === "START" &&
+        col("tag") === "figure", 1).otherwise(0)).over(w))
+    val caps = ev
+      .filter(col("ntype") === "TEXT" && col("capd") > 0 && col("figd") > 0)
+      .groupBy(col("url"), col("fig"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("text")))),
+        x => x.getField("text")), "").as("caption"))
+    val rel = ev.filter(col("ntype") === "START" && col("tag") === "img")
+      .select(col("url"), col("idx"), col("attrs").getItem("src").as("src"),
+        expr("decode_entities(attrs['alt'])").as("alt"),
+        (col("figd") > 0).as("in_figure"), col("fig"))
+      .join(caps, Seq("url", "fig"), "left")
+      .withColumn("caption",
+        when(col("in_figure"), col("caption")).otherwise(lit(null)))
+      .select(col("url"), col("idx"), col("src"), col("alt"),
+        col("caption"), col("in_figure"))
+    // independent sequential single-pass walker (the obvious algorithm)
+    val typed = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      var figd = 0; var capd = 0; var fig = 0
+      val capBuf = scala.collection.mutable.LinkedHashMap[Int, StringBuilder]()
+      val imgs = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Int, Boolean)]
+      def attrVal(nd: graft.core.HNode, name: String): String =
+        nd.attrs.find(_.name == name).map(_.value).orNull
+      nds.foreach { nd =>
+        nd.nodeType match {
+          case NodeType.StartTag =>
+            nd.tagName.toLowerCase match {
+              case "figure" =>
+                fig += 1; if (!nd.selfClosing) figd += 1
+              case "figcaption" => if (!nd.selfClosing) capd += 1
+              case "img" =>
+                imgs += ((nd.idx, attrVal(nd, "src"),
+                  Option(attrVal(nd, "alt"))
+                    .map(v => graft.core.Entities.decode(v)).orNull,
+                  fig, figd > 0))
+              case _ =>
+            }
+          case NodeType.CloseTag =>
+            nd.tagName.toLowerCase match {
+              case "figure" => figd -= 1
+              case "figcaption" => capd -= 1
+              case _ =>
+            }
+          case NodeType.Content =>
+            if (capd > 0 && figd > 0)
+              capBuf.getOrElseUpdate(fig, new StringBuilder).append(nd.text)
+          case _ =>
+        }
+      }
+      imgs.iterator.map { case (idx, src, alt, figId, inFig) =>
+        val cap =
+          if (inFig) capBuf.get(figId).map(_.toString).orNull else null
+        (url, idx, src, alt, cap, inFig)
+      }
+    }.toDF("t_url", "t_idx", "t_src", "t_alt", "t_caption", "t_in_figure")
+    val expected = Seq[(String, String, String, String, Boolean)](
+      ("plant://alt/a", "/a.png", "dog & cat", "A dog and cat.", true),
+      ("plant://alt/b", "/b1.png", null, null, false),
+      ("plant://alt/b", "/b2.png", "", null, false),
+      ("plant://alt/c", "/c1.png", "one", "shared cap", true),
+      ("plant://alt/c", "/c2.png", "two", "shared cap", true),
+      ("plant://alt/d", "/d.png", "lonely", null, false))
+      .toDF("e_url", "e_src", "e_alt", "e_cap", "e_fig")
+    rel.join(typed,
+        col("url") === col("t_url") && col("idx") === col("t_idx"),
+        "full_outer")
+      .join(broadcast(expected),
+        col("url") === col("e_url") && col("src") <=> col("e_src"), "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("idx"), col("t_idx")).as("idx"),
+        col("src"), col("alt"), col("caption"), col("in_figure"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("src") <=> col("t_src") && col("alt") <=> col("t_alt") &&
+          col("caption") <=> col("t_caption") &&
+          col("in_figure") <=> col("t_in_figure") &&
+          (!col("url").startsWith("plant://alt/") ||
+            col("url").startsWith("plant://alt/vol/") ||
+            (col("e_src").isNotNull && col("alt") <=> col("e_alt") &&
+              col("caption") <=> col("e_cap") &&
+              col("in_figure") <=> col("e_fig")))).as("pair_ok"))
+      .orderBy(col("url"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_alt_text" -> q169AltText _,
     "q148_audio_neardup" -> q148AudioNeardup _,
     "q157_exif" -> q157Exif _,
     "q160_subtitles" -> q160Subtitles _,

@@ -2197,7 +2197,102 @@ object TextOps {
         col("cum_before"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** q166: EXACT edit-distance (≤ 1) similarity join by DELETION
+    * NEIGHBORHOODS (FastSS, Bocek et al., ETH TIK report 2007 — the
+    * published scheme behind SymSpell-family spell checkers): every
+    * string emits itself plus each single-character deletion as join
+    * keys; two strings within edit distance 1 ALWAYS share a key
+    * (substitution at i → both i-deletions equal; indel → the shorter
+    * string IS a deletion of the longer), so one equi-join on the key
+    * yields a lossless candidate set and `levenshtein` verifies only
+    * candidates — never all pairs. The corpus is the per-doc 5-token
+    * title head plus, for every 7th doc, a planted char-4-deleted twin,
+    * so true near-miss pairs exist by construction. The DuckDB oracle is
+    * the NAIVE all-pairs join over the same names with its own
+    * `levenshtein` — hash equality is the candidate-completeness proof
+    * (both engines count edits over codepoints; the corpus is
+    * all-ASCII so DuckDB's byte-wise distance agrees).
+    *
+    * Scale shape: n·(len+1) keys (one explode), ONE equi-join shuffle on
+    * near-unique string keys, exact verify on candidates only; k > 1
+    * generalizes by recursive deletions (keys ~ n·C(len,k)) with the
+    * same lossless-candidate contract. The naive quadratic join exists
+    * only on the oracle side.
+    */
+  def q166EditdistJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(tokens(col("text")), 1, 5), " ").as("t"))
+    val twins = base.filter(col("doc_id") % 7 === 0)
+      .select(concat(col("t").substr(lit(1), lit(3)),
+        col("t").substr(lit(5), length(col("t")))).as("t"))
+    val names = base.select(col("t")).union(twins)
+      .filter(length(col("t")) >= 1).distinct()
+    // deletion neighborhood via codegen'd HOFs — no UDF
+    val dels = transform(sequence(lit(1), length(col("t"))),
+      i => concat(col("t").substr(lit(1), i - 1),
+        col("t").substr(i + 1, length(col("t")))))
+    val keys = names
+      .select(col("t"), explode(array_union(array(col("t")), dels)).as("k"))
+      .localCheckpoint() // one key pass; both self-join sides read it
+    keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("a_t"), col("b.t").as("b_t")).distinct()
+      .withColumn("dist", levenshtein(col("a_t"), col("b_t")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("a_t"), col("b_t"))
+  }
+
+  /** q167: PMI COLLOCATION mining (Church & Hanks, CL 1990 — pointwise
+    * mutual information over adjacent word pairs, the classic
+    * association measure for multi-word-expression discovery): for each
+    * bigram type, pmi_bits = bitlen(c_ab·N) − bitlen(c_a·c_b), the
+    * repo's exact floor-log2 surrogate (q102's discipline) of
+    * log2(p(ab)/(p(a)p(b))) — bit-identical in Spark and DuckDB, so
+    * every score hash-matches. Support floor c_ab ≥ 4 (PMI's known
+    * low-frequency pathology; Church & Hanks use 5 on AP-wire scale).
+    *
+    * Scale shape: adjacent pairing is an in-row zip_with (no window, no
+    * posexplode join); one map-combined groupBy per table; the unigram
+    * vocabulary joins BROADCAST twice (Zipf-head defense, q55/q56
+    * precedent). The bitlen products fit signed 64-bit while N < 3·10⁹
+    * tokens — beyond that the same score runs per-shard or the counts
+    * widen to DECIMAL(38,0); the comparison semantics are unchanged.
+    */
+  def q167Collocations(s: SparkSession, dir: String): DataFrame = {
+    // planted multi-word expression on every 9th doc: near-IID word soup
+    // has almost no true collocations, so the planted phrase supplies
+    // assertable high-PMI truth (it must outrank every organic bigram)
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 9 === 0,
+        lit(" gradient descent converges rapidly")).otherwise(lit("")))
+        .as("text"))
+    val t = tokens(col("text"))
+    val pairs = d.select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val cBg = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val uni = d.select(explode(t).as("w")).groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val n = pairs.groupBy().agg(count(lit(1)).as("n_bg")) // 1-row scalar
+    cBg.filter(col("c_ab") >= 4)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        (length(bin(col("c_ab") * col("n_bg"))) -
+          length(bin(col("c_a") * col("c_b")))).cast("long").as("pmi_bits"))
+      .filter(col("pmi_bits") >= 2)
+      .orderBy(col("pmi_bits").desc, col("bg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_editdist_join" -> q166EditdistJoin _,
+    "q167_collocations" -> q167Collocations _,
     "q109_train_shards" -> q109TrainShards _,
     "q104_cdc_dedup" -> q104CdcDedup _,
     "q80_langid_ngram" -> q80LangIdNgram _,
@@ -2294,6 +2389,47 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q166: the NAIVE all-pairs levenshtein join — hash equality vs the
+    // deletion-neighborhood candidate path proves FastSS losslessness.
+    "q166_editdist_join" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, array_to_string(($dkTokens)[1:5], ' ') AS t
+         |  FROM documents),
+         |names AS (
+         |  SELECT DISTINCT t FROM (
+         |    SELECT t FROM base
+         |    UNION ALL
+         |    SELECT substr(t, 1, 3) || substr(t, 5) AS t
+         |    FROM base WHERE doc_id % 7 = 0)
+         |  WHERE length(t) >= 1)
+         |SELECT a.t AS a_t, b.t AS b_t,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+         |FROM names a JOIN names b ON a.t < b.t
+         |WHERE levenshtein(a.t, b.t) <= 1
+         |ORDER BY a_t, b_t""".stripMargin,
+    "q167_collocations" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 9 = 0
+         |    THEN ' gradient descent converges rapidly' ELSE '' END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $dkTokens AS ts FROM docs),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+         |    i -> ts[i] || ' ' || ts[i+1])) AS bg
+         |  FROM tk),
+         |cbg AS (SELECT bg, COUNT(*) AS c_ab FROM bg GROUP BY bg),
+         |cu AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n_bg FROM bg)
+         |SELECT bg, c_ab, ca.c AS c_a, cb.c AS c_b,
+         |  CAST(length(bin(c_ab * n_bg)) - length(bin(ca.c * cb.c))
+         |       AS BIGINT) AS pmi_bits
+         |FROM cbg, n
+         |JOIN cu ca ON ca.w = split_part(bg, ' ', 1)
+         |JOIN cu cb ON cb.w = split_part(bg, ' ', 2)
+         |WHERE c_ab >= 4
+         |  AND length(bin(c_ab * n_bg)) - length(bin(ca.c * cb.c)) >= 2
+         |ORDER BY pmi_bits DESC, bg""".stripMargin,
     "q109_train_shards" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS tok_len,
          |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h

@@ -89,7 +89,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q164_extract_any" -> "any_ok",
       "q165_boilerpipe" -> "bp_ok",
       "q146_heading_outline" -> "outline_ok",
-      "q148_audio_neardup" -> "aud_ok")
+      "q148_audio_neardup" -> "aud_ok",
+      "q169_alt_text" -> "pair_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
