@@ -631,7 +631,109 @@ object ClusterOps {
       .orderBy(col("id"))
   }
 
+  /** q170: COMMUNITY DETECTION by synchronous label propagation (public:
+    * Raghavan, Albert, Kumara, "Near linear time algorithm to detect
+    * community structures in large-scale networks", Phys. Rev. E 76,
+    * 2007) over the q120/q129 host graph — the standard cheap topic/site
+    * grouping signal for crawl corpora (mirror farms and template
+    * families collapse into one community long before full modularity
+    * methods are affordable). Asynchronous LPA is non-deterministic
+    * (update order matters) and synchronous LPA can oscillate on
+    * bipartite structures, so the contract here is the DETERMINISTIC
+    * FIXED-ROUND SNAPSHOT: labels start as node ids; each of exactly 4
+    * synchronous rounds relabels every node to the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label. Both
+    * engines compute the identical snapshot — no randomness, no order
+    * dependence.
+    *
+    * Scale notes (100 TB): per round ONE equi-join shuffle (edges ×
+    * labels, keyed on the neighbor id) and two map-combined aggregates —
+    * the (node,label) count and the deterministic argmax, which Spark
+    * folds into a single `max(struct(cnt, −lbl))` HashAggregate (no
+    * window, no sort). The label table is one row per node (≪ edges);
+    * per-round `localCheckpoint` (a checkpoint in prod) keeps the
+    * iterative lineage flat — the q49/q53 discipline.
+    */
+  def q170LabelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(hostEdges(s, dir), rounds = 4).orderBy(col("node"))
+
+  /** Deterministic fixed-round synchronous LPA over an undirected edge
+    * list with BIGINT columns (`a`,`b`), a<b, distinct, no self-loops —
+    * the production API behind q170. Returns `(node, community)`.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // one materialization feeds all rounds
+    var lab = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnt = sym.join(lab.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      // argmax with min-label tie-break as ONE aggregate: max over
+      // (cnt, -lbl) picks the highest count, then the smallest label
+      lab = cnt.groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** q171: LINK PREDICTION by the Adamic–Adar index (public: Adamic &
+    * Adar, "Friends and neighbors on the Web", Social Networks 2003;
+    * evaluated as the strongest simple predictor in Liben-Nowell &
+    * Kleinberg, CIKM 2003) — for every non-adjacent host pair, score
+    * Σ_{z ∈ common neighbors} 1/log deg(z), so rare shared neighbors
+    * count more than celebrity hubs. A crawler uses the top of this
+    * ranking to prioritize frontier edges and to flag link-farm pairs
+    * (suspiciously high AA with no direct edge). The irrational 1/log is
+    * replaced by the repo's exact-integer floor-log2 surrogate
+    * `1000000 div length(bin(deg))` — identical arithmetic in Spark and
+    * DuckDB, so the oracle is hash-exact, not tolerance-based.
+    *
+    * Scale notes (100 TB): wedges are generated by a self equi-join of
+    * the adjacency list keyed on the COMMON NEIGHBOR, which is exactly
+    * the q121/q63 quadratic-blowup shape — so the same SoCC'14 ubiquity
+    * cap applies: pivots with degree > 100 are dropped BEFORE the join
+    * (a degree-10⁶ hub would otherwise emit 5·10¹¹ wedges; it is also
+    * the pair whose AA weight tends to 0, so the cap removes the
+    * near-zero mass, documented, not silent). One map-combined degree
+    * aggregate (broadcast back), one bounded self-join, one map-combined
+    * pair aggregate, one anti-join against the edge set, and
+    * TakeOrderedAndProject for the top-100 — never a global sort.
+    */
+  def q171LinkPred(s: SparkSession, dir: String): DataFrame =
+    adamicAdar(hostEdges(s, dir), degCap = 100, minCommon = 2)
+      .orderBy(col("aa_x1e6").desc, col("a"), col("b"))
+      .limit(100)
+
+  /** Adamic–Adar scores for every non-adjacent pair with ≥ `minCommon`
+    * common neighbors, over an undirected edge list with BIGINT columns
+    * (`a`,`b`), a<b, distinct, no self-loops — the production API behind
+    * q171. Pivots with degree > `degCap` are excluded (see q171's scale
+    * notes). Returns `(a, b, common, aa_x1e6)`, unordered.
+    */
+  def adamicAdar(edges: DataFrame, degCap: Int, minCommon: Int): DataFrame = {
+    val e = edges.localCheckpoint() // feeds adjacency + anti-join
+    val adj = e.select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= degCap) // ubiquity cap — see scale notes
+      .withColumn("w", expr("CAST(1000000 DIV length(bin(d)) AS BIGINT)"))
+    val a2 = adj.join(broadcast(deg), "z").localCheckpoint()
+    val pairs = a2.as("l").join(a2.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("a"), col("r.n").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("l.w")).as("aa_x1e6"))
+      .where(col("common") >= minCommon)
+    pairs.join(e.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_label_prop" -> q170LabelProp _,
+    "q171_link_pred" -> q171LinkPred _,
     "q149_redirect_resolve" -> q149RedirectResolve _,
     "q152_trustrank" -> q152TrustRank _,
     "q159_graph_mixing" -> q159GraphMixing _,
@@ -886,5 +988,48 @@ object ClusterOps {
         |FROM p l JOIN p r ON l.dst = r.dst AND l.src < r.src
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY a, b""".stripMargin,
+    // the oracle unrolls the 4 synchronous rounds literally; min(lbl)
+    // over the max-count window is the same tie-break as Spark's
+    // max(struct(cnt, -lbl)) aggregate
+    "q170_label_prop" -> {
+      def round(k: Int): String =
+        s"""c$k AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM sym s JOIN l${k - 1} l ON s.v = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, min(lbl) AS lbl FROM (
+           |    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+           |    FROM c$k) WHERE cnt = mx GROUP BY node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS a,
+         |                  greatest(l_orderkey % 1000, l_partkey % 1000) AS b
+         |  FROM lineitem
+         |  WHERE l_quantity < 10 AND l_orderkey % 1000 <> l_partkey % 1000),
+         |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+    },
+    // same edge set, wedge join, and integer bitlen weight; the anti
+    // condition is spelled NOT EXISTS
+    "q171_link_pred" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS a,
+        |                  greatest(l_orderkey % 1000, l_partkey % 1000) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity < 10 AND l_orderkey % 1000 <> l_partkey % 1000),
+        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z
+        |        HAVING COUNT(*) <= 100),
+        |a2 AS (SELECT adj.z, adj.n, 1000000 // length(bin(deg.d)) AS w
+        |       FROM adj JOIN deg USING (z)),
+        |p AS (SELECT l.n AS a, r.n AS b, CAST(COUNT(*) AS BIGINT) AS common,
+        |        CAST(SUM(l.w) AS BIGINT) AS aa_x1e6
+        |      FROM a2 l JOIN a2 r ON l.z = r.z AND l.n < r.n
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.a, p.b, p.common, p.aa_x1e6 FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+        |ORDER BY aa_x1e6 DESC, a, b LIMIT 100""".stripMargin,
   )
 }

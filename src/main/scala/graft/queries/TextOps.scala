@@ -2290,7 +2290,79 @@ object TextOps {
       .orderBy(col("pmi_bits").desc, col("bg"))
   }
 
+  /** Longest period-p repetition run per document for p ∈ {1,2,3}: the
+    * count of consecutive token positions i (within the first
+    * `maxToks` tokens) where token_i == token_{i−p}. A loop "x y x y
+    * x y …" of period 2 repeated k times scores rep2 = 2(k−1); natural
+    * prose scores near zero. Production API behind q172; returns
+    * (doc_id, rep1, rep2, rep3) for documents with ≥1 match.
+    */
+  private[queries] def repetitionRuns(docs: DataFrame,
+      maxToks: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"),
+      posexplode(slice(tokens(col("text")), 1, maxToks))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagged = tk
+      .withColumn("f1", col("tok") === lag(col("tok"), 1).over(w))
+      .withColumn("f2", col("tok") === lag(col("tok"), 2).over(w))
+      .withColumn("f3", col("tok") === lag(col("tok"), 3).over(w))
+    // null lag (pos < p) and false both drop at the filter
+    val flags = lagged.select(col("doc_id"), col("pos"),
+        posexplode(array(col("f1"), col("f2"), col("f3")))
+          .as(Seq("pi", "flag")))
+      .where(col("flag"))
+      .select(col("doc_id"), (col("pi") + 1).as("p"), col("pos"))
+    // gaps-and-islands: consecutive flagged positions share pos − rn
+    val wi = Window.partitionBy(col("doc_id"), col("p")).orderBy(col("pos"))
+    flags.withColumn("isl", col("pos") - row_number().over(wi))
+      .groupBy(col("doc_id"), col("p"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"), col("p")).agg(max(col("run")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(max(when(col("p") === 1, col("mx"))), lit(0L)).as("rep1"),
+        coalesce(max(when(col("p") === 2, col("mx"))), lit(0L)).as("rep2"),
+        coalesce(max(when(col("p") === 3, col("mx"))), lit(0L)).as("rep3"))
+  }
+
+  /** q172: DEGENERATE REPETITION-LOOP detection — the telltale failure
+    * mode of neural text degeneration (public: Holtzman, Buys, Du,
+    * Forbes, Choi, "The Curious Case of Neural Text Degeneration", ICLR
+    * 2020): machine-generated or template-broken pages end in "… the the
+    * the the" or "click here click here click here" loops that n-gram
+    * repetition RATIOS (q17/q50 Gopher filters) dilute away on long
+    * documents. This measures the loop directly: the longest CONSECUTIVE
+    * run of positions where token_i equals token_{i−p} for period
+    * p ∈ {1,2,3}, via the gaps-and-islands run-length idiom; `looped`
+    * gates at a max run ≥ 12 (≥ 12 consecutive period-matching tokens,
+    * e.g. a unigram echoed 13 times or a trigram cycled 5 times).
+    *
+    * Scale notes (100 TB): the token slice cap (2048) bounds per-row
+    * cost and window width, so a degenerate giant page — exactly the
+    * document this hunts — cannot straggle a reducer. ONE Exchange on
+    * doc_id carries every window pass: the islands window is keyed
+    * (doc_id, p), which the doc_id hash partitioning already satisfies
+    * (Spark inserts only a sort), and the run/max aggregates are
+    * map-combined on the same keys. The final per-doc join is keyed on
+    * doc_id like everything else.
+    */
+  def q172RepetitionLoops(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    docs.select(col("doc_id"))
+      .join(repetitionRuns(docs.select(col("doc_id"), col("text"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep1"), lit(0L)).as("rep1"),
+        coalesce(col("rep2"), lit(0L)).as("rep2"),
+        coalesce(col("rep3"), lit(0L)).as("rep3"))
+      .withColumn("max_run", greatest(col("rep1"), col("rep2"), col("rep3")))
+      .withColumn("looped", col("max_run") >= 12)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_repetition_loops" -> q172RepetitionLoops _,
     "q166_editdist_join" -> q166EditdistJoin _,
     "q167_collocations" -> q167Collocations _,
     "q109_train_shards" -> q109TrainShards _,
@@ -2389,6 +2461,40 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical slice cap, lag flags, and gaps-and-islands run-length;
+    // DuckDB's zipped UNNEST pair reproduces posexplode's 0-based pos
+    "q172_repetition_loops" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    UNNEST(generate_series(0, len(list_slice($dkTokens, 1, 2048))-1)) AS pos,
+         |    UNNEST(list_slice($dkTokens, 1, 2048)) AS tok
+         |  FROM documents),
+         |lagd AS (SELECT doc_id, pos,
+         |    tok = lag(tok, 1) OVER w AS f1,
+         |    tok = lag(tok, 2) OVER w AS f2,
+         |    tok = lag(tok, 3) OVER w AS f3
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |fl AS (
+         |  SELECT doc_id, 1 AS p, pos FROM lagd WHERE f1
+         |  UNION ALL SELECT doc_id, 2, pos FROM lagd WHERE f2
+         |  UNION ALL SELECT doc_id, 3, pos FROM lagd WHERE f3),
+         |isl AS (SELECT doc_id, p,
+         |    pos - row_number() OVER (PARTITION BY doc_id, p ORDER BY pos) AS g
+         |  FROM fl),
+         |run AS (SELECT doc_id, p, COUNT(*) AS run FROM isl GROUP BY doc_id, p, g),
+         |mx AS (SELECT doc_id, p, max(run) AS mx FROM run GROUP BY doc_id, p),
+         |agg AS (SELECT doc_id,
+         |    CAST(coalesce(max(CASE WHEN p = 1 THEN mx END), 0) AS BIGINT) AS rep1,
+         |    CAST(coalesce(max(CASE WHEN p = 2 THEN mx END), 0) AS BIGINT) AS rep2,
+         |    CAST(coalesce(max(CASE WHEN p = 3 THEN mx END), 0) AS BIGINT) AS rep3
+         |  FROM mx GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(rep1, 0) AS rep1, coalesce(rep2, 0) AS rep2,
+         |  coalesce(rep3, 0) AS rep3,
+         |  greatest(coalesce(rep1, 0), coalesce(rep2, 0), coalesce(rep3, 0)) AS max_run,
+         |  greatest(coalesce(rep1, 0), coalesce(rep2, 0), coalesce(rep3, 0)) >= 12 AS looped
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // q166: the NAIVE all-pairs levenshtein join — hash equality vs the
     // deletion-neighborhood candidate path proves FastSS losslessness.
     "q166_editdist_join" ->

@@ -264,4 +264,125 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.map(_.getString(4)).distinct.sorted.toSeq ==
       Seq("test", "train", "val"))
   }
+
+  /** Sequential synchronous LPA reference: all updates read the previous
+    * round's labels; argmax ties break to the smallest label.
+    */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val prev = lab
+      lab = adj.map { case (u, ns) =>
+        val cnt = ns.groupBy(prev).map { case (l, xs) => (l, xs.size) }
+        val mx = cnt.values.max
+        u -> cnt.collect { case (l, c) if c == mx => l }.min
+      }
+    }
+    lab
+  }
+
+  private def norm(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+
+  private def lpaSpark(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    ClusterOps.labelPropagation(
+        spark.createDataFrame(edges).toDF("a", "b"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation == sequential synchronous reference (property)") {
+    val genEdges = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 50)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+      r <- Gen.choose(1, 5)
+    } yield (es, r)
+    val prop = Prop.forAll(genEdges) { case (es, r) =>
+      val e = norm(es)
+      e.isEmpty || lpaSpark(e, r) == lpaRef(e, r)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(170L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"lpa==ref: ${res.status}")
+  }
+
+  test("labelPropagation: bridged cliques resolve to their own communities") {
+    val c1 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c2 = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val got = lpaSpark(c1 ++ c2 :+ (4L, 10L), rounds = 4)
+    // each clique is internally uniform, and the two differ
+    val l1 = got.filter(_._1 <= 4).values.toSet
+    val l2 = got.filter(_._1 >= 10).values.toSet
+    assert(l1.size == 1 && l2.size == 1 && l1 != l2,
+      s"cliques not separated: $got")
+  }
+
+  /** Brute-force Adamic–Adar with the same integer bitlen surrogate. */
+  private def aaRef(edges: Seq[(Long, Long)], cap: Int,
+      minCommon: Int): Map[(Long, Long), (Long, Long)] = {
+    val es = norm(edges)
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val acc = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for {
+      (z, ns) <- adj if ns.size <= cap
+      w = 1000000L / (64 - java.lang.Long.numberOfLeadingZeros(ns.size.toLong))
+      s = ns.toSeq.sorted
+      i <- s.indices; j <- (i + 1) until s.length
+    } {
+      val (c, sm) = acc.getOrElse((s(i), s(j)), (0L, 0L))
+      acc((s(i), s(j))) = (c + 1, sm + w)
+    }
+    val eset = es.toSet
+    acc.filter { case (k, (c, _)) => c >= minCommon && !eset(k) }.toMap
+  }
+
+  private def aaSpark(edges: Seq[(Long, Long)], cap: Int,
+      minCommon: Int): Map[(Long, Long), (Long, Long)] =
+    ClusterOps.adamicAdar(
+        spark.createDataFrame(edges).toDF("a", "b"), cap, minCommon)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("adamicAdar == brute force (property, incl. the degree cap)") {
+    val genEdges = for {
+      n <- Gen.choose(3, 25)
+      m <- Gen.choose(2, 50)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+      cap <- Gen.oneOf(2, 4, 1000)
+    } yield (es, cap)
+    val prop = Prop.forAll(genEdges) { case (es, cap) =>
+      val e = norm(es)
+      e.isEmpty || aaSpark(e, cap, 1) == aaRef(e, cap, 1)
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(171L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"aa==ref: ${res.status}")
+  }
+
+  test("adamicAdar: capped hub contributes no wedges; shared rare neighbor outscores shared hub") {
+    // hub 0 adjacent to 1..12 (degree 12 > cap 10) — its wedges drop;
+    // rare z=20 shared by (1,2) scores via deg(20)=2 → 1000000/2 bits
+    val hub = (1L to 12L).map(i => (0L, i))
+    val rare = Seq((1L, 20L), (2L, 20L))
+    val got = aaSpark(hub ++ rare, cap = 10, minCommon = 1)
+    // pair (1,2) scores ONLY via z=20 (hub dropped): one wedge, 500000;
+    // (0,20) scores via pivots 1 and 2 (deg 2 each): two wedges, 1000000.
+    // No wedge from the hub itself — C(12,2)=66 hub pairs all absent.
+    assert(got == Map((1L, 2L) -> (1L, 500000L), (0L, 20L) -> (2L, 1000000L)),
+      s"unexpected AA table: $got")
+  }
 }

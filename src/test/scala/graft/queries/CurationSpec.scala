@@ -236,4 +236,53 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((rows.toSeq == resorted.toSeq) && rows.forall(r =>
       r.getInt(3) == ((r.getLong(2) - 1) * 10 / rows.length).toInt))
   }
+
+  /** Sequential reference for q172's repetition runs: longest run of
+    * positions i (within the first maxToks tokens) with t(i) == t(i−p).
+    */
+  private def refReps(text: String, maxToks: Int = 2048): (Long, Long, Long) = {
+    val t = tok(text).take(maxToks)
+    def longest(p: Int): Long = {
+      var best = 0; var cur = 0
+      for (i <- t.indices) {
+        if (i >= p && t(i) == t(i - p)) { cur += 1; best = math.max(best, cur) }
+        else cur = 0
+      }
+      best.toLong
+    }
+    (longest(1), longest(2), longest(3))
+  }
+
+  test("repetitionRuns == sequential reference; loops gate, prose doesn't") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(172)
+    val planted: Seq[(Long, String)] = Seq(
+      1L -> ("intro words then " + Seq.fill(15)("the").mkString(" ")),
+      2L -> ("x " + Seq.fill(9)("click here").mkString(" ") + " end"),
+      3L -> Seq.fill(7)("buy cheap pills").mkString(" "),
+      4L -> "a perfectly ordinary sentence with no repeats at all",
+      5L -> "",
+      // loop planted to straddle the 2048-token cap: only its head counts
+      6L -> ((0 until 2040).map(i => s"w$i").mkString(" ") + " " +
+        Seq.fill(30)("loop").mkString(" "))
+    ) ++ (7L to 20L).map(i =>
+      i -> Seq.fill(60)(s"t${rnd.nextInt(4)}").mkString(" "))
+    val got = TextOps.repetitionRuns(planted.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    planted.foreach { case (id, text) =>
+      val want = refReps(text)
+      val g = got.getOrElse(id, (0L, 0L, 0L))
+      assert(g == want, s"doc $id: got $g want $want")
+    }
+    def mx(id: Long) = {
+      val g = got.getOrElse(id, (0L, 0L, 0L)); Seq(g._1, g._2, g._3).max
+    }
+    // the q172 gate: the planted unigram/bigram/trigram loops all cross
+    // 12; natural prose, empty text, and the beyond-cap loop stay below
+    assert(mx(1L) >= 12 && mx(2L) >= 12 && mx(3L) >= 12)
+    assert(mx(4L) < 12 && mx(5L) < 12 && mx(6L) < 12)
+  }
 }
