@@ -1788,7 +1788,321 @@ object PagesOps {
       .orderBy(col("url"), col("idx"))
   }
 
+  /** ISO publication-date prefix with calendar bounds (month 01–12, day
+    * 01–31) — the validation both q173 paths share, as a SQL-safe regex.
+    */
+  private val IsoDateRe =
+    "^(\\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\\d|3[01]))"
+
+  /** URL date-path pattern: /YYYY/MM/DD/ with the same calendar bounds. */
+  private val UrlDateRe =
+    "/((?:19|20)\\d{2})/(0[1-9]|1[0-2])/(0[1-9]|[12]\\d|3[01])/"
+
+  /** q173: PUBLICATION-DATE EXTRACTION — the htmldate cascade (Barbaresi,
+    * EACL-demos 2020: date signals in priority order, structured markup
+    * before URL heuristics). Three signals per page:
+    * `<meta property="article:published_time" content=…>` (OpenGraph),
+    * the first `<time datetime=…>`, and a /YYYY/MM/DD/ URL path segment —
+    * each reduced to a calendar-validated ISO date prefix; consensus is
+    * the cascade `meta > time > url` with the winning source recorded.
+    * "First" is by node index; invalid dates (month 13, malformed) are
+    * treated as absent, NOT as blockers for lower-priority signals.
+    *
+    * Not SQL-expressible (the scanner is the operator) → self-certifying
+    * `date_ok`: the RELATIONAL path (html_nodes generator → conditional
+    * min-by-idx aggregates → coalesce cascade) must agree null-safely on
+    * every field with an independent SEQUENTIAL single-pass walker, and
+    * the hand-planted docs must equal their literal expected dates
+    * (conflicting signals → meta wins; timestamp suffixes stripped;
+    * month-13 rejected while the URL signal still lands; no-signal pages
+    * stay null). The organic synth pages carry no date markup at all — a
+    * 2000-page negative control that must come out all-null.
+    *
+    * Scale shape: one generator pass filtered to meta/time starts, one
+    * url-keyed aggregate, a stateless URL regex — no joins beyond the
+    * planted-expectation broadcast, no windows. At 100 TB this is the
+    * temporal-filtering prerequisite (corpus dating, dedup tie-breaks,
+    * contamination cutoffs) and runs inside the extract stage.
+    */
+  def q173PubDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val plantedDocs = Seq(
+      ("https://p.example.org/2019/03/09/a",
+        "<html><head><meta property=\"article:published_time\" " +
+          "content=\"2021-07-05T12:30:00Z\"></head>" +
+          "<body><time datetime=\"2020-01-02\">Jan 2</time></body></html>"),
+      ("https://p.example.org/b",
+        "<html><body><p>x</p><time datetime=\"2018-11-30T08:00:00+02:00\">" +
+          "then</time><time datetime=\"2017-01-01\">earlier but later in " +
+          "the doc</time></body></html>"),
+      ("https://p.example.org/2016/05/20/c",
+        "<html><body><time datetime=\"2016-13-01\">bad month</time>" +
+          "</body></html>"),
+      ("https://p.example.org/d",
+        "<html><body><p>no date anywhere</p></body></html>"),
+      ("https://p.example.org/e",
+        "<html><head><meta property=\"og:title\" content=\"not a date\">" +
+          "<meta property=\"article:published_time\" content=\"garbage\">" +
+          "</head><body><time datetime=\"2022-02-28\">ok</time>" +
+          "</body></html>"))
+    val volume = (0 until 60).map { i =>
+      val d = f"20${10 + i % 15}%02d-${1 + i % 12}%02d-${1 + i % 28}%02d"
+      val sb = new StringBuilder("<html><head>")
+      if (i % 3 == 0)
+        sb.append("<meta property=\"article:published_time\" content=\"")
+          .append(d).append("T06:00:00Z\">")
+      sb.append("</head><body>")
+      if (i % 2 == 0)
+        sb.append("<time datetime=\"").append(d).append("\">d</time>")
+      sb.append("<p>body ").append(i).append("</p></body></html>")
+      val url =
+        if (i % 5 == 0) f"https://v.example.org/${2000 + i}/01/15/post$i%02d"
+        else f"https://v.example.org/post$i%02d"
+      (url, sb.toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_date")
+    val nodes = s.sql(
+      """SELECT url, n.idx, lower(n.tag) AS tag, n.attrs
+        |FROM pages_date LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND lower(n.tag) IN ('meta', 'time')
+        |""".stripMargin)
+    def iso(c: org.apache.spark.sql.Column) = {
+      val d = regexp_extract(c, IsoDateRe, 1)
+      when(d =!= "", d)
+    }
+    val sig = nodes
+      .withColumn("meta_iso", when(col("tag") === "meta" &&
+        lower(col("attrs").getItem("property")) ===
+          "article:published_time", iso(col("attrs").getItem("content"))))
+      .withColumn("time_iso",
+        when(col("tag") === "time", iso(col("attrs").getItem("datetime"))))
+      .groupBy(col("url"))
+      .agg(
+        min(when(col("meta_iso").isNotNull,
+          struct(col("idx"), col("meta_iso").as("d"))))
+          .getField("d").as("date_meta"),
+        min(when(col("time_iso").isNotNull,
+          struct(col("idx"), col("time_iso").as("d"))))
+          .getField("d").as("date_time"))
+    val rel = input.select(col("url"))
+      .join(sig, Seq("url"), "left")
+      .withColumn("date_url",
+        when(regexp_extract(col("url"), UrlDateRe, 1) =!= "",
+          concat_ws("-",
+            regexp_extract(col("url"), UrlDateRe, 1),
+            regexp_extract(col("url"), UrlDateRe, 2),
+            regexp_extract(col("url"), UrlDateRe, 3))))
+      .withColumn("pub_date",
+        coalesce(col("date_meta"), col("date_time"), col("date_url")))
+      .withColumn("date_src",
+        when(col("date_meta").isNotNull, "meta")
+          .when(col("date_time").isNotNull, "time")
+          .when(col("date_url").isNotNull, "url"))
+    // independent sequential single-pass walker (the obvious algorithm)
+    val isoRe = IsoDateRe.r
+    val urlRe = UrlDateRe.r
+    val typed = input.as[(String, Array[Byte])].map { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      var dMeta: String = null
+      var dTime: String = null
+      def isoOf(v: String): String =
+        if (v == null) null
+        else isoRe.findFirstMatchIn(v).map(_.group(1)).orNull
+      nds.foreach { nd =>
+        if (nd.nodeType == NodeType.StartTag) {
+          val tag = nd.tagName.toLowerCase
+          if (tag == "meta" && dMeta == null) {
+            val prop = nd.attrs.find(_.name == "property").map(_.value)
+            if (prop.exists(_.equalsIgnoreCase("article:published_time"))) {
+              val c = nd.attrs.find(_.name == "content").map(_.value).orNull
+              val d = isoOf(c)
+              if (d != null) dMeta = d
+            }
+          } else if (tag == "time" && dTime == null) {
+            val d = isoOf(
+              nd.attrs.find(_.name == "datetime").map(_.value).orNull)
+            if (d != null) dTime = d
+          }
+        }
+      }
+      val dUrl = urlRe.findFirstMatchIn(url)
+        .map(m => s"${m.group(1)}-${m.group(2)}-${m.group(3)}").orNull
+      val pub = if (dMeta != null) dMeta
+        else if (dTime != null) dTime else dUrl
+      val src = if (dMeta != null) "meta"
+        else if (dTime != null) "time"
+        else if (dUrl != null) "url" else null
+      (url, dMeta, dTime, dUrl, pub, src)
+    }.toDF("t_url", "t_meta", "t_time", "t_url_d", "t_pub", "t_src")
+    val expected = Seq(
+      ("https://p.example.org/2019/03/09/a", "2021-07-05", "meta"),
+      ("https://p.example.org/b", "2018-11-30", "time"),
+      ("https://p.example.org/2016/05/20/c", "2016-05-20", "url"),
+      ("https://p.example.org/d", null, null),
+      ("https://p.example.org/e", "2022-02-28", "time"))
+      .toDF("e_url", "e_pub", "e_src")
+    rel.join(typed, col("url") === col("t_url"), "full_outer")
+      .join(broadcast(expected), col("url") === col("e_url"), "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        col("date_meta"), col("date_time"), col("date_url"),
+        col("pub_date"), col("date_src"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("date_meta") <=> col("t_meta") &&
+          col("date_time") <=> col("t_time") &&
+          col("date_url") <=> col("t_url_d") &&
+          col("pub_date") <=> col("t_pub") &&
+          col("date_src") <=> col("t_src") &&
+          (col("e_url").isNull ||
+            (col("pub_date") <=> col("e_pub") &&
+              col("date_src") <=> col("e_src"))) &&
+          // organic synth pages are the negative control: all-null
+          (!col("url").contains("example.org/page/") ||
+            col("pub_date").isNull)).as("date_ok"))
+      .orderBy(col("url"))
+  }
+
+  /** q174: LICENSE DETECTION — the Creative-Commons REL harvest (the CC
+    * REL spec expresses a page's license as `rel="license"` on `<a>` or
+    * `<link>`; C4/LAION-class corpora mine exactly these markers for
+    * license-aware filtering). Every page's FIRST license link (by node
+    * index) is normalized to a license id: creativecommons.org/licenses/
+    * {by,by-sa,by-nc,…}/{ver} → `CC-BY…-ver`, /publicdomain/zero/{ver} →
+    * `CC0-ver`, any other href → `other`. The `rel` attribute is a
+    * space-separated token list matched case-insensitively
+    * (`rel="license nofollow"` counts), per the HTML link-types spec.
+    *
+    * Not SQL-expressible → self-certifying `lic_ok`: relational path
+    * (generator → rel-token filter → min-by-idx) must agree null-safely
+    * with an independent sequential walker on every field, planted docs
+    * must equal their literal expected ids, and the organic synth pages
+    * (no license markup) are an all-null negative control.
+    *
+    * Scale shape: one generator pass filtered to a/link starts, one
+    * url-keyed aggregate, stateless href regexes. At 100 TB this is the
+    * compliance gate that decides which documents may train at all.
+    */
+  def q174License(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val ccRe = "creativecommons\\.org/licenses/([a-z-]+)/(\\d\\.\\d)"
+    val cc0Re = "creativecommons\\.org/publicdomain/zero/(\\d\\.\\d)"
+    val plantedDocs = Seq(
+      ("plant://lic/a",
+        "<a rel=\"license nofollow\" " +
+          "href=\"https://creativecommons.org/licenses/by-sa/4.0/\">cc</a>"),
+      ("plant://lic/b",
+        "<html><head><link rel=\"LICENSE\" href=\"http://creativecommons" +
+          ".org/licenses/by-nc-nd/3.0/deed.en\"></head><body>x</body></html>"),
+      ("plant://lic/c",
+        "<a rel=\"license\" href=\"https://creativecommons.org/" +
+          "publicdomain/zero/1.0/\">cc0</a>"),
+      ("plant://lic/d",
+        "<a rel=\"license\" href=\"https://example.com/my-eula\">eula</a>"),
+      ("plant://lic/e",
+        "<a rel=\"nofollow\" href=\"https://creativecommons.org/licenses/" +
+          "by/4.0/\">mentioned, not declared</a><p>no rel=license</p>"),
+      ("plant://lic/f",
+        "<a rel=\"license\" href=\"https://creativecommons.org/licenses/" +
+          "by/2.0/\">first</a><a rel=\"license\" " +
+          "href=\"https://creativecommons.org/licenses/by-nd/4.0/\">second</a>"))
+    val kinds = Vector("by", "by-sa", "by-nc", "by-nc-sa", "by-nd", "by-nc-nd")
+    val volume = (0 until 60).map { i =>
+      val sb = new StringBuilder("<html><body><p>doc ")
+      sb.append(i).append("</p>")
+      if (i % 4 != 3) {
+        if (i % 2 == 0)
+          sb.append("<a rel=\"license\" href=\"https://creativecommons.org/")
+            .append("licenses/").append(kinds(i % kinds.length))
+            .append(if (i % 3 == 0) "/4.0/" else "/3.0/").append("\">L</a>")
+        else
+          sb.append("<link rel=\"license etc\" href=\"https://")
+            .append("creativecommons.org/publicdomain/zero/1.0/\">")
+      }
+      (f"plant://lic/vol/$i%02d", sb.append("</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_lic")
+    val nodes = s.sql(
+      """SELECT url, n.idx, n.attrs['rel'] AS rel, n.attrs['href'] AS href
+        |FROM pages_lic LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND lower(n.tag) IN ('a', 'link')
+        |  AND n.attrs['rel'] IS NOT NULL AND n.attrs['href'] IS NOT NULL
+        |""".stripMargin)
+    def licenseId(href: org.apache.spark.sql.Column) = {
+      val kind = regexp_extract(href, ccRe, 1)
+      val ver = regexp_extract(href, ccRe, 2)
+      val zver = regexp_extract(href, cc0Re, 1)
+      when(kind =!= "", concat(lit("CC-"), upper(kind), lit("-"), ver))
+        .when(zver =!= "", concat(lit("CC0-"), zver))
+        .otherwise("other")
+    }
+    val rel = nodes
+      .filter(array_contains(split(lower(col("rel")), "\\s+"), "license"))
+      .groupBy(col("url"))
+      .agg(min(struct(col("idx"), col("href"))).as("first"))
+      .select(col("url"), col("first").getField("href").as("license_href"),
+        licenseId(col("first").getField("href")).as("license"))
+    val relAll = input.select(col("url")).join(rel, Seq("url"), "left")
+    // independent sequential walker twin
+    val ccR = ("(?s).*" + ccRe + ".*").r
+    val cc0R = ("(?s).*" + cc0Re + ".*").r
+    val typed = input.as[(String, Array[Byte])].map { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      var href: String = null
+      nds.foreach { nd =>
+        if (href == null && nd.nodeType == NodeType.StartTag) {
+          val tag = nd.tagName.toLowerCase
+          if (tag == "a" || tag == "link") {
+            val r = nd.attrs.find(_.name == "rel").map(_.value).orNull
+            val h = nd.attrs.find(_.name == "href").map(_.value).orNull
+            if (r != null && h != null &&
+              r.toLowerCase.split("\\s+").contains("license")) href = h
+          }
+        }
+      }
+      val lic =
+        if (href == null) null
+        else href match {
+          case ccR(kind, ver) => s"CC-${kind.toUpperCase}-$ver"
+          case cc0R(ver) => s"CC0-$ver"
+          case _ => "other"
+        }
+      (url, href, lic)
+    }.toDF("t_url", "t_href", "t_license")
+    val expected = Seq(
+      ("plant://lic/a", "CC-BY-SA-4.0"),
+      ("plant://lic/b", "CC-BY-NC-ND-3.0"),
+      ("plant://lic/c", "CC0-1.0"),
+      ("plant://lic/d", "other"),
+      ("plant://lic/e", null),
+      ("plant://lic/f", "CC-BY-2.0"))
+      .toDF("e_url", "e_license")
+    relAll.join(typed, col("url") === col("t_url"), "full_outer")
+      .join(broadcast(expected), col("url") === col("e_url"), "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        col("license_href"), col("license"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("license_href") <=> col("t_href") &&
+          col("license") <=> col("t_license") &&
+          (col("e_url").isNull || col("license") <=> col("e_license")) &&
+          (!col("url").contains("example.org/page/") ||
+            col("license").isNull)).as("lic_ok"))
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_pub_date" -> q173PubDate _,
+    "q174_license" -> q174License _,
     "q169_alt_text" -> q169AltText _,
     "q148_audio_neardup" -> q148AudioNeardup _,
     "q157_exif" -> q157Exif _,

@@ -2361,7 +2361,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q175: BITEXT CANDIDATE MINING — the ParaCrawl harvesting move
+    * (Bañón et al., ACL 2020 §3: translation candidates are pages of the
+    * same site whose URLs differ only in a language path segment, gated
+    * by the Gale–Church length prior before any expensive alignment).
+    * Each document gets its deterministic site URL with a language
+    * segment (`…/{lang}/a/{article}`); erasing that segment with one
+    * regex yields the pairing key; one representative per (key, lang) is
+    * the min-doc_id row; candidate pairs are distinct-language twins
+    * under the same key whose byte lengths satisfy the integer-exact
+    * 2·min ≥ max ratio gate with a 50-char floor (the length-ratio prior
+    * — Gale & Church, CL 1993 — as a pre-alignment filter).
+    *
+    * Fully oracled: URL synthesis, erasure, representative pick, self
+    * join, and ratio gate are all relational — DuckDB derives the same
+    * pairs from the same parquet, so the hash equality checks the whole
+    * mining path end-to-end.
+    *
+    * Scale shape (100 TB): one regex projection, one (key, lang) groupBy,
+    * one key-equi self-join whose buckets are bounded by the language
+    * count per key (≤5 here, ≤ O(100) in reality) — never all-pairs; the
+    * erased key is site-prefixed, so the join shuffle is site-local.
+    */
+  def q175BitextMine(s: SparkSession, dir: String): DataFrame = {
+    val langRe = "/(en|fr|es|de|zh)/"
+    val keyed = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        regexp_replace(
+          concat(lit("https://w"),
+            expr("(doc_id DIV 4) % 23").cast("string"),
+            lit(".example.org/"), col("lang"), lit("/a/"),
+            expr("doc_id DIV 4").cast("string")),
+          langRe, "/_/").as("key_url"))
+    val pick = keyed.groupBy(col("key_url"), col("lang"))
+      .agg(min(struct(col("doc_id"), col("n_chars"))).as("m"))
+      .select(col("key_url"), col("lang"),
+        col("m").getField("doc_id").as("doc_id"),
+        col("m").getField("n_chars").as("n_chars"))
+    val a = pick.select(col("key_url"), col("lang").as("lang_a"),
+      col("doc_id").as("id_a"), col("n_chars").as("len_a"))
+    val b = pick.select(col("key_url"), col("lang").as("lang_b"),
+      col("doc_id").as("id_b"), col("n_chars").as("len_b"))
+    a.join(b, Seq("key_url"))
+      .filter(col("lang_a") < col("lang_b") &&
+        col("len_a") >= 50 && col("len_b") >= 50 &&
+        least(col("len_a"), col("len_b")) * 2 >=
+          greatest(col("len_a"), col("len_b")))
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .orderBy(col("key_url"), col("lang_a"), col("lang_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_bitext_mine" -> q175BitextMine _,
     "q172_repetition_loops" -> q172RepetitionLoops _,
     "q166_editdist_join" -> q166EditdistJoin _,
     "q167_collocations" -> q167Collocations _,
@@ -2461,6 +2513,31 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q175: same URL synthesis + language-segment erasure + min-doc_id
+    // representative + ratio-gated distinct-language self-join in DuckDB.
+    "q175_bitext_mine" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_replace(
+        |      'https://w' ||
+        |      CAST(CAST((doc_id - doc_id % 4) / 4 AS BIGINT) % 23 AS VARCHAR) ||
+        |      '.example.org/' || lang || '/a/' ||
+        |      CAST(CAST((doc_id - doc_id % 4) / 4 AS BIGINT) AS VARCHAR),
+        |      '/(en|fr|es|de|zh)/', '/_/') AS key_url
+        |  FROM documents),
+        |pick AS (
+        |  SELECT key_url, lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY key_url, lang ORDER BY doc_id) AS rn
+        |  FROM keyed)
+        |SELECT a.key_url, a.lang AS lang_a, b.lang AS lang_b,
+        |  a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.n_chars AS len_a, b.n_chars AS len_b
+        |FROM pick a JOIN pick b
+        |  ON a.key_url = b.key_url AND a.lang < b.lang
+        |WHERE a.rn = 1 AND b.rn = 1
+        |  AND a.n_chars >= 50 AND b.n_chars >= 50
+        |  AND 2 * least(a.n_chars, b.n_chars) >= greatest(a.n_chars, b.n_chars)
+        |ORDER BY a.key_url, lang_a, lang_b""".stripMargin,
     // identical slice cap, lag flags, and gaps-and-islands run-length;
     // DuckDB's zipped UNNEST pair reproduces posexplode's 0-based pos
     "q172_repetition_loops" ->

@@ -90,7 +90,9 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q165_boilerpipe" -> "bp_ok",
       "q146_heading_outline" -> "outline_ok",
       "q148_audio_neardup" -> "aud_ok",
-      "q169_alt_text" -> "pair_ok")
+      "q169_alt_text" -> "pair_ok",
+      "q173_pub_date" -> "date_ok",
+      "q174_license" -> "lic_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
