@@ -556,6 +556,7 @@ object GraftExtensions {
         (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
     }),
     "surt_key" -> (args => SurtKey(args.head)),
+    "gale_church" -> (args => GaleChurchAlign(args(0), args(1))),
     "graft_bloom_contains" -> (args => BloomContains(args(0), args(1))),
     "hll_estimate" -> (args => HllEstimate(args.head)),
     "graft_cms_estimate" -> (args => CmsEstimate(args(0), args(1))),

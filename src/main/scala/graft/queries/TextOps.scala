@@ -2412,7 +2412,300 @@ object TextOps {
       .orderBy(col("key_url"), col("lang_a"), col("lang_b"))
   }
 
+  /** q176: GALE–CHURCH SENTENCE ALIGNMENT — the alignment stage that
+    * follows q175's candidate mining in the ParaCrawl pipeline (Gale &
+    * Church, CL 1993; Bañón et al., ACL 2020 §4). Each candidate pair's
+    * sentence-length arrays (first 64 sentences, split on ". ") run
+    * through the exact-integer DP behind the codegen'd `gale_church`
+    * expression ([[graft.core.GaleChurch]]: the paper's own match-type
+    * penalties 0/450/230/440, an integer length-mismatch surrogate,
+    * fixed tie-break order ⇒ one unique alignment per pair on every JVM
+    * and partitioning).
+    *
+    * Not SQL-expressible (the DP is the operator) → self-certifying
+    * `gc_ok`, two independent layers:
+    *  - STRUCTURAL: the exploded blocks must tile BOTH sequences exactly
+    *    — running sums of (na, nb) reproduce each block's (ai, bi), the
+    *    partition totals equal the array sizes, and every (na, nb) is a
+    *    legal Gale–Church move. Computed relationally (windows over the
+    *    exploded blocks), so a wrong DP cannot certify itself.
+    *  - PLANTED: four hand-solved pairs (1–1 + 2–1 contraction, all 1–1,
+    *    empty-B deletion spine, 1–2 expansion) must equal their literal
+    *    expected block lists.
+    *
+    * Scale shape: one broadcast-joined planted union, two doc-side
+    * projections, one stateless DP per pair (O(64²) ints), one window
+    * over each pair's ≤67 blocks. The expensive part (the candidate
+    * join) already happened in q175 — alignment itself is
+    * embarrassingly parallel.
+    */
+  def q176GaleChurch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    def lens(c: Column): Column = transform(
+      filter(split(c, "\\. "), x => length(trim(x)) > 0),
+      x => length(trim(x)).cast("int"))
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), slice(lens(col("text")), 1, 64).as("lens"))
+    val organic = q175BitextMine(s, dir)
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("id_a"), col("id_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("lens").as("lens_a")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("lens").as("lens_b")),
+        "id_b")
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("lens_a"), col("lens_b"))
+    val planted = Seq(
+      ("plant://gc/contract", "aa", "bb",
+        Seq(100, 50, 60), Seq(102, 108)),
+      ("plant://gc/ones", "aa", "bb", Seq(80, 80), Seq(82, 81)),
+      ("plant://gc/delete", "aa", "bb", Seq(100, 50), Seq.empty[Int]),
+      ("plant://gc/expand", "aa", "bb", Seq(200), Seq(98, 99)))
+      .toDF("key_url", "lang_a", "lang_b", "lens_a", "lens_b")
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("lens_a").cast("array<int>"), col("lens_b").cast("array<int>"))
+    val aligned = organic.unionByName(planted)
+      .withColumn("n_a", size(col("lens_a")))
+      .withColumn("n_b", size(col("lens_b")))
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("n_a"), col("n_b"),
+        posexplode(expr("gale_church(lens_a, lens_b)")).as(Seq("pos", "blk")))
+      .select(col("key_url"), col("lang_a"), col("lang_b"),
+        col("n_a"), col("n_b"), col("pos"),
+        col("blk.ai").as("ai"), col("blk.bi").as("bi"),
+        col("blk.na").as("na"), col("blk.nb").as("nb"))
+    val w = Window.partitionBy(col("key_url"), col("lang_a"), col("lang_b"))
+      .orderBy(col("pos"))
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val expected = Seq(
+      ("plant://gc/contract", 0, 0, 0, 1, 1),
+      ("plant://gc/contract", 1, 1, 1, 2, 1),
+      ("plant://gc/ones", 0, 0, 0, 1, 1),
+      ("plant://gc/ones", 1, 1, 1, 1, 1),
+      ("plant://gc/delete", 0, 0, 0, 1, 0),
+      ("plant://gc/delete", 1, 1, 0, 1, 0),
+      ("plant://gc/expand", 0, 0, 0, 1, 2))
+      .toDF("e_key", "e_pos", "e_ai", "e_bi", "e_na", "e_nb")
+    aligned
+      .withColumn("cum_na",
+        coalesce(sum(col("na")).over(w) - col("na"), lit(0)))
+      .withColumn("cum_nb",
+        coalesce(sum(col("nb")).over(w) - col("nb"), lit(0)))
+      .withColumn("tot_na", sum(col("na")).over(whole))
+      .withColumn("tot_nb", sum(col("nb")).over(whole))
+      .join(broadcast(expected),
+        col("key_url") === col("e_key") && col("pos") === col("e_pos"),
+        "left")
+      .select(col("key_url"), col("lang_a"), col("lang_b"), col("pos"),
+        col("ai"), col("bi"), col("na"), col("nb"),
+        (col("ai") === col("cum_na") && col("bi") === col("cum_nb") &&
+          col("tot_na") === col("n_a") && col("tot_nb") === col("n_b") &&
+          ((col("na") === 1 && col("nb") === 1) ||
+            (col("na") === 1 && col("nb") === 0) ||
+            (col("na") === 0 && col("nb") === 1) ||
+            (col("na") === 2 && col("nb") === 1) ||
+            (col("na") === 1 && col("nb") === 2) ||
+            (col("na") === 2 && col("nb") === 2)) &&
+          (col("e_key").isNull ||
+            (col("ai") === col("e_ai") && col("bi") === col("e_bi") &&
+              col("na") === col("e_na") && col("nb") === col("e_nb"))) &&
+          (!col("key_url").startsWith("plant://gc/") ||
+            col("e_key").isNotNull)).as("gc_ok"))
+      .orderBy(col("key_url"), col("lang_a"), col("lang_b"), col("pos"))
+  }
+
+  /** q177: DEHYPHENATION — the PDF/print line-wrap repair every layout
+    * extractor needs (the pdfminer/GROBID heuristic): a line ending in
+    * `letters-` merges its trailing word with the next line's leading
+    * word; the hyphen is REMOVED when the merged word occurs elsewhere
+    * in the same document as a token (wrap artifact: "exam-\nple"), and
+    * KEPT when it does not (true compound: "well-\nknown"). The consumed
+    * lead word leaves the next line; a next line that was exactly that
+    * one word is NOT consumed (chained hyphenation guard — keeps every
+    * merge decision locally window-computable).
+    *
+    * Not SQL-expressible as one oracle query (the rebuild is the
+    * operator) → self-certifying `dehyph_ok`: the RELATIONAL path
+    * (posexplode lines → lead/lag windows → dictionary semi-join →
+    * ordered rebuild) must rebuild to the md5-identical text of an
+    * independent SEQUENTIAL line walker, planted docs must equal their
+    * literal expected outputs, and the organic documents (no hyphen
+    * wraps) are a rebuilt == original negative control.
+    *
+    * Scale shape: one doc-keyed explode + window pass, one distinct
+    * token projection feeding a broadcast-able semi-join keyed
+    * (doc_id, word), one ordered collect_list per doc — the q91/q107
+    * rebuild discipline; text never shuffles more than once.
+    */
+  def q177Dehyphenate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val planted = Seq(
+      ("plant-1",
+        "the example stands. exam-\nple text follows.",
+        "the example stands. example\ntext follows."),
+      ("plant-2",
+        "a well-\nknown fact",
+        "a well-known\nfact"),
+      ("plant-3",
+        "ends with hy-\nphen but hyphen is known. hyphen-\nword again",
+        "ends with hyphen\nbut hyphen is known. hyphen-word\nagain"),
+      ("plant-4",
+        "single next word stays: bro-\nken",
+        "single next word stays: bro-\nken"),
+      ("plant-5", "no wraps at all\njust lines", "no wraps at all\njust lines"))
+      .toDF("url", "text", "want")
+    val organic = tbl(s, dir, "documents")
+      .select(concat(lit("doc-"), col("doc_id")).as("url"),
+        col("text"), col("text").as("want"))
+    val input = planted.unionByName(organic)
+    val lines = input
+      .select(col("url"), posexplode(split(col("text"), "\n"))
+        .as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("url")).orderBy(col("pos"))
+    val trailRe = "([\\p{L}]+)-$"
+    val leadRe = "^([\\p{L}]+)"
+    val cand = lines
+      .withColumn("trail", regexp_extract(col("line"), trailRe, 1))
+      .withColumn("next_line", lead(col("line"), 1).over(w))
+      .withColumn("lead_w",
+        regexp_extract(coalesce(col("next_line"), lit("")), leadRe, 1))
+      .withColumn("next_single",
+        trim(coalesce(col("next_line"), lit(""))) === col("lead_w"))
+      .withColumn("mergeable",
+        col("trail") =!= "" && col("lead_w") =!= "" && !col("next_single"))
+      .withColumn("merged", lower(concat(col("trail"), col("lead_w"))))
+    val dict = input.select(col("url"),
+        explode(array_distinct(split(lower(col("text")), "[^\\p{L}]+")))
+          .as("word"))
+      .filter(col("word") =!= "").distinct()
+    val flagged = cand.join(dict,
+        cand("url") === dict("url") && col("merged") === col("word"),
+        "left_semi")
+      .select(cand("url").as("m_url"), col("pos").as("m_pos"),
+        lit(true).as("in_dict"))
+    val decided = cand
+      .join(flagged, col("url") === col("m_url") && col("pos") === col("m_pos"),
+        "left")
+      .withColumn("drop_hyphen",
+        col("mergeable") && coalesce(col("in_dict"), lit(false)))
+      .withColumn("consumed", lag(col("mergeable"), 1, false).over(w))
+      .withColumn("base",
+        when(col("consumed"),
+          regexp_replace(col("line"), leadRe + "[ ]?", ""))
+          .otherwise(col("line")))
+      .withColumn("out_line",
+        when(col("mergeable") && col("drop_hyphen"),
+          concat(regexp_replace(col("base"), "-$", ""), col("lead_w")))
+          .when(col("mergeable"),
+            concat(col("base"), col("lead_w")))
+          .otherwise(col("base")))
+      .filter(!(col("consumed") && trim(col("out_line")) === ""))
+    val rebuilt = decided.groupBy(col("url"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("out_line")))),
+        x => x.getField("out_line")), "\n").as("rebuilt"))
+    // independent sequential line walker (the obvious algorithm)
+    val trailR = trailRe.r
+    val leadR = leadRe.r
+    val typed = input.select(col("url"), col("text"))
+      .as[(String, String)].map { case (url, text) =>
+        val ls = text.split("\n", -1)
+        val words = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+          .toSet
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ls.length) {
+          var line = ls(i)
+          trailR.findFirstMatchIn(line) match {
+            case Some(tm) if i + 1 < ls.length =>
+              val next = ls(i + 1)
+              val lm = leadR.findFirstMatchIn(next)
+              val leadW = lm.map(_.group(1)).getOrElse("")
+              if (leadW.nonEmpty && next.trim != leadW) {
+                val trailW = tm.group(1)
+                if (words.contains((trailW + leadW).toLowerCase))
+                  line = line.dropRight(1) // wrap artifact: hyphen removed
+                out += line + leadW
+                val afterLead = lm.get.end(1)
+                val rest = next.substring(afterLead +
+                  (if (next.length > afterLead &&
+                    next.charAt(afterLead) == ' ') 1 else 0))
+                if (rest.trim.isEmpty) i += 2
+                else { ls(i + 1) = rest; i += 1 }
+              } else { out += line; i += 1 }
+            case _ => out += line; i += 1
+          }
+        }
+        (url, out.mkString("\n"))
+      }.toDF("t_url", "t_rebuilt")
+    input.join(rebuilt, Seq("url"), "left")
+      .join(typed, col("url") === col("t_url"), "full_outer")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        md5(col("rebuilt").cast("binary")).as("rebuilt_md5"),
+        (length(col("text")) - length(col("rebuilt"))).as("chars_removed"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("rebuilt") <=> col("t_rebuilt") &&
+          (!col("url").startsWith("plant-") ||
+            col("rebuilt") <=> col("want")) &&
+          (!col("url").startsWith("doc-") ||
+            col("rebuilt") <=> col("text"))).as("dehyph_ok"))
+      .orderBy(col("url"))
+  }
+
+  /** Confusable → ASCII skeleton map (a UTS #39 §4 subset: the Cyrillic
+    * and Greek BMP lookalikes that dominate real homograph attacks, plus
+    * digit-for-letter substitutions). Shared by the Spark and DuckDB
+    * sides of q178 — both engines' `translate` are per-codepoint on BMP
+    * input, so the mapping is engine-identical.
+    */
+  private[queries] val ConfusableFrom = "асеіорѕхуονһ"
+  private[queries] val ConfusableTo = "aceiopsxyovh"
+
+  /** q178: HOMOGLYPH SKELETON SPOOF DETECTION — the UTS #39 confusable
+    * discipline (Unicode TS 39 §4 "skeleton": map every confusable to
+    * its prototype, then compare skeletons for equality) applied to
+    * hostnames, the standard defense against IDN homograph phishing
+    * domains in a crawl frontier. Hostnames are derived deterministically
+    * from `documents` (every 7th doc gets a Cyrillic-substituted spoof of
+    * its group's base host); the skeleton is one `translate` projection;
+    * spoof GROUPS are skeletons covering >1 distinct raw hostname,
+    * reported with the member list.
+    *
+    * Fully oracled: the same derivation, translate-based skeleton,
+    * groupBy and ordered member join run in DuckDB — hash equality
+    * checks map coverage, grouping, and ordering end-to-end.
+    *
+    * Scale shape: stateless per-row skeleton, one low-cardinality
+    * groupBy; at 100 TB the skeleton is the join key against the
+    * legitimate-domain allowlist (broadcast), never an all-pairs
+    * comparison.
+    */
+  def q178Homoglyph(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("host"),
+      expr("(doc_id DIV 8) % 40").cast("string"), lit(".example.com"))
+    val host = when(col("doc_id") % 7 === 0,
+      translate(base, "aceo", "асео")).otherwise(base)
+    tbl(s, dir, "documents")
+      .select(host.as("host"))
+      .withColumn("skeleton",
+        translate(lower(col("host")), ConfusableFrom, ConfusableTo))
+      .groupBy(col("skeleton"))
+      .agg(countDistinct(col("host")).as("n_variants"),
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_set(col("host"))), "|").as("hosts"))
+      .filter(col("n_variants") > 1)
+      .orderBy(col("skeleton"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_gale_church" -> q176GaleChurch _,
+    "q177_dehyphenate" -> q177Dehyphenate _,
+    "q178_homoglyph" -> q178Homoglyph _,
     "q175_bitext_mine" -> q175BitextMine _,
     "q172_repetition_loops" -> q172RepetitionLoops _,
     "q166_editdist_join" -> q166EditdistJoin _,
@@ -2513,6 +2806,25 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q178: same host derivation, confusable-skeleton translate, spoof
+    // grouping, and ordered member list in DuckDB (both translates are
+    // per-codepoint on BMP input).
+    "q178_homoglyph" ->
+      s"""WITH h AS (
+         |  SELECT CASE WHEN doc_id % 7 = 0 THEN translate(
+         |      'host' || CAST(CAST((doc_id - doc_id % 8) / 8 AS BIGINT) % 40 AS VARCHAR)
+         |        || '.example.com', 'aceo', 'асео')
+         |    ELSE 'host' || CAST(CAST((doc_id - doc_id % 8) / 8 AS BIGINT) % 40 AS VARCHAR)
+         |        || '.example.com' END AS host
+         |  FROM documents),
+         |sk AS (SELECT host,
+         |    translate(lower(host), '$ConfusableFrom', '$ConfusableTo') AS skeleton
+         |  FROM h)
+         |SELECT skeleton, count(DISTINCT host) AS n_variants,
+         |  count(*) AS n_docs,
+         |  string_agg(DISTINCT host, '|' ORDER BY host) AS hosts
+         |FROM sk GROUP BY skeleton HAVING count(DISTINCT host) > 1
+         |ORDER BY skeleton""".stripMargin,
     // q175: same URL synthesis + language-segment erasure + min-doc_id
     // representative + ratio-gated distinct-language self-join in DuckDB.
     "q175_bitext_mine" ->

@@ -92,7 +92,9 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q148_audio_neardup" -> "aud_ok",
       "q169_alt_text" -> "pair_ok",
       "q173_pub_date" -> "date_ok",
-      "q174_license" -> "lic_ok")
+      "q174_license" -> "lic_ok",
+      "q176_gale_church" -> "gc_ok",
+      "q177_dehyphenate" -> "dehyph_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
