@@ -657,6 +657,49 @@ object ClusterOps {
   def q170LabelProp(s: SparkSession, dir: String): DataFrame =
     labelPropagation(hostEdges(s, dir), rounds = 4).orderBy(col("node"))
 
+  /** q181: COMMUNITY MODULARITY — Newman–Girvan modularity (Newman &
+    * Girvan, Phys. Rev. E 69, 2004) of q170's 4-round LPA snapshot, the
+    * standard quality score for a community assignment (mirror-farm /
+    * template-family detection wants to KNOW whether the partition is
+    * structure or noise before acting on it). The float
+    * Q = Σ_c [L_c/m − (D_c/2m)²] is reported as the exact-BIGINT
+    * per-community numerator `q_num = 4·m·L_c − D_c²` over the implied
+    * denominator 4m² (Σ q_num / 4m² = Q) — integer arithmetic end to
+    * end, so the oracle is hash-exact, not tolerance-based.
+    *
+    * Fully oracled: DuckDB re-runs the same 4-round LPA unroll (q170's
+    * oracle CTE) plus the within-community edge count and degree sums.
+    *
+    * Scale notes (100 TB): after LPA (whose per-round cost q170
+    * documents), modularity is ONE edges×labels equi-join per endpoint
+    * (label table ≪ edges, broadcast-able) and two map-combined
+    * aggregates; no window, no all-pairs term — the D_c² term needs only
+    * the per-community degree sum.
+    */
+  def q181Modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = hostEdges(s, dir).localCheckpoint()
+    val lab = labelPropagation(edges, rounds = 4)
+    val m = edges.count() // O(1) read-back: the scalar 2m denominator
+    val la = lab.select(col("node").as("a"), col("community").as("ca"))
+    val lb = lab.select(col("node").as("b"), col("community").as("cb"))
+    val e2 = edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+    val lin = e2.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("l_in"))
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .join(lab, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
+    deg.join(lin, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("d_sum"),
+        coalesce(col("l_in"), lit(0L)).as("l_in"),
+        (lit(4L) * lit(m) * coalesce(col("l_in"), lit(0L)) -
+          col("d_sum") * col("d_sum")).as("q_num"))
+      .orderBy(col("community"))
+  }
+
   /** Deterministic fixed-round synchronous LPA over an undirected edge
     * list with BIGINT columns (`a`,`b`), a<b, distinct, no self-loops —
     * the production API behind q170. Returns `(node, community)`.
@@ -733,6 +776,7 @@ object ClusterOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_label_prop" -> q170LabelProp _,
+    "q181_modularity" -> q181Modularity _,
     "q171_link_pred" -> q171LinkPred _,
     "q149_redirect_resolve" -> q149RedirectResolve _,
     "q152_trustrank" -> q152TrustRank _,
@@ -1010,6 +1054,41 @@ object ClusterOps {
          |${round(3)},
          |${round(4)}
          |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+    },
+    // q181: q170's LPA unroll + within-community edge count + degree
+    // sums; q_num = 4·m·L_c − D_c² in exact BIGINTs
+    "q181_modularity" -> {
+      def round(k: Int): String =
+        s"""c$k AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM sym s JOIN l${k - 1} l ON s.v = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, min(lbl) AS lbl FROM (
+           |    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+           |    FROM c$k) WHERE cnt = mx GROUP BY node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS a,
+         |                  greatest(l_orderkey % 1000, l_partkey % 1000) AS b
+         |  FROM lineitem
+         |  WHERE l_quantity < 10 AND l_orderkey % 1000 <> l_partkey % 1000),
+         |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |m AS (SELECT COUNT(*) AS m FROM e),
+         |lin AS (SELECT la.lbl AS community, COUNT(*) AS l_in
+         |  FROM e JOIN l4 la ON e.a = la.node JOIN l4 lb ON e.b = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+         |cd AS (SELECT l4.lbl AS community, COUNT(*) AS n_nodes,
+         |    SUM(deg.d) AS d_sum
+         |  FROM deg JOIN l4 USING (node) GROUP BY 1)
+         |SELECT cd.community, cd.n_nodes, CAST(cd.d_sum AS BIGINT) AS d_sum,
+         |  CAST(coalesce(lin.l_in, 0) AS BIGINT) AS l_in,
+         |  CAST(4 * m.m * coalesce(lin.l_in, 0)
+         |    - cd.d_sum * cd.d_sum AS BIGINT) AS q_num
+         |FROM cd LEFT JOIN lin USING (community) CROSS JOIN m
+         |ORDER BY community""".stripMargin
     },
     // same edge set, wedge join, and integer bitlen weight; the anti
     // condition is spelled NOT EXISTS

@@ -2100,7 +2100,185 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q179: SCHEMA.ORG MICRODATA EXTRACTION — the itemscope/itemprop
+    * harvest (WHATWG HTML §5 "Microdata"; the other half of what q142
+    * does for JSON-LD: product cards, article bylines, ratings embedded
+    * as HTML attributes rather than script payloads). Policy, applied
+    * identically in both paths: scopes are FLAT — each `itemscope` start
+    * opens scope k (a running count; closes are not tracked) and carries
+    * its `itemtype`; every `itemprop` start belongs to the most recent
+    * scope (props before any scope are dropped); a prop's value is the
+    * first present of content/href/src/datetime, else the raw
+    * concatenation of the TEXT nodes immediately following it (the run
+    * ends at the next tag node), else NULL. Bare `itemscope` is detected
+    * by key presence (the generator surfaces bare attributes as
+    * NULL-valued map entries — q36's contract).
+    *
+    * Not SQL-expressible → self-certifying `micro_ok`: the RELATIONAL
+    * path (generator → running-count/last-anchor windows → text-run
+    * groupBy) must agree null-safely field-for-field with an independent
+    * SEQUENTIAL walker, the planted Product/Article cards must equal
+    * their literal expected triples, and the organic synth pages (no
+    * microdata) are a zero-row negative control.
+    *
+    * Scale shape: one generator pass, one url-keyed window set, one
+    * (url, anchor) groupBy for text runs — the q169 discipline; no
+    * all-pairs, no driver loops.
+    */
+  def q179Microdata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.register(s)
+    val plantedDocs = Seq(
+      ("plant://micro/a",
+        "<div itemscope itemtype=\"https://schema.org/Product\">" +
+          "<span itemprop=\"name\">Widget X</span>" +
+          "<meta itemprop=\"sku\" content=\"S-123\">" +
+          "<a itemprop=\"url\" href=\"/w\">buy</a></div>"),
+      ("plant://micro/b",
+        "<article itemscope itemtype=\"https://schema.org/Article\">" +
+          "<h1 itemprop=\"headline\">Big News</h1>" +
+          "<time itemprop=\"datePublished\" datetime=\"2023-09-01\">then</time>" +
+          "</article>" +
+          "<div itemscope itemtype=\"https://schema.org/Person\">" +
+          "<span itemprop=\"name\">Ada</span></div>"),
+      ("plant://micro/c",
+        "<span itemprop=\"orphan\">before any scope</span>" +
+          "<div itemscope><span itemprop=\"empty\"></span></div>"))
+    val volume = (0 until 60).map { i =>
+      val sb = new StringBuilder("<html><body>")
+      for (j <- 0 until 3) {
+        sb.append("<div itemscope itemtype=\"https://schema.org/Thing")
+          .append((i + j) % 7).append("\">")
+          .append("<span itemprop=\"p").append(j).append("\">v")
+          .append(i).append('_').append(j).append("</span>")
+          .append("<meta itemprop=\"m").append(j).append("\" content=\"c")
+          .append((i * 3 + j) % 50).append("\"></div>")
+      }
+      (f"plant://micro/vol/$i%02d", sb.append("</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_micro")
+    val nodes = s.sql(
+      """SELECT url, n.idx, n.ntype, n.text,
+        |       map_contains_key(n.attrs, 'itemscope') AND n.ntype = 'START'
+        |         AS has_scope,
+        |       n.attrs['itemtype'] AS itemtype,
+        |       CASE WHEN n.ntype = 'START' THEN n.attrs['itemprop'] END
+        |         AS prop,
+        |       coalesce(n.attrs['content'], n.attrs['href'],
+        |                n.attrs['src'], n.attrs['datetime']) AS attr_val
+        |FROM pages_micro LATERAL VIEW html_nodes(html) n""".stripMargin)
+    val w = Window.partitionBy(col("url")).orderBy(col("idx"))
+    val ev = nodes
+      .withColumn("scope",
+        sum(when(col("has_scope"), 1).otherwise(0)).over(w))
+      .withColumn("anchor",
+        last(when(col("ntype") =!= "TEXT", col("idx")), ignoreNulls = true)
+          .over(w))
+    val scopeTypes = ev.filter(col("has_scope"))
+      .select(col("url").as("st_url"), col("scope").as("st_scope"),
+        col("itemtype").as("st_itemtype"))
+    val textRuns = ev.filter(col("ntype") === "TEXT" && col("anchor").isNotNull)
+      .groupBy(col("url").as("tr_url"), col("anchor").as("tr_anchor"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("text")))),
+        x => x.getField("text")), "").as("lead_text"))
+    val rel = ev.filter(col("prop").isNotNull && col("scope") >= 1)
+      .join(scopeTypes,
+        col("url") === col("st_url") && col("scope") === col("st_scope"),
+        "left")
+      .join(textRuns,
+        col("url") === col("tr_url") && col("idx") === col("tr_anchor"),
+        "left")
+      .select(col("url"), col("idx"), col("scope"),
+        col("st_itemtype").as("itemtype"), col("prop"),
+        coalesce(col("attr_val"), col("lead_text")).as("value"))
+    // independent sequential single-pass walker (the obvious algorithm)
+    val typed = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      var scope = 0
+      val types = scala.collection.mutable.Map.empty[Int, String]
+      final case class P(idx: Int, scope: Int, prop: String,
+        var value: String, var collecting: Boolean)
+      val out = scala.collection.mutable.ArrayBuffer.empty[P]
+      var pending: P = null
+      val buf = new StringBuilder
+      def attrVal(nd: graft.core.HNode, name: String): String =
+        nd.attrs.find(_.name == name).map(_.value).orNull
+      def finish(): Unit = if (pending != null) {
+        if (buf.nonEmpty) pending.value = buf.toString
+        pending = null
+        buf.clear()
+      }
+      nds.foreach { nd =>
+        nd.nodeType match {
+          case NodeType.Content =>
+            if (pending != null) buf.append(nd.text)
+          case NodeType.StartTag =>
+            finish()
+            if (nd.attrs.exists(_.name == "itemscope")) {
+              scope += 1
+              val t = attrVal(nd, "itemtype")
+              if (t != null) types(scope) = t
+            }
+            val prop = attrVal(nd, "itemprop")
+            if (prop != null && scope >= 1) {
+              val av = Seq("content", "href", "src", "datetime")
+                .flatMap(a => Option(attrVal(nd, a))).headOption.orNull
+              val p = P(nd.idx, scope, prop, av, collecting = av == null)
+              out += p
+              if (av == null) pending = p
+            }
+          case _ => finish()
+        }
+      }
+      finish()
+      out.iterator.map(p =>
+        (url, p.idx, p.scope, types.get(p.scope).orNull, p.prop, p.value))
+    }.toDF("t_url", "t_idx", "t_scope", "t_itemtype", "t_prop", "t_value")
+    val expected = Seq(
+      ("plant://micro/a", 1, "https://schema.org/Product", "name", "Widget X"),
+      ("plant://micro/a", 1, "https://schema.org/Product", "sku", "S-123"),
+      ("plant://micro/a", 1, "https://schema.org/Product", "url", "/w"),
+      ("plant://micro/b", 1, "https://schema.org/Article", "headline",
+        "Big News"),
+      ("plant://micro/b", 1, "https://schema.org/Article", "datePublished",
+        "2023-09-01"),
+      ("plant://micro/b", 2, "https://schema.org/Person", "name", "Ada"),
+      ("plant://micro/c", 1, null, "empty", null))
+      .toDF("e_url", "e_scope", "e_itemtype", "e_prop", "e_value")
+    rel.join(typed,
+        col("url") === col("t_url") && col("idx") === col("t_idx"),
+        "full_outer")
+      .join(broadcast(expected),
+        col("url") === col("e_url") && col("prop") <=> col("e_prop"),
+        "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("idx"), col("t_idx")).as("idx"),
+        col("scope"), col("itemtype"), col("prop"), col("value"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("scope") <=> col("t_scope") &&
+          col("itemtype") <=> col("t_itemtype") &&
+          col("prop") <=> col("t_prop") &&
+          col("value") <=> col("t_value") &&
+          (col("e_url").isNull ||
+            (col("scope") <=> col("e_scope") &&
+              col("itemtype") <=> col("e_itemtype") &&
+              col("value") <=> col("e_value"))) &&
+          // planted doc c's orphan prop must NOT appear; organic pages
+          // carry no microdata at all
+          col("prop") =!= "orphan" &&
+          !col("url").contains("example.org/page/")).as("micro_ok"))
+      .orderBy(col("url"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_microdata" -> q179Microdata _,
     "q173_pub_date" -> q173PubDate _,
     "q174_license" -> q174License _,
     "q169_alt_text" -> q169AltText _,

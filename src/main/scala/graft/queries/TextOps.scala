@@ -2702,7 +2702,36 @@ object TextOps {
       .orderBy(col("skeleton"))
   }
 
+  /** q180: QUALITY-AWARE DEDUP KEEPER SELECTION — the canonicalization
+    * refinement of q15: inside every exact-duplicate cluster (md5 of the
+    * text bytes) the KEPT copy is the best one, not the arbitrary
+    * min-id one. "Best" here is the deterministic total order
+    * (longest text, then smallest doc_id) — the syndication rule: when
+    * a wire story appears on 40 sites, keep the least-truncated copy
+    * (Common Crawl dedup and news-corpus curation both pick keepers by
+    * a quality key, not arrival order). Reports per-cluster keeper and
+    * the exact bytes the demoted copies would have contributed.
+    *
+    * Fully oracled (one groupBy + arg-max struct in both engines).
+    * Scale shape: ONE shuffle keyed on the 128-bit digest — the text
+    * column never travels (n_chars is the quality key); the arg-max is
+    * a map-combined `max(struct(...))`, no window, no second pass.
+    */
+  def q180QualityKeeper(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(md5s(col("text")).as("fp"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("ni")))
+          .as("m"),
+        count(lit(1)).as("dupes"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("fp"), (-col("m.ni")).as("keeper_id"),
+        col("m.n_chars").as("keeper_chars"), col("dupes"),
+        (col("total_chars") - col("m.n_chars")).as("removed_chars"))
+      .orderBy(col("fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
     "q178_homoglyph" -> q178Homoglyph _,
@@ -2806,6 +2835,22 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q180: arg-max keeper via min_by/max_by-free sorted-struct trick in
+    // DuckDB too (max of (n_chars, -doc_id) row)
+    "q180_quality_keeper" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, doc_id, n_chars FROM documents),
+        |k AS (SELECT fp, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM g),
+        |agg AS (SELECT fp, COUNT(*) AS dupes, SUM(n_chars) AS total_chars
+        |  FROM g GROUP BY fp)
+        |SELECT k.fp, k.doc_id AS keeper_id, k.n_chars AS keeper_chars,
+        |  agg.dupes, CAST(agg.total_chars - k.n_chars AS BIGINT)
+        |    AS removed_chars
+        |FROM k JOIN agg USING (fp) WHERE k.rn = 1
+        |ORDER BY fp""".stripMargin,
     // q178: same host derivation, confusable-skeleton translate, spoof
     // grouping, and ordered member list in DuckDB (both translates are
     // per-codepoint on BMP input).

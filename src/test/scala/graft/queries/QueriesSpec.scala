@@ -94,7 +94,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q173_pub_date" -> "date_ok",
       "q174_license" -> "lic_ok",
       "q176_gale_church" -> "gc_ok",
-      "q177_dehyphenate" -> "dehyph_ok")
+      "q177_dehyphenate" -> "dehyph_ok",
+      "q179_microdata" -> "micro_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
