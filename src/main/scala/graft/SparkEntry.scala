@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.pipeline.ExtractPipeline
 import graft.sources.PagesSynth
-import graft.queries.{AdvancedOps, ClusterOps, CurationOps, LmOps, Relational, TextOps, VectorOps, PagesOps}
+import graft.queries.{AdvancedOps, ClusterOps, CurationOps, LmOps, NlpOps, Relational, TextOps, VectorOps, PagesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
       PagesOps.queries ++ AdvancedOps.queries ++ ClusterOps.queries ++
-      LmOps.queries ++ CurationOps.queries
+      LmOps.queries ++ CurationOps.queries ++ NlpOps.queries
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/values); the
     * extraction queries are intentionally absent — not SQL-expressible.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
       PagesOps.oracles ++ AdvancedOps.oracles ++ ClusterOps.oracles ++
-      LmOps.oracles ++ CurationOps.oracles
+      LmOps.oracles ++ CurationOps.oracles ++ NlpOps.oracles
 }

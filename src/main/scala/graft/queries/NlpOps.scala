@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-scale NLP analysis operators over the `documents` table:
+  * keyphrase extraction (RAKE), unseen-vocabulary estimation
+  * (Good–Turing / Chao1), and extractive summarization (TextRank).
+  *
+  * All three are fully oracled: every score is exact-integer arithmetic
+  * (scaled fixed-point with `div` integer division — DuckDB `//`), every
+  * regex lives in the Java∩RE2 dialect intersection with the explicit
+  * whitespace class (TextOps.WS), and every output ORDERs BY a unique key.
+  *
+  * Scale notes (100 TB): RAKE and TextRank are per-document — the only
+  * corpus-wide shuffles are doc-keyed (explode → window/groupBy), the
+  * q58/q169 discipline. TextRank's within-doc sentence-pair join is
+  * quadratic PER DOCUMENT, so the sentence count is hard-capped at
+  * [[NlpOps.MaxSents]] per doc (the q63 ubiquity-cap discipline: bound
+  * every self-join bucket before the join, never after). Good–Turing is
+  * one token explode → one (source, token) map-combined aggregate → a
+  * per-source rollup whose output is one row per source.
+  */
+object NlpOps {
+  import Q._
+
+  private val WS = TextOps.WS
+  private def tokens(c: Column): Column = split(lower(trim(c)), WS)
+
+  /** Max sentences per document entering TextRank's pairwise join. */
+  val MaxSents = 64
+
+  /** Phrase-breaking stopword list — TextOps.stopwords, shared with the
+    * quality battery so "a stopword" means one thing in this repo.
+    */
+  private val stops = TextOps.stopwords
+
+  // ---------------------------------------------------------------- RAKE
+
+  /** Rapid Automatic Keyword Extraction (Rose, Engel, Cramer & Cowley,
+    * "Automatic keyword extraction from individual documents", 2010) on
+    * `(doc_id, text)`:
+    *
+    *  - candidate phrases = maximal runs of content tokens, broken at
+    *    stopwords, at tokens with no `[a-z0-9]` left after edge-stripping,
+    *    and AFTER any token ending in sentence punctuation `[.!?,;:]`;
+    *  - per-document word scores `score(w) = deg(w)/freq(w)` where
+    *    `freq` counts occurrences inside candidates and `deg` sums the
+    *    lengths of the candidates containing each occurrence — kept exact
+    *    as `deg*1000 div freq`;
+    *  - phrase score = sum of member word scores (with multiplicity);
+    *    top-[[k]] distinct phrases per doc, ties broken by phrase text.
+    *
+    * Shape: one posexplode, one doc-keyed window set (running phrase-id
+    * sum), one (doc, phrase) and one (doc, word) aggregate — a single
+    * doc-keyed Exchange serves all of it; word stats are PER DOCUMENT so
+    * no Zipf-head vocabulary join exists at all.
+    */
+  def rake(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("norm",
+        regexp_replace(col("tok"), "^[^a-z0-9]+|[^a-z0-9]+$", ""))
+      .withColumn("is_delim",
+        col("norm").isin(stops: _*) || col("norm") === "")
+      .withColumn("brk", col("tok").rlike("[.!?,;:]$"))
+      .withColumn("cut",
+        (col("is_delim") ||
+          coalesce(lag(col("brk"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("pid", sum(col("cut")).over(w))
+    val members = tk.filter(!col("is_delim"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("norm"))
+    val phrases = members
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("norm")))),
+          x => x.getField("norm")), " ").as("phrase"))
+    val wordScore = members
+      .join(phrases.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      .groupBy(col("doc_id"), col("norm"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("deg * 1000 div freq"))
+    val scored = members
+      .join(wordScore.select(col("doc_id"), col("norm"), col("wscore")),
+        Seq("doc_id", "norm"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(col("wscore")).as("score"))
+      .join(phrases.select(col("doc_id"), col("pid"), col("phrase")),
+        Seq("doc_id", "pid"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("score")).as("score"))
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    scored
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("score").cast("long").as("score"))
+  }
+
+  /** q182: RAKE keyphrases, top-3 per document. */
+  def q182Rake(s: SparkSession, dir: String): DataFrame =
+    rake(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"), col("rank"))
+
+  // ------------------------------------------------- Good–Turing / Chao1
+
+  /** q183: UNSEEN-VOCABULARY ESTIMATION per source — "how much novel text
+    * is still out there" for a crawl-scheduling decision. Per source:
+    * token count N, type count V, singleton/doubleton type counts f1/f2,
+    * the Good–Turing unseen-probability mass `p0 ≈ f1/N` (Good, Biometrika
+    * 1953; the leave-one-out estimator), and the Chao1 richness lower
+    * bound `V + f1²/(2·f2)` (Chao, Scand. J. Statist. 1984) with the
+    * standard bias-corrected `V + f1(f1−1)/2` fallback when f2 = 0. All
+    * reported as scaled BIGINTs under integer division.
+    *
+    * Shape: one explode → one (source, token) map-combined count → one
+    * per-source rollup; output is one row per source.
+    */
+  def unseenVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("p0_x1e6", expr("f1 * 1000000 div n_tokens"))
+      .withColumn("chao1_x100",
+        when(col("f2") > 0,
+          col("v_types") * 100 + expr("f1 * f1 * 100 div (2 * f2)"))
+          .otherwise(col("v_types") * 100 + expr("f1 * (f1 - 1) * 100 div 2")))
+      .select(col("source"), col("n_tokens"), col("v_types"), col("f1"),
+        col("f2"), col("p0_x1e6"), col("chao1_x100"))
+
+  def q183UnseenVocab(s: SparkSession, dir: String): DataFrame =
+    unseenVocab(tbl(s, dir, "documents")).orderBy(col("source"))
+
+  // ------------------------------------------------------------ TextRank
+
+  /** TextRank extractive summarization (Mihalcea & Tarau, EMNLP 2004) on
+    * `(doc_id, text)`: sentences = `[.!?]+`-split spans of the lowercased
+    * text (whitespace-stripped, empties dropped, renumbered 1..n, capped
+    * at [[MaxSents]]); edge weight between two sentences of one document
+    * = `|shared distinct tokens| · 1000 div (bitlen(|Si|) + bitlen(|Sj|))`
+    * — the paper's log-denominator similarity with the repo's exact
+    * integer bitlen surrogate; then `rounds` synchronous iterations of
+    * `WS(i) = 0.15 + 0.85 · Σ_j w_ji/outsum_j · WS(j)` in ×1e6 fixed
+    * point where EVERY division is integer `div` — the iteration is
+    * bit-reproducible under any partitioning (the q117 discipline).
+    * Returns the top-`k` sentences per doc (score desc, index asc).
+    *
+    * Shape per iteration: one edges⋈scores equi-join on (doc, src) + one
+    * (doc, dst) map-combined aggregate over localCheckpointed edges —
+    * q53's PageRank loop, keyed by (doc, sentence) instead of node.
+    */
+  def textrank(docs: DataFrame, rounds: Int = 10, k: Int = 2): DataFrame = {
+    val iw = Window.partitionBy(col("doc_id")).orderBy(col("sidx"))
+    val sent = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "[.!?]+"))
+          .as(Seq("sidx", "raw")))
+      .withColumn("sent",
+        regexp_replace(col("raw"), s"^$WS|$WS$$", ""))
+      .where(col("sent") =!= "")
+      .withColumn("idx", row_number().over(iw))
+      .where(col("idx") <= MaxSents)
+      .select(col("doc_id"), col("idx"), col("sent"))
+      .localCheckpoint()
+    val st = sent
+      .select(col("doc_id"), col("idx"),
+        explode(array_distinct(split(col("sent"), WS))).as("tok"))
+      .where(col("tok") =!= "")
+    val slen = st.groupBy(col("doc_id"), col("idx"))
+      .agg(count(lit(1)).as("ntok"))
+      .withColumn("bl", length(bin(col("ntok"))))
+    val edges = st.as("a")
+      .join(st.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.idx") =!= col("b.idx"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.idx").as("src"),
+        col("b.idx").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .join(slen.select(col("doc_id"), col("idx").as("src"),
+        col("bl").as("bl_s")), Seq("doc_id", "src"))
+      .join(slen.select(col("doc_id"), col("idx").as("dst"),
+        col("bl").as("bl_d")), Seq("doc_id", "dst"))
+      .select(col("doc_id"), col("src"), col("dst"),
+        expr("shared * 1000 div (bl_s + bl_d)").as("w"))
+      .where(col("w") > 0)
+      .localCheckpoint()
+    val outsum = edges.groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("w")).as("outsum"))
+      .localCheckpoint()
+    var ws = sent.select(col("doc_id"), col("idx"), lit(1000000L).as("ws"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(ws.select(col("doc_id"), col("idx").as("src"), col("ws")),
+          Seq("doc_id", "src"))
+        .join(outsum, Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst").as("idx"))
+        .agg(sum(expr("w * ws div outsum")).as("c"))
+      ws = sent.select(col("doc_id"), col("idx"))
+        .join(contrib, Seq("doc_id", "idx"), "left")
+        .select(col("doc_id"), col("idx"),
+          (lit(150000L) +
+            expr("850 * coalesce(c, 0L) div 1000")).as("ws"))
+        .localCheckpoint()
+    }
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ws").desc, col("idx"))
+    ws.withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .join(sent, Seq("doc_id", "idx"))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("idx").cast("long").as("sent_idx"), col("ws").as("score"),
+        md5(col("sent").cast("binary")).as("sent_md5"))
+  }
+
+  /** q184: TextRank top-2 summary sentences per document. */
+  def q184Textrank(s: SparkSession, dir: String): DataFrame =
+    textrank(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"), col("rank"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_rake" -> q182Rake _,
+    "q183_unseen_vocab" -> q183UnseenVocab _,
+    "q184_textrank" -> q184Textrank _)
+
+  private val dkTokens =
+    """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
+
+  val oracles: Map[String, String] = Map(
+    // q182: same token walk (unnest + generate_subscripts), same window
+    // running phrase-id sum, same per-doc deg/freq integer scores
+    "q182_rake" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, unnest($dkTokens) AS tok,
+         |         generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |tk AS (
+         |  SELECT doc_id, pos, tok,
+         |    regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS norm,
+         |    regexp_matches(tok, '[.!?,;:]$$') AS brk
+         |  FROM tk0),
+         |tk2 AS (
+         |  SELECT doc_id, pos, norm,
+         |    (norm IN ('the','a','of','and','to','in') OR norm = '') AS is_delim,
+         |    brk FROM tk),
+         |tkc AS (
+         |  SELECT doc_id, pos, norm, is_delim,
+         |    CASE WHEN is_delim OR coalesce(
+         |        lag(brk) OVER (PARTITION BY doc_id ORDER BY pos), false)
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM tk2),
+         |tk3 AS (
+         |  SELECT doc_id, pos, norm, is_delim,
+         |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM tkc),
+         |members AS (SELECT doc_id, pid, pos, norm FROM tk3 WHERE NOT is_delim),
+         |phrases AS (
+         |  SELECT doc_id, pid, COUNT(*) AS plen,
+         |         string_agg(norm, ' ' ORDER BY pos) AS phrase
+         |  FROM members GROUP BY doc_id, pid),
+         |wordscore AS (
+         |  SELECT m.doc_id, m.norm,
+         |    CAST(SUM(p.plen) * 1000 // COUNT(*) AS BIGINT) AS wscore
+         |  FROM members m JOIN phrases p USING (doc_id, pid)
+         |  GROUP BY m.doc_id, m.norm),
+         |scored AS (
+         |  SELECT m.doc_id, m.pid, SUM(w.wscore) AS score
+         |  FROM members m JOIN wordscore w ON m.doc_id = w.doc_id AND m.norm = w.norm
+         |  GROUP BY m.doc_id, m.pid),
+         |dedup AS (
+         |  SELECT s.doc_id, p.phrase, MAX(s.score) AS score
+         |  FROM scored s JOIN phrases p USING (doc_id, pid)
+         |  GROUP BY s.doc_id, p.phrase),
+         |ranked AS (
+         |  SELECT doc_id, phrase, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, phrase) AS rank
+         |  FROM dedup)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+         |  CAST(score AS BIGINT) AS score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q183: same per-source type-frequency spectrum and scaled estimators
+    "q183_unseen_vocab" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($dkTokens) AS tok FROM documents),
+         |tc AS (SELECT source, tok, COUNT(*) AS c FROM tk
+         |       WHERE tok <> '' GROUP BY source, tok),
+         |agg AS (
+         |  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS v_types,
+         |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+         |  FROM tc GROUP BY source)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(v_types AS BIGINT) AS v_types, CAST(f1 AS BIGINT) AS f1,
+         |  CAST(f2 AS BIGINT) AS f2,
+         |  CAST(f1 * 1000000 // n_tokens AS BIGINT) AS p0_x1e6,
+         |  CAST(CASE WHEN f2 > 0 THEN v_types * 100 + f1 * f1 * 100 // (2 * f2)
+         |       ELSE v_types * 100 + f1 * (f1 - 1) * 100 // 2 END AS BIGINT)
+         |    AS chao1_x100
+         |FROM agg ORDER BY source""".stripMargin,
+    // q184: same sentence split/cap, same bitlen-denominator edges, and
+    // the 10-round fixed-point iteration unrolled as CTEs
+    "q184_textrank" -> {
+      def round(kk: Int): String =
+        s"""w$kk AS (
+           |  SELECT s.doc_id, s.idx,
+           |    150000 + 850 * coalesce(SUM(e.w * p.ws // o.outsum), 0) // 1000
+           |      AS ws
+           |  FROM sent s
+           |  LEFT JOIN edges e ON e.doc_id = s.doc_id AND e.dst = s.idx
+           |  LEFT JOIN w${kk - 1} p ON p.doc_id = e.doc_id AND p.idx = e.src
+           |  LEFT JOIN outsum o ON o.doc_id = e.doc_id AND o.src = e.src
+           |  GROUP BY s.doc_id, s.idx)""".stripMargin
+      s"""WITH sp AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '[.!?]+')) AS raw,
+         |    generate_subscripts(
+         |      regexp_split_to_array(lower(trim(text)), '[.!?]+'), 1) AS sidx
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, sidx,
+         |    regexp_replace(raw,
+         |      '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$$', '', 'g') AS sent
+         |  FROM sp),
+         |sent AS (
+         |  SELECT doc_id, sent,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY sidx) AS idx
+         |  FROM s0 WHERE sent <> '' QUALIFY idx <= ${MaxSents}),
+         |st AS (
+         |  SELECT doc_id, idx,
+         |    unnest(regexp_split_to_array(sent, '[ \\t\\n\\f\\r\\x0B]+')) AS tok
+         |  FROM sent),
+         |st2 AS (SELECT DISTINCT doc_id, idx, tok FROM st WHERE tok <> ''),
+         |slen AS (
+         |  SELECT doc_id, idx, length(bin(COUNT(*))) AS bl
+         |  FROM st2 GROUP BY doc_id, idx),
+         |edges AS (
+         |  SELECT a.doc_id, a.idx AS src, b.idx AS dst,
+         |    COUNT(*) * 1000 // (la.bl + lb.bl) AS w
+         |  FROM st2 a
+         |  JOIN st2 b ON a.doc_id = b.doc_id AND a.tok = b.tok
+         |    AND a.idx <> b.idx
+         |  JOIN slen la ON la.doc_id = a.doc_id AND la.idx = a.idx
+         |  JOIN slen lb ON lb.doc_id = b.doc_id AND lb.idx = b.idx
+         |  GROUP BY a.doc_id, a.idx, b.idx, la.bl, lb.bl
+         |  HAVING COUNT(*) * 1000 // (la.bl + lb.bl) > 0),
+         |outsum AS (
+         |  SELECT doc_id, src, SUM(w) AS outsum FROM edges
+         |  GROUP BY doc_id, src),
+         |w0 AS (SELECT doc_id, idx, 1000000 AS ws FROM sent),
+         |${(1 to 10).map(round).mkString(",\n")},
+         |ranked AS (
+         |  SELECT doc_id, idx, ws,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ws DESC, idx) AS rank
+         |  FROM w10)
+         |SELECT r.doc_id, CAST(r.rank AS BIGINT) AS rank,
+         |  CAST(r.idx AS BIGINT) AS sent_idx, CAST(r.ws AS BIGINT) AS score,
+         |  md5(s.sent) AS sent_md5
+         |FROM ranked r JOIN sent s ON s.doc_id = r.doc_id AND s.idx = r.idx
+         |WHERE r.rank <= 2 ORDER BY r.doc_id, r.rank""".stripMargin
+    })
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-input checks for the NLP analysis operators (q182/q184), beyond
+  * the DuckDB hash-equality the driver enforces: RAKE must prefer a
+  * repeated multiword phrase over its member words, TextRank must surface
+  * the hub sentence, and both must be partitioning-invariant (the
+  * fixed-point integer arithmetic claim, tested rather than asserted).
+  */
+class NlpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: Seq[(Long, String)], parts: Int = 4) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text").repartition(parts)
+  }
+
+  test("RAKE: repeated multiword phrase outranks any single word") {
+    // "minimal generating set" appears 3x as an unbroken candidate run;
+    // every other content word appears in shorter/rarer phrases.
+    val d = docs(Seq(
+      (1L, "minimal generating set of the group. we study a minimal " +
+        "generating set, and the minimal generating set.")))
+    val top = NlpOps.rake(d).orderBy("rank").collect()
+    assert(top.head.getAs[String]("phrase") === "minimal generating set")
+    // deg/freq: each of the 3 words has freq 3, deg 9 (three 3-phrases)
+    // -> wscore 3000 each -> phrase score 9000
+    assert(top.head.getAs[Long]("score") === 9000L)
+  }
+
+  test("RAKE: stopwords and punctuation break phrases exactly") {
+    val d = docs(Seq((7L, "alpha beta. gamma, delta of epsilon")))
+    val phrases = NlpOps.rake(d, k = 10).collect()
+      .map(_.getAs[String]("phrase")).toSet
+    // "alpha beta" (brk after beta.), "gamma" (brk after gamma,),
+    // "delta" (stopword 'of' cuts), "epsilon"
+    assert(phrases === Set("alpha beta", "gamma", "delta", "epsilon"))
+  }
+
+  test("TextRank: hub sentence wins; scores partitioning-invariant") {
+    val text = "ocean currents move heat. ocean heat drives storms. " +
+      "storms move inland? currents move heat and storms inland."
+    val run1 = NlpOps.textrank(docs(Seq((1L, text)), parts = 1), k = 4)
+      .orderBy("rank").collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val run7 = NlpOps.textrank(docs(Seq((1L, text)), parts = 7), k = 4)
+      .orderBy("rank").collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run1 === run7, "fixed-point TextRank must not depend on partitioning")
+    // sentence 4 shares tokens with every other sentence -> rank 1
+    assert(run1.head._2 === 4L)
+  }
+
+  test("TextRank: single-sentence and empty docs degrade gracefully") {
+    val d = docs(Seq((1L, "just one sentence"), (2L, ""), (3L, "   ")))
+    val out = NlpOps.textrank(d).collect()
+    assert(out.length === 1)          // docs 2/3 vanish, doc 1 has no edges
+    // an edge-less sentence converges to the bare teleport term 0.15
+    assert(out.head.getAs[Long]("score") === 150000L)
+  }
+
+  test("unseen-vocab: hand-computed Good-Turing / Chao1 on a tiny corpus") {
+    val s = spark; import s.implicits._
+    // s1 tokens: a a a b b c d -> N=7 V=4 f1=2(c,d) f2=1(b)
+    // p0_x1e6 = 2*1e6 div 7 = 285714; chao1_x100 = 400 + 2*2*100 div 2 = 600
+    // s2 tokens: x y -> f2=0 fallback: chao1_x100 = 200 + 2*1*100 div 2 = 300
+    val out = NlpOps.unseenVocab(
+      Seq((1L, "a a a b b", "s1"), (2L, "c d", "s1"), (3L, "x y", "s2"))
+        .toDF("doc_id", "text", "source"))
+      .orderBy("source").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq === Seq(
+      ("s1", 7L, 4L, 2L, 1L, 285714L, 600L),
+      ("s2", 2L, 2L, 2L, 0L, 1000000L, 300L)))
+  }
+}
