@@ -727,7 +727,40 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q187: RENDEZVOUS-HASH SHARD STABILITY — consistent doc→shard
+    * assignment by highest-random-weight hashing (Thaler & Ravishankar,
+    * "Using name-based mappings to increase hit rates", IEEE/ACM ToN
+    * 1998): `shard(doc, N) = argmax over s<N of md5(doc_id ‖ ':' ‖ s)`.
+    * Unlike `doc_id % N` (which remaps (N−1)/N of the corpus when N
+    * grows), growing N→N+1 moves EXACTLY the docs whose new-shard ticket
+    * wins — in expectation 1/(N+1) of them — and every moved doc moves TO
+    * the new shard. That second property is the in-query correctness
+    * certificate: `gain_ok = (NOT moved) OR shard11 = 10`, a structural
+    * consequence of argmax that the oracle recomputes independently.
+    *
+    * Why a curation engine needs it: re-sharding a 100 TB deduped corpus
+    * for N→N+1 training-data workers should rewrite ~1/(N+1) of the
+    * bytes, not all of them. Scale shape: stateless per-row projection —
+    * the argmax is an in-row array fold over N tickets, no shuffle at
+    * all before the ORDER BY; the moved-count rollup downstream is one
+    * low-cardinality aggregate.
+    */
+  def q187RendezvousShard(s: SparkSession, dir: String): DataFrame = {
+    def shard(n: Int): Column =
+      array_max(transform(sequence(lit(0), lit(n - 1)),
+        sh => struct(
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            sh.cast("string")).cast("binary")).as("ticket"),
+          sh.cast("long").as("s")))).getField("s")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), shard(10).as("shard10"), shard(11).as("shard11"))
+      .withColumn("moved", col("shard10") =!= col("shard11"))
+      .withColumn("gain_ok", !col("moved") || col("shard11") === 10)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_rendezvous_shard" -> q187RendezvousShard _,
     "q168_soft404" -> q168Soft404 _,
     "q153_shard_gini" -> q153ShardGini _,
     "q163_data_card" -> q163DataCard _,
@@ -747,6 +780,29 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    // q187: same ticket argmax, ties (never observed) broken toward the
+    // larger shard index to match Spark's lexicographic struct max
+    "q187_rendezvous_shard" ->
+      """WITH t AS (
+        |  SELECT doc_id, g.s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.s AS VARCHAR))
+        |      AS ticket
+        |  FROM documents, generate_series(0, 10) AS g(s)),
+        |r10 AS (
+        |  SELECT doc_id, s AS shard10 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ticket DESC, s DESC) AS rn
+        |    FROM t WHERE s < 10) WHERE rn = 1),
+        |r11 AS (
+        |  SELECT doc_id, s AS shard11 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ticket DESC, s DESC) AS rn
+        |    FROM t) WHERE rn = 1)
+        |SELECT r10.doc_id, CAST(shard10 AS BIGINT) AS shard10,
+        |  CAST(shard11 AS BIGINT) AS shard11,
+        |  shard10 <> shard11 AS moved,
+        |  (shard10 = shard11 OR shard11 = 10) AS gain_ok
+        |FROM r10 JOIN r11 USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q168: position×pattern substring arithmetic counts the same
     // overlapping occurrences the Aho–Corasick walk does (q119 idiom)
     "q168_soft404" ->

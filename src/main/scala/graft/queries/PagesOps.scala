@@ -2277,7 +2277,228 @@ object PagesOps {
       .orderBy(col("url"), col("idx"))
   }
 
+  /** q185: OPENGRAPH / TWITTER CARD HARVEST — the social-share metadata
+    * every title/description/preview-image pipeline reads first
+    * (ogp.me; Twitter card markup uses `name=` where OG uses
+    * `property=`). Policy, applied identically in both paths: consider
+    * `<meta>` start tags only; key = lowercase of `property` if present
+    * else `name`; keep only the card keys of interest; value =
+    * `content` (NULL when the attribute is absent); the FIRST occurrence
+    * of a key per page wins — even when its content is missing — because
+    * that is what social scrapers do (first-match, head-ordered).
+    *
+    * Not SQL-expressible → self-certifying `og_ok`: the relational path
+    * (generator → min-idx window) must agree null-safely with an
+    * independent sequential first-wins walker, the planted cards must
+    * equal their literal expected pairs (duplicate og:title → first
+    * wins; missing content → NULL beats a later valued duplicate;
+    * uppercase OG:Title lowercased; property beats name on one tag), and
+    * the organic synth pages (no card metadata at all) are a zero-row
+    * negative control.
+    *
+    * Scale shape: one generator pass + one (url, key) min-idx aggregate —
+    * a single url-keyed Exchange; the head-bounded early-stop variant is
+    * [[graft.core.LinkExtractor.headDirectives]]'s seam if a user wants
+    * to skip body scans entirely.
+    */
+  def q185OgCards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val cardKeys = Seq("og:title", "og:description", "og:image", "og:url",
+      "og:site_name", "twitter:card", "twitter:title", "twitter:description")
+    val plantedDocs = Seq(
+      ("plant://og/a",
+        "<head><meta property=\"og:title\" content=\"A Title\">" +
+          "<meta property=\"og:description\" content=\"A desc.\">" +
+          "<meta property=\"og:image\" content=\"https://x/a.png\">" +
+          "<meta property=\"og:site_name\" content=\"X\"></head>"),
+      ("plant://og/b",
+        "<meta name=\"twitter:card\" content=\"summary\">" +
+          "<meta name=\"twitter:title\" content=\"B Title\">" +
+          "<meta name=\"description\" content=\"not a card key\">"),
+      ("plant://og/c",
+        "<meta property=\"og:title\" content=\"first\">" +
+          "<meta property=\"og:title\" content=\"second\">" +
+          "<meta property=\"og:image\">" +
+          "<meta property=\"og:image\" content=\"https://x/late.png\">"),
+      ("plant://og/d",
+        "<meta property=\"OG:Title\" content=\"upper\">" +
+          "<meta property=\"og:url\" name=\"twitter:title\" content=\"both\">"))
+    val volume = (0 until 60).map { i =>
+      val sb = new StringBuilder("<html><head>")
+      sb.append("<meta property=\"og:title\" content=\"vol title ")
+        .append(i).append("\">")
+      if (i % 2 == 0)
+        sb.append("<meta name=\"twitter:card\" content=\"summary_large_image\">")
+      if (i % 3 == 0)
+        sb.append("<meta property=\"og:image\" content=\"https://v/")
+          .append(i).append(".jpg\">")
+      (f"plant://og/vol/$i%02d", sb.append("</head><body>x</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_og")
+    val rel = s.sql(
+      s"""SELECT url, k, idx, v FROM (
+         |  SELECT url, k, idx, v,
+         |    row_number() OVER (PARTITION BY url, k ORDER BY idx) AS rn
+         |  FROM (
+         |    SELECT url, n.idx,
+         |      lower(coalesce(n.attrs['property'], n.attrs['name'])) AS k,
+         |      n.attrs['content'] AS v
+         |    FROM pages_og LATERAL VIEW html_nodes(html) n
+         |    WHERE n.ntype = 'START' AND n.tag = 'meta'))
+         |WHERE rn = 1
+         |  AND k IN (${cardKeys.map(k => s"'$k'").mkString(",")})""".stripMargin)
+    val keySet = cardKeys.toSet
+    val typed = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      val seen = scala.collection.mutable.Map.empty[String, (Int, String)]
+      nds.foreach { nd =>
+        if (nd.nodeType == NodeType.StartTag && nd.tagName == "meta") {
+          def a(n: String) = nd.attrs.find(_.name == n).map(_.value).orNull
+          val k0 = Option(a("property")).getOrElse(a("name"))
+          if (k0 != null) {
+            val k = k0.toLowerCase(java.util.Locale.ROOT)
+            if (keySet(k) && !seen.contains(k)) seen(k) = (nd.idx, a("content"))
+          }
+        }
+      }
+      seen.iterator.map { case (k, (idx, v)) => (url, k, idx, v) }
+    }.toDF("t_url", "t_k", "t_idx", "t_v")
+    val expected = Seq(
+      ("plant://og/a", "og:title", "A Title"),
+      ("plant://og/a", "og:description", "A desc."),
+      ("plant://og/a", "og:image", "https://x/a.png"),
+      ("plant://og/a", "og:site_name", "X"),
+      ("plant://og/b", "twitter:card", "summary"),
+      ("plant://og/b", "twitter:title", "B Title"),
+      ("plant://og/c", "og:title", "first"),
+      ("plant://og/c", "og:image", null),
+      ("plant://og/d", "og:title", "upper"),
+      ("plant://og/d", "og:url", "both"))
+      .toDF("e_url", "e_k", "e_v")
+    rel.join(typed,
+        col("url") === col("t_url") && col("k") === col("t_k"),
+        "full_outer")
+      .join(broadcast(expected),
+        coalesce(col("url"), col("t_url")) === col("e_url") &&
+          coalesce(col("k"), col("t_k")) === col("e_k"),
+        "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("k"), col("t_k")).as("k"),
+        col("v"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("idx") <=> col("t_idx") && col("v") <=> col("t_v") &&
+          (col("e_url").isNull || col("v") <=> col("e_v")) &&
+          !coalesce(col("url"), col("t_url")).contains("example.org/page/"))
+          .as("og_ok"))
+      .orderBy(col("url"), col("k"))
+  }
+
+  /** q186: PAYWALL / LOGIN-WALL DETECTION — the access-gate screen a
+    * training-data pipeline runs before trusting extracted text (a
+    * paywall page yields teaser text that poisons quality stats). The
+    * decision stump, applied identically in both paths:
+    * `walled = password input present OR (gate phrase present AND
+    * visible text < html_len/10)` — structural evidence (a login form),
+    * or textual evidence (the gate phrasing) corroborated by the thin
+    * teaser body that an interstitial leaves behind. Phrase counting is
+    * the codegen'd Aho–Corasick `blocklist_hits` (q119's automaton — one
+    * O(len) walk at any phrase-list size); the thick-article control
+    * plants a QUOTED gate phrase inside a long body to pin that phrases
+    * alone do not condemn a page.
+    *
+    * Not SQL-expressible → self-certifying `pw_ok`: the relational path
+    * must agree with an independent sequential twin (core AhoCorasick +
+    * Extractor + node walk) on every signal AND the verdict, and the
+    * planted wall/login/control pages must match their literal expected
+    * verdicts; organic synth pages carry no password inputs.
+    *
+    * Scale shape: stateless per-row (one parse feeding all three
+    * signals); no shuffle at all before the ORDER BY.
+    */
+  def q186Paywall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val phrases = Seq("subscribe to continue", "sign in to read",
+      "already a subscriber", "free articles remaining")
+    val longBody = (0 until 120).map(i => s"sentence $i of the article body.")
+      .mkString(" ")
+    val plantedDocs = Seq(
+      ("plant://pw/wall",
+        "<html><body><div class=\"gate\">Subscribe to continue reading." +
+          " Already a subscriber?</div>" +
+          "<p>Teaser only.</p>" + "<!-- " + ("pad " * 200) + " --></body></html>"),
+      ("plant://pw/login",
+        s"<html><body><form><input type=\"text\" name=\"u\">" +
+          s"<input type=\"PASSWORD\" name=\"p\"></form><p>$longBody</p></body></html>"),
+      ("plant://pw/control",
+        s"<html><body><p>The banner said “subscribe to continue”, " +
+          s"which critics mocked. $longBody</p></body></html>"),
+      ("plant://pw/plain",
+        s"<html><body><p>$longBody</p></body></html>"))
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName(plantedDocs.toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_pw")
+    val phraseArr = phrases.map(p => s"'$p'").mkString("array(", ",", ")")
+    val relReal = s.sql(
+      s"""WITH n AS (
+         |  SELECT url, sum(CASE WHEN n.ntype = 'START' AND n.tag = 'input'
+         |      AND lower(coalesce(n.attrs['type'], '')) = 'password'
+         |      THEN 1 ELSE 0 END) AS pw_inputs
+         |  FROM pages_pw LATERAL VIEW html_nodes(html) n GROUP BY url),
+         |t AS (
+         |  SELECT url, length(html) AS html_len,
+         |    length(extract_text(html)) AS text_len,
+         |    blocklist_hits(lower(extract_text(html)), $phraseArr) AS hits
+         |  FROM pages_pw)
+         |SELECT t.url, n.pw_inputs, t.hits, t.html_len, t.text_len,
+         |  (n.pw_inputs > 0 OR (t.hits >= 1 AND t.text_len * 10 < t.html_len))
+         |    AS walled
+         |FROM t JOIN n ON t.url = n.url""".stripMargin)
+    val ac = graft.core.AhoCorasick.buildStrings(phrases)
+    val typed = input.as[(String, Array[Byte])].map { case (url, html) =>
+      val h = if (html == null) Array.emptyByteArray else html
+      val nds = HtmlScanner.parse(h)
+      var pw = 0L
+      nds.foreach { nd =>
+        if (nd.nodeType == NodeType.StartTag && nd.tagName == "input") {
+          val t = nd.attrs.find(_.name == "type").map(_.value).getOrElse("")
+          if (t != null && t.toLowerCase(java.util.Locale.ROOT) == "password")
+            pw += 1
+        }
+      }
+      val text = graft.core.Extractor.extractBytes(h).text
+      val hits = ac.count(text.toLowerCase(java.util.Locale.ROOT))
+      // Spark's length(string) counts code points, not UTF-16 units
+      val tlen = text.codePointCount(0, text.length).toLong
+      val walled = pw > 0 || (hits >= 1 && tlen * 10 < h.length)
+      (url, pw, hits, h.length.toLong, tlen, walled)
+    }.toDF("t_url", "t_pw", "t_hits", "t_hlen", "t_tlen", "t_walled")
+    val expected = Seq(
+      ("plant://pw/wall", true), ("plant://pw/login", true),
+      ("plant://pw/control", false), ("plant://pw/plain", false))
+      .toDF("e_url", "e_walled")
+    relReal.join(typed, col("url") === col("t_url"), "full_outer")
+      .join(broadcast(expected), col("url") === col("e_url"), "left")
+      .select(col("url"), col("pw_inputs"), col("hits"), col("walled"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("pw_inputs") <=> col("t_pw") && col("hits") <=> col("t_hits") &&
+          col("html_len") <=> col("t_hlen") && col("text_len") <=> col("t_tlen") &&
+          col("walled") <=> col("t_walled") &&
+          (col("e_url").isNull || col("walled") <=> col("e_walled")))
+          .as("pw_ok"))
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_og_cards" -> q185OgCards _,
+    "q186_paywall" -> q186Paywall _,
     "q179_microdata" -> q179Microdata _,
     "q173_pub_date" -> q173PubDate _,
     "q174_license" -> q174License _,
