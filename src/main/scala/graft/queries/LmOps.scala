@@ -312,9 +312,75 @@ object LmOps {
       .orderBy(col("iter"))
   }
 
+  /** q189: INTERPOLATED KNESER–NEY bigram scoring (Kneser & Ney,
+    * ICASSP 1995; interpolated form per Chen & Goodman, "An empirical
+    * study of smoothing techniques for language modeling", 1998) — the
+    * smoothing that actually ships in n-gram LM tooling, next to q102's
+    * stupid backoff. Trained on the same 80% split (doc_id % 5 ≠ 0);
+    * with discount D = 3/4 every probability is the exact rational
+    *
+    *   P(w2|w1) = [max(4·c(w1w2)−3, 0)·B + 3·N1+(w1·)·N1+(·w2)]
+    *              / [4·c(w1·)·B]
+    *
+    * where B = N1+(··) (distinct training bigrams), N1+(w1·)/N1+(·w2)
+    * are the continuation type counts. Unseen context (c(w1·) = 0)
+    * backs off to the continuation distribution with an add-one floor:
+    * max(N1+(·w2), 1)/B. Each bigram contributes `num·1e6 div den` —
+    * a per-row exact integer — so the per-doc sum is order-independent
+    * and the DuckDB replay is hash-exact. A training bigram unseen as a
+    * continuation contributes 0 (bigram-interpolated only; no unigram
+    * floor below Pcont — documented, deterministic).
+    *
+    * Scale shape: q102's exactly — the bigram/vocab model tables enter
+    * the per-doc scoring join BROADCAST (Zipf-head defense; saltedJoin
+    * is the beyond-broadcast fallback), the only big shuffle is the
+    * doc-keyed aggregate. The ×1e6 rationals assume corpus-scale counts
+    * fit 63 bits after `4·c·B·1e6` — at 100 TB drop the 1e6 scale to
+    * 1e3 or score in bitlen space (q102) instead.
+    */
+  def q189KneserNey(s: SparkSession, dir: String): DataFrame =
+    kneserNey(tbl(s, dir, "documents"))
+
+  def kneserNey(d: DataFrame): DataFrame = {
+    val tk = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok"), col("nxt"))
+    val bi = pairs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val ctx = bi.groupBy(col("tok"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy(col("nxt")).agg(count(lit(1)).as("n1s"))
+    val bstat = bi.agg(count(lit(1)).as("bt"))
+    val num = when(col("c1").isNotNull,
+      greatest(col("c2k") * 4 - 3, lit(0L)) * col("bt") +
+        lit(3) * col("n1p") * coalesce(col("n1s"), lit(0L)))
+      .otherwise(greatest(coalesce(col("n1s"), lit(0L)), lit(1L)))
+    val den = when(col("c1").isNotNull, col("c1") * col("bt") * 4)
+      .otherwise(col("bt"))
+    pairs
+      .join(broadcast(bi), Seq("tok", "nxt"), "left")
+      .withColumn("c2k", coalesce(col("c2"), lit(0L)))
+      .join(broadcast(ctx), Seq("tok"), "left")
+      .join(broadcast(cont), Seq("nxt"), "left")
+      .crossJoin(broadcast(bstat))
+      .withColumn("num_c", num)
+      .withColumn("den_c", den)
+      .withColumn("px", expr("num_c * 1000000 div den_c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bigrams"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("oov_ctx"),
+        sum(col("px")).as("kn_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_bigram_backoff" -> q102BigramBackoff _,
     "q105_naive_bayes" -> q105NaiveBayes _,
+    "q189_kneser_ney" -> q189KneserNey _,
     "q117_quality_classifier" -> q117QualityClassifier _)
 
   private val dkTokens =
@@ -341,6 +407,35 @@ object LmOps {
       |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q189: same 80% split, same continuation-count tables, same exact
+    // D=3/4 rationals under integer division
+    "q189_kneser_ney" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |             generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |pr AS (SELECT doc_id, tok,
+         |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tk),
+         |pairs AS (SELECT doc_id, tok, nxt FROM pr WHERE nxt IS NOT NULL),
+         |bi AS (SELECT tok, nxt, COUNT(*) AS c2 FROM pairs
+         |       WHERE doc_id % 5 <> 0 GROUP BY tok, nxt),
+         |ctx AS (SELECT tok, SUM(c2) AS c1, COUNT(*) AS n1p FROM bi GROUP BY tok),
+         |cont AS (SELECT nxt, COUNT(*) AS n1s FROM bi GROUP BY nxt),
+         |bstat AS (SELECT COUNT(*) AS bt FROM bi),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN x.c1 IS NOT NULL THEN
+         |      (greatest(coalesce(b.c2, 0) * 4 - 3, 0) * s.bt
+         |        + 3 * x.n1p * coalesce(n.n1s, 0)) * 1000000
+         |        // (x.c1 * s.bt * 4)
+         |    ELSE greatest(coalesce(n.n1s, 0), 1) * 1000000 // s.bt END AS px,
+         |    CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM pairs p
+         |  LEFT JOIN bi b ON p.tok = b.tok AND p.nxt = b.nxt
+         |  LEFT JOIN ctx x ON p.tok = x.tok
+         |  LEFT JOIN cont n ON p.nxt = n.nxt
+         |  CROSS JOIN bstat s)
+         |SELECT doc_id, COUNT(*) AS bigrams,
+         |  CAST(SUM(oov) AS BIGINT) AS oov_ctx,
+         |  CAST(SUM(px) AS BIGINT) AS kn_x1e6
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q102_bigram_backoff" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
          |             generate_subscripts($dkTokens, 1) AS pos FROM documents),

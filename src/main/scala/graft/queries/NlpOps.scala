@@ -233,10 +233,104 @@ object NlpOps {
     textrank(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"), col("rank"))
 
+  // ---------------------------------------------------------- TextTiling
+
+  /** Pseudo-sentence width (tokens) and block size (pseudo-sentences per
+    * side of a gap) for [[texttile]] — Hearst's w=20/k=10 scaled to the
+    * short synthetic docs; the depth peak window mirrors k.
+    */
+  val TileW = 10
+  val TileK = 5
+
+  /** TextTiling topic segmentation (Hearst, "TextTiling: Segmenting Text
+    * into Multi-paragraph Subtopic Passages", CL 23(1), 1997) with the
+    * repo's exact-integer surrogates:
+    *
+    *  - pseudo-sentences of [[TileW]] tokens; a GAP g sits between
+    *    pseudo-sentence g−1 and g;
+    *  - gap cohesion = `2000·dot div (Σcl² + Σcr²)` over the token-count
+    *    vectors of the [[TileK]] pseudo-sentences on each side — the
+    *    cosine surrogate that needs no square root (2ab ≤ a²+b² keeps it
+    *    in [0, 1000], exactly 1000 for identical blocks);
+    *  - depth(g) = (maxL − s_g) + (maxR − s_g) with the peaks taken over
+    *    a bounded ±[[TileK]] gap window (the practical bounded-window
+    *    variant of Hearst's climb — a window function instead of a scan);
+    *  - boundary iff `d_g ≥ μ − σ/2` (Hearst's cutoff), decided in exact
+    *    integers by comparing `(2·n·d_g − 2·Σd)` against `−n·σ` via its
+    *    square: no float mean, no float sqrt ever materializes.
+    *
+    * Scale shape: one posexplode → (doc, ps, tok) count → a bounded
+    * explode of each pseudo-sentence into the ≤ 2·[[TileK]] gaps it
+    * feeds → one (doc, gap, tok) aggregate and one (doc, gap) self-join —
+    * every key is doc-scoped, so the whole thing is one doc-keyed
+    * Exchange family; the per-doc stats re-enter by broadcast-sized
+    * aggregate join on doc_id.
+    */
+  def texttile(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+      .withColumn("ps", expr(s"pos div $TileW"))
+      .groupBy(col("doc_id"), col("ps"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val nps = tc.groupBy(col("doc_id"))
+      .agg((max(col("ps")) + 1).as("n_ps"))
+    // each pseudo-sentence ps feeds gaps [ps+1, ps+K] as a LEFT block and
+    // gaps [ps-K+1, ps] as a RIGHT block; valid gaps are 1..n_ps-1
+    val left = tc.select(col("doc_id"), col("tok"), col("c"),
+      explode(sequence(col("ps") + 1, col("ps") + TileK)).as("gap"))
+      .groupBy(col("doc_id"), col("gap"), col("tok"))
+      .agg(sum(col("c")).as("cl"))
+    val right = tc.select(col("doc_id"), col("tok"), col("c"),
+      explode(sequence(col("ps") - TileK + 1, col("ps"))).as("gap"))
+      .where(col("gap") >= 1)
+      .groupBy(col("doc_id"), col("gap"), col("tok"))
+      .agg(sum(col("c")).as("cr"))
+    val dot = left.join(right, Seq("doc_id", "gap", "tok"))
+      .groupBy(col("doc_id"), col("gap"))
+      .agg(sum(col("cl") * col("cr")).as("dot"))
+    val nl = left.groupBy(col("doc_id"), col("gap"))
+      .agg(sum(col("cl") * col("cl")).as("sql_"))
+    val nr = right.groupBy(col("doc_id"), col("gap"))
+      .agg(sum(col("cr") * col("cr")).as("sqr_"))
+    val sim = nl.join(nr, Seq("doc_id", "gap"))
+      .join(dot, Seq("doc_id", "gap"), "left")
+      .join(nps, "doc_id")
+      .where(col("gap") >= 1 && col("gap") <= col("n_ps") - 1)
+      .select(col("doc_id"), col("gap"),
+        expr("2000 * coalesce(dot, 0L) div (sql_ + sqr_)").as("sim"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gap"))
+    val depth = sim
+      .withColumn("maxl", greatest(col("sim"),
+        coalesce(max(col("sim")).over(w.rowsBetween(-TileK, -1)), lit(0L))))
+      .withColumn("maxr", greatest(col("sim"),
+        coalesce(max(col("sim")).over(w.rowsBetween(1, TileK)), lit(0L))))
+      .select(col("doc_id"), col("gap"),
+        col("sim"), (col("maxl") + col("maxr") - col("sim") * 2).as("depth"))
+    val stats = depth.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("depth")).as("sd"),
+        sum(col("depth") * col("depth")).as("sdd"))
+    // d >= mu - sigma/2  <=>  lhs := 2*n*d - 2*sd >= -n*sigma, decided by
+    // lhs >= 0, or lhs^2 <= n^2 sigma^2 = n*sdd - sd^2 (all BIGINT-exact)
+    depth.join(stats, "doc_id")
+      .withColumn("lhs", col("n") * col("depth") * 2 - col("sd") * 2)
+      .withColumn("boundary",
+        col("lhs") >= 0 ||
+          col("lhs") * col("lhs") <= col("n") * col("sdd") - col("sd") * col("sd"))
+      .select(col("doc_id"), col("gap").cast("long").as("gap"), col("sim"),
+        col("depth"), col("boundary"))
+  }
+
+  /** q188: TextTiling gap cohesion / depth / boundary table. */
+  def q188Texttile(s: SparkSession, dir: String): DataFrame =
+    texttile(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"), col("gap"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q182_rake" -> q182Rake _,
     "q183_unseen_vocab" -> q183UnseenVocab _,
-    "q184_textrank" -> q184Textrank _)
+    "q184_textrank" -> q184Textrank _,
+    "q188_texttile" -> q188Texttile _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -293,6 +387,59 @@ object NlpOps {
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
          |  CAST(score AS BIGINT) AS score
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q188: same pseudo-sentence blocks, bounded-gap explode, integer
+    // cosine surrogate, window peaks, and squared-sigma cutoff
+    "q188_texttile" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($dkTokens) AS tok,
+         |         generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |tc AS (
+         |  SELECT doc_id, (pos - 1) // $TileW AS ps, tok, COUNT(*) AS c
+         |  FROM tk WHERE tok <> '' GROUP BY doc_id, (pos - 1) // $TileW, tok),
+         |nps AS (SELECT doc_id, MAX(ps) + 1 AS n_ps FROM tc GROUP BY doc_id),
+         |lft AS (
+         |  SELECT doc_id, gap, tok, SUM(c) AS cl FROM (
+         |    SELECT doc_id, tok, c,
+         |      unnest(generate_series(ps + 1, ps + $TileK)) AS gap FROM tc)
+         |  GROUP BY doc_id, gap, tok),
+         |rgt AS (
+         |  SELECT doc_id, gap, tok, SUM(c) AS cr FROM (
+         |    SELECT doc_id, tok, c,
+         |      unnest(generate_series(ps - $TileK + 1, ps)) AS gap FROM tc)
+         |  WHERE gap >= 1 GROUP BY doc_id, gap, tok),
+         |dt AS (
+         |  SELECT l.doc_id, l.gap, SUM(l.cl * r.cr) AS dot
+         |  FROM lft l JOIN rgt r ON l.doc_id = r.doc_id AND l.gap = r.gap
+         |    AND l.tok = r.tok
+         |  GROUP BY l.doc_id, l.gap),
+         |nl AS (SELECT doc_id, gap, SUM(cl * cl) AS sql_ FROM lft
+         |       GROUP BY doc_id, gap),
+         |nr AS (SELECT doc_id, gap, SUM(cr * cr) AS sqr_ FROM rgt
+         |       GROUP BY doc_id, gap),
+         |sim AS (
+         |  SELECT nl.doc_id, nl.gap,
+         |    2000 * coalesce(dt.dot, 0) // (nl.sql_ + nr.sqr_) AS sim
+         |  FROM nl JOIN nr ON nl.doc_id = nr.doc_id AND nl.gap = nr.gap
+         |  LEFT JOIN dt ON dt.doc_id = nl.doc_id AND dt.gap = nl.gap
+         |  JOIN nps ON nps.doc_id = nl.doc_id
+         |  WHERE nl.gap BETWEEN 1 AND nps.n_ps - 1),
+         |dep AS (
+         |  SELECT doc_id, gap, sim,
+         |    greatest(sim, coalesce(MAX(sim) OVER (PARTITION BY doc_id
+         |      ORDER BY gap ROWS BETWEEN $TileK PRECEDING AND 1 PRECEDING), 0))
+         |    + greatest(sim, coalesce(MAX(sim) OVER (PARTITION BY doc_id
+         |      ORDER BY gap ROWS BETWEEN 1 FOLLOWING AND $TileK FOLLOWING), 0))
+         |    - 2 * sim AS depth
+         |  FROM sim),
+         |st AS (SELECT doc_id, COUNT(*) AS n, SUM(depth) AS sd,
+         |         SUM(depth * depth) AS sdd FROM dep GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.gap AS BIGINT) AS gap,
+         |  CAST(d.sim AS BIGINT) AS sim, CAST(d.depth AS BIGINT) AS depth,
+         |  (2 * st.n * d.depth - 2 * st.sd >= 0 OR
+         |   (2 * st.n * d.depth - 2 * st.sd) * (2 * st.n * d.depth - 2 * st.sd)
+         |     <= st.n * st.sdd - st.sd * st.sd) AS boundary
+         |FROM dep d JOIN st ON st.doc_id = d.doc_id
+         |ORDER BY d.doc_id, d.gap""".stripMargin,
     // q183: same per-source type-frequency spectrum and scaled estimators
     "q183_unseen_vocab" ->
       s"""WITH tk AS (

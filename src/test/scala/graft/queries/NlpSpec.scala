@@ -75,6 +75,27 @@ class NlpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getAs[Long]("score") === 150000L)
   }
 
+  test("TextTiling: planted two-topic seam is the deepest, flagged gap") {
+    // 5-word cycles divide the TileW=10 pseudo-sentence evenly, so every
+    // interior block pair is count-identical (sim exactly 1000)
+    val topicA = Seq.fill(20)("apple banana cherry date elder").mkString(" ")
+    val topicB = Seq.fill(20)("zebra yak xylo wolf vex").mkString(" ")
+    val run1 = NlpOps.texttile(docs(Seq((1L, s"$topicA $topicB")), parts = 1))
+      .collect().map(r => (r.getAs[Long]("gap"), r.getAs[Long]("sim"),
+        r.getAs[Long]("depth"), r.getAs[Boolean]("boundary"))).sortBy(_._1)
+    val run7 = NlpOps.texttile(docs(Seq((1L, s"$topicA $topicB")), parts = 7))
+      .collect().map(r => (r.getAs[Long]("gap"), r.getAs[Long]("sim"),
+        r.getAs[Long]("depth"), r.getAs[Boolean]("boundary"))).sortBy(_._1)
+    assert(run1.toSeq === run7.toSeq)
+    // 100 tokens per topic, TileW=10 -> the seam sits exactly at gap 10
+    val seam = run1.find(_._1 == 10L).get
+    assert(seam._2 === 0L, "blocks across the seam share no tokens")
+    assert(seam._3 === run1.map(_._3).max, "seam gap has the max depth")
+    assert(seam._4, "seam gap must be flagged as a boundary")
+    // deep-interior gaps (all-A vs all-A) are identical blocks: sim 1000
+    assert(run1.find(_._1 == 5L).get._2 === 1000L)
+  }
+
   test("unseen-vocab: hand-computed Good-Turing / Chao1 on a tiny corpus") {
     val s = spark; import s.implicits._
     // s1 tokens: a a a b b c d -> N=7 V=4 f1=2(c,d) f2=1(b)
