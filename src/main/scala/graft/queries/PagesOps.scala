@@ -2496,7 +2496,135 @@ object PagesOps {
       .orderBy(col("url"))
   }
 
+  /** q190: HREFLANG ALTERNATE-CLUSTER MINING + RETURN-TAG VALIDATION —
+    * `<link rel="alternate" hreflang="…" href="…">` declares the
+    * language variants of a page (the bitext-mining entry point a
+    * multilingual curation pipeline trusts FIRST, before any content
+    * comparison), and the annotation is only valid when RECIPROCAL:
+    * page A listing B requires B to list A back (Google's documented
+    * return-tag rule — non-reciprocal pairs are ignored by consumers
+    * and flagged by auditors). Policy, identical in both paths: START
+    * `link` tags with rel exactly `alternate` (case-folded) and BOTH
+    * hreflang and a non-NULL href; duplicates of (url, hreflang, href)
+    * collapse; `reciprocal` = the target page declares any hreflang
+    * back to this url; self-references (href == own url) are reciprocal
+    * by definition.
+    *
+    * Not SQL-expressible → self-certifying `hl_ok`: relational
+    * (generator + distinct + self-join) must match the sequential
+    * walker row-for-row, the planted reciprocal trio / one-way pair /
+    * self-reference must equal their literal expected verdicts, and
+    * organic pages contribute nothing.
+    *
+    * Scale shape: one generator pass → distinct on (url, hreflang,
+    * href) → ONE self equi-join on the (href→url) edge to test
+    * reciprocity — exactly a directed-graph mutual-edge check, keyed by
+    * url; no windows, no all-pairs.
+    */
+  def q190Hreflang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    def link(hl: String, href: String) =
+      s"<link rel=\"alternate\" hreflang=\"$hl\" href=\"$href\">"
+    val plantedDocs = Seq(
+      ("plant://hl/a/en", "<head>" + link("en", "plant://hl/a/en") +
+        link("fr", "plant://hl/a/fr") + link("de", "plant://hl/a/de") + "</head>"),
+      ("plant://hl/a/fr", "<head>" + link("en", "plant://hl/a/en") +
+        link("fr", "plant://hl/a/fr") + link("de", "plant://hl/a/de") + "</head>"),
+      ("plant://hl/a/de", "<head>" + link("en", "plant://hl/a/en") +
+        link("fr", "plant://hl/a/fr") + link("de", "plant://hl/a/de") + "</head>"),
+      ("plant://hl/b/en", "<head>" + link("fr", "plant://hl/b/fr") +
+        "<link rel=\"ALTERNATE\" hreflang=\"es\" href=\"plant://hl/b/es\">" +
+        "<link rel=\"alternate\" hreflang=\"x-no-href\">" +
+        "<link rel=\"stylesheet\" hreflang=\"xx\" href=\"plant://hl/ignored\">" +
+        "</head>"),
+      ("plant://hl/b/fr", "<head><p>no links back</p></head>"),
+      ("plant://hl/c", "<head>" + link("en", "plant://hl/c") + "</head>"))
+    val volume = (0 until 40).map { i =>
+      val base = f"plant://hl/vol/$i%02d"
+      val langs = Seq("en", "fr", "de").take(1 + i % 3)
+      // every volume page lists the full reciprocal family
+      val body = langs.map(l => link(l, s"$base/$l")).mkString
+      // the family members themselves (reciprocal by construction)
+      langs.map(l => (s"$base/$l", s"<head>$body</head>"))
+    }.flatten ++ (0 until 40).map { i =>
+      (f"plant://hl/vol/$i%02d", "<head></head>") // listing page, no links needed
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName(((plantedDocs ++ volume)).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_hl")
+    val decl = s.sql(
+      """SELECT DISTINCT url, n.attrs['hreflang'] AS hreflang,
+        |       n.attrs['href'] AS href
+        |FROM pages_hl LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND n.tag = 'link'
+        |  AND lower(coalesce(n.attrs['rel'], '')) = 'alternate'
+        |  AND n.attrs['hreflang'] IS NOT NULL
+        |  AND n.attrs['href'] IS NOT NULL""".stripMargin)
+      .localCheckpoint()
+    val back = decl.select(col("url").as("b_url"), col("href").as("b_href"))
+      .distinct()
+    val rel = decl.join(back,
+        col("href") === col("b_url") && col("url") === col("b_href"),
+        "left")
+      .select(col("url"), col("hreflang"), col("href"),
+        (col("href") === col("url") || col("b_url").isNotNull).as("reciprocal"))
+      .distinct()
+    val typed = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      nds.iterator.collect {
+        case nd if nd.nodeType == NodeType.StartTag && nd.tagName == "link" =>
+          def a(n: String) = nd.attrs.find(_.name == n).map(_.value).orNull
+          (a("rel"), a("hreflang"), a("href"))
+      }.collect {
+        case (rel0, hl, href)
+          if rel0 != null && hl != null && href != null &&
+            rel0.toLowerCase(java.util.Locale.ROOT) == "alternate" =>
+          (url, hl, href)
+      }.toSeq.distinct
+    }.toDF("t_url", "t_hreflang", "t_href")
+    val tEdges = typed.select(col("t_url"), col("t_href")).distinct()
+    val tRel = typed.join(
+        tEdges.select(col("t_url").as("tb_url"), col("t_href").as("tb_href")),
+        col("t_href") === col("tb_url") && col("t_url") === col("tb_href"),
+        "left")
+      .select(col("t_url"), col("t_hreflang"), col("t_href"),
+        (col("t_href") === col("t_url") || col("tb_url").isNotNull)
+          .as("t_reciprocal"))
+      .distinct()
+    val expected = Seq(
+      ("plant://hl/a/en", "fr", "plant://hl/a/fr", true),
+      ("plant://hl/b/en", "fr", "plant://hl/b/fr", false),
+      ("plant://hl/b/en", "es", "plant://hl/b/es", false),
+      ("plant://hl/c", "en", "plant://hl/c", true))
+      .toDF("e_url", "e_hl", "e_href", "e_rec")
+    rel.join(tRel,
+        col("url") === col("t_url") && col("hreflang") === col("t_hreflang") &&
+          col("href") === col("t_href"),
+        "full_outer")
+      .join(broadcast(expected),
+        coalesce(col("url"), col("t_url")) === col("e_url") &&
+          coalesce(col("hreflang"), col("t_hreflang")) === col("e_hl"),
+        "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("hreflang"), col("t_hreflang")).as("hreflang"),
+        coalesce(col("href"), col("t_href")).as("href"),
+        col("reciprocal"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("reciprocal") <=> col("t_reciprocal") &&
+          (col("e_url").isNull ||
+            (col("href") <=> col("e_href") &&
+              col("reciprocal") <=> col("e_rec"))) &&
+          !coalesce(col("url"), col("t_url")).contains("example.org/page/"))
+          .as("hl_ok"))
+      .orderBy(col("url"), col("hreflang"), col("href"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_hreflang" -> q190Hreflang _,
     "q185_og_cards" -> q185OgCards _,
     "q186_paywall" -> q186Paywall _,
     "q179_microdata" -> q179Microdata _,

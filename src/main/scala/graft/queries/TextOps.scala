@@ -2730,7 +2730,90 @@ object TextOps {
         (col("total_chars") - col("m.n_chars")).as("removed_chars"))
       .orderBy(col("fp"))
 
+  /** q191: QUOTE EXTRACTION + ATTRIBUTION — quoted spans are the
+    * highest-value citation/claims surface a news-corpus pipeline mines
+    * (and the spans most worth protecting from span-dedup, which would
+    * otherwise collapse a widely-quoted sentence across articles).
+    * Policy, identical in both engines: quotes = the regex
+    * `"([^"]{10,200})"([^"]{0,40})` over the text — group 1 the span,
+    * group 2 the trailing context (which cannot cross the next quote
+    * character, so matches never swallow a following quotation) —
+    * numbered in match order; `attributed` = the trailing context
+    * contains a reporting verb (`said|says|wrote|told`, word-bounded).
+    * Planted wires (the q105 in-query construction, derivable in SQL)
+    * give every 4th doc an attributed quote and every 4th+1 an
+    * unattributed one, so both verdicts exist by construction.
+    *
+    * No positions are used (character-offset semantics differ between
+    * engines on non-ASCII text); the span itself travels as md5 + char
+    * length. Scale shape: stateless per-row regex scan + one explode —
+    * no shuffle before the ORDER BY.
+    */
+  def q191QuoteAttribution(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\"([^\"]{10,200})\"([^\"]{0,40})"
+    tbl(s, dir, "documents")
+      .withColumn("wire",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" \"planted quotation "),
+            col("doc_id").cast("string"),
+            lit(" stands right here\" the editor said afterwards.")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(col("text"), lit(" \"unattributed planted quotation "),
+              col("doc_id").cast("string"),
+              lit(" here\" trailing words continue.")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          expr(s"regexp_extract_all(wire, '$pat', 1)"),
+          expr(s"regexp_extract_all(wire, '$pat', 2)"))).as(Seq("i", "q")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("qidx"),
+        md5(col("q").getField("0").cast("binary")).as("quote_md5"),
+        length(col("q").getField("0")).cast("long").as("qlen"),
+        col("q").getField("1").rlike("\\b(said|says|wrote|told)\\b")
+          .as("attributed"))
+      .orderBy(col("doc_id"), col("qidx"))
+  }
+
+  /** q192: SYNDICATION-LAG PROVENANCE — inside every exact-duplicate
+    * cluster, who published first and how far the copies trail (the
+    * news-wire question q180's keeper selection answers mechanically;
+    * this is the accounting view an editor reads). Publication day is
+    * the md5-derived deterministic surrogate (q105 idiom: first 4 hex
+    * nibbles of md5(decimal doc_id) mod 30), and every 10th document
+    * gets an in-query mirror copy (doc_id + 100000, source
+    * `mirror-<src>`), so multi-copy clusters exist by construction in
+    * BOTH engines. Reports, per cluster with ≥ 2 copies: copy/source
+    * counts, the argmin-(day, doc_id) first copy, and the max lag.
+    *
+    * Scale shape: one digest-keyed shuffle (the q15/q180 discipline —
+    * the text never travels beyond its md5), map-combined argmin/argmax
+    * structs, no windows.
+    */
+  def q192SyndicationLag(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mirrors = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        concat(lit("mirror-"), col("source")).as("source"))
+    val day = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 30).as("day")
+    base.unionByName(mirrors)
+      .select(col("doc_id"), col("source"), md5s(col("text")).as("fp"), day)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(struct(col("day"), col("doc_id"))).as("first"),
+        (max(col("day")) - min(col("day"))).as("max_lag_days"))
+      .where(col("n_copies") >= 2)
+      .select(col("fp"), col("n_copies"), col("n_sources"),
+        col("first.doc_id").as("first_doc"), col("first.day").as("first_day"),
+        col("max_lag_days"))
+      .orderBy(col("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_quote_attribution" -> q191QuoteAttribution _,
+    "q192_syndication_lag" -> q192SyndicationLag _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -2835,6 +2918,59 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q191: same wire construction, same two-group regex scan (group-2
+    // tails cannot cross a quote char, so match order/extent agree)
+    "q191_quote_attribution" -> {
+      val pat = """"([^"]{10,200})"([^"]{0,40})"""
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN text || ' "planted quotation '
+         |        || CAST(doc_id AS VARCHAR)
+         |        || ' stands right here" the editor said afterwards.'
+         |      WHEN doc_id % 4 = 1 THEN text
+         |        || ' "unattributed planted quotation '
+         |        || CAST(doc_id AS VARCHAR) || ' here" trailing words continue.'
+         |      ELSE text END AS wire
+         |  FROM documents),
+         |q1 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, '$pat', 1)) AS quote,
+         |    generate_subscripts(regexp_extract_all(wire, '$pat', 1), 1) AS qidx
+         |  FROM w),
+         |q2 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, '$pat', 2)) AS tail,
+         |    generate_subscripts(regexp_extract_all(wire, '$pat', 2), 1) AS qidx
+         |  FROM w)
+         |SELECT q1.doc_id, CAST(q1.qidx AS BIGINT) AS qidx,
+         |  md5(q1.quote) AS quote_md5,
+         |  CAST(length(q1.quote) AS BIGINT) AS qlen,
+         |  regexp_matches(q2.tail, '\\b(said|says|wrote|told)\\b') AS attributed
+         |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
+         |ORDER BY q1.doc_id, qidx""".stripMargin
+    },
+    // q192: same mirror construction, md5-derived day, argmin-(day, id)
+    // first copy via a per-cluster window
+    "q192_syndication_lag" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'mirror-' || source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, source, md5(text) AS fp,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 30
+        |      AS day
+        |  FROM all_docs),
+        |g AS (SELECT fp, COUNT(*) AS n_copies,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    MIN(day) AS min_day, MAX(day) AS max_day
+        |  FROM d GROUP BY fp HAVING COUNT(*) >= 2),
+        |f AS (SELECT fp, doc_id, day,
+        |    row_number() OVER (PARTITION BY fp ORDER BY day, doc_id) AS rn
+        |  FROM d)
+        |SELECT g.fp, g.n_copies, g.n_sources, f.doc_id AS first_doc,
+        |  CAST(f.day AS BIGINT) AS first_day,
+        |  CAST(g.max_day - g.min_day AS BIGINT) AS max_lag_days
+        |FROM g JOIN f ON f.fp = g.fp AND f.rn = 1
+        |ORDER BY g.fp""".stripMargin,
     // q180: arg-max keeper via min_by/max_by-free sorted-struct trick in
     // DuckDB too (max of (n_chars, -doc_id) row)
     "q180_quality_keeper" ->

@@ -97,7 +97,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q177_dehyphenate" -> "dehyph_ok",
       "q179_microdata" -> "micro_ok",
       "q185_og_cards" -> "og_ok",
-      "q186_paywall" -> "pw_ok")
+      "q186_paywall" -> "pw_ok",
+      "q190_hreflang" -> "hl_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
