@@ -66,6 +66,19 @@ object ExtractOps {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** IDNA ToUnicode over a whole hostname (RFC 3490 via the JDK's
+    * `java.net.IDN`): each `xn--` A-label decodes to its U-label; pure
+    * ASCII hosts pass through by reference (no alloc on the fast path).
+    * `IDN.toUnicode` is specified never to fail — it returns the input
+    * unmodified on any error — and the catch-all keeps the
+    * never-throws contract even against JDK edge cases.
+    */
+  def idnUnicode(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = try java.net.IDN.toUnicode(str) catch { case _: Exception => str }
+    if (out == str) s else UTF8String.fromString(out)
+  }
+
   /** CP1252's 27 non-Latin-1 codepoints (bytes 0x80–0x9F whose Windows
     * meaning differs from the C1 controls), inverse-mapped char → byte.
     * "Sloppy CP1252" in ftfy's terminology (public: the ftfy docs /
@@ -398,6 +411,29 @@ case class DecodeEntities(child: Expression, extended: Boolean = false)
   * other); the already-NFC fast path (`Normalizer.isNormalized`) returns
   * the input UTF8String unchanged, no allocation.
   */
+/** `idn_unicode(host string) → string` — IDNA ToUnicode
+  * ([[ExtractOps.idnUnicode]]): decodes punycode `xn--` A-labels so that
+  * confusable-skeleton screening (q178) sees the Unicode the USER sees,
+  * not the ASCII the DNS sees — the internationalized-domain spoofing
+  * surface (q193).
+  */
+case class IdnUnicode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "idn_unicode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractOps.idnUnicode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExtractOps.idnUnicode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnUnicode =
+    copy(child = newChild)
+}
+
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
@@ -543,6 +579,7 @@ object GraftExtensions {
     "decode_entities" -> (args => DecodeEntities(args.head)),
     "decode_entities_ext" -> (args => DecodeEntities(args.head, extended = true)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "idn_unicode" -> (args => IdnUnicode(args.head)),
     "fix_mojibake" -> (args => FixMojibake(args.head)),
     "cdc_chunks" -> (args => CdcChunks(args(0),
       args(1).eval().asInstanceOf[Number].intValue,

@@ -2623,7 +2623,106 @@ object PagesOps {
       .orderBy(col("url"), col("hreflang"), col("href"))
   }
 
+  /** q195: FRAGMENT-LINK INTEGRITY AUDIT — intra-page `href="#…"`
+    * anchors against the page's `id=` population: broken fragments are
+    * an extraction-quality signal (a table-of-contents whose targets
+    * were boilerplate-stripped) and a crawl-trap tell (generated TOCs
+    * pointing nowhere). Policy, identical in both paths: fragment links
+    * are `<a>` START tags whose href begins with `#` (absolute URLs
+    * with fragments are NOT intra-page links and are excluded); the
+    * bare `#` resolves to the top of the page by definition; any other
+    * fragment resolves iff some start tag on the page carries exactly
+    * that `id`. Duplicate (url, frag) pairs collapse.
+    *
+    * Not SQL-expressible → self-certifying `frag_ok`: relational
+    * (generator → anchor/id sets → left semi test) == sequential
+    * walker, planted ok/broken/top/external cases pinned.
+    *
+    * Scale shape: one generator pass → two url-keyed distinct sets →
+    * one url+frag equi-join; all keys page-scoped.
+    */
+  def q195FragmentLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val plantedDocs = Seq(
+      ("plant://frag/a",
+        "<h2 id=\"intro\">Intro</h2><a href=\"#intro\">jump</a>" +
+          "<a href=\"#missing\">broken</a><a href=\"#\">top</a>" +
+          "<a href=\"https://x.example/#frag\">external</a>"),
+      ("plant://frag/b",
+        "<div id=\"x\"></div><a href=\"#x\">one</a><a href=\"#x\">dup</a>"))
+    val volume = (0 until 50).map { i =>
+      val sb = new StringBuilder("<html><body>")
+      for (j <- 0 until 4) {
+        sb.append("<h3 id=\"sec").append(j).append("\">s</h3>")
+        sb.append("<a href=\"#sec").append((i + j) % 6).append("\">go</a>")
+      }
+      (f"plant://frag/vol/$i%02d", sb.append("</body></html>").toString)
+    }
+    val input = pages(s).select(col("url"), col("html"))
+      .unionByName((plantedDocs ++ volume).toDF("url", "html_str")
+        .select(col("url"), col("html_str").cast("binary").as("html")))
+    input.createOrReplaceTempView("pages_frag")
+    val frags = s.sql(
+      """SELECT DISTINCT url, substring(n.attrs['href'], 2) AS frag
+        |FROM pages_frag LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND n.tag = 'a'
+        |  AND n.attrs['href'] IS NOT NULL
+        |  AND startswith(n.attrs['href'], '#')""".stripMargin)
+    val ids = s.sql(
+      """SELECT DISTINCT url AS i_url, n.attrs['id'] AS i_id
+        |FROM pages_frag LATERAL VIEW html_nodes(html) n
+        |WHERE n.ntype = 'START' AND n.attrs['id'] IS NOT NULL""".stripMargin)
+    val rel = frags.join(ids,
+        col("url") === col("i_url") && col("frag") === col("i_id"), "left")
+      .select(col("url"), col("frag"),
+        (col("frag") === "" || col("i_url").isNotNull).as("resolved"))
+      .distinct()
+    val typed = input.as[(String, Array[Byte])].flatMap { case (url, html) =>
+      val nds = HtmlScanner.parse(
+        if (html == null) Array.emptyByteArray else html)
+      val ids0 = scala.collection.mutable.Set.empty[String]
+      val fr = scala.collection.mutable.Set.empty[String]
+      nds.foreach { nd =>
+        if (nd.nodeType == NodeType.StartTag) {
+          def a(n: String) = nd.attrs.find(_.name == n).map(_.value).orNull
+          val id = a("id")
+          if (id != null) ids0 += id
+          if (nd.tagName == "a") {
+            val href = a("href")
+            if (href != null && href.startsWith("#")) fr += href.substring(1)
+          }
+        }
+      }
+      fr.iterator.map(f => (url, f, f.isEmpty || ids0(f)))
+    }.toDF("t_url", "t_frag", "t_resolved")
+    val expected = Seq(
+      ("plant://frag/a", "intro", true), ("plant://frag/a", "missing", false),
+      ("plant://frag/a", "", true), ("plant://frag/b", "x", true))
+      .toDF("e_url", "e_frag", "e_res")
+    rel.join(typed,
+        col("url") === col("t_url") && col("frag") === col("t_frag"),
+        "full_outer")
+      .join(broadcast(expected),
+        coalesce(col("url"), col("t_url")) === col("e_url") &&
+          coalesce(col("frag"), col("t_frag")) === col("e_frag"),
+        "left")
+      .select(
+        coalesce(col("url"), col("t_url")).as("url"),
+        coalesce(col("frag"), col("t_frag")).as("frag"),
+        col("resolved"),
+        (col("url").isNotNull && col("t_url").isNotNull &&
+          col("resolved") <=> col("t_resolved") &&
+          (col("e_url").isNull || col("resolved") <=> col("e_res")) &&
+          // the planted external link must never appear as a fragment
+          !(coalesce(col("url"), col("t_url")) === "plant://frag/a" &&
+            coalesce(col("frag"), col("t_frag")).contains("frag")))
+          .as("frag_ok"))
+      .orderBy(col("url"), col("frag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_fragment_links" -> q195FragmentLinks _,
     "q190_hreflang" -> q190Hreflang _,
     "q185_og_cards" -> q185OgCards _,
     "q186_paywall" -> q186Paywall _,

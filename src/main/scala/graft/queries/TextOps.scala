@@ -2702,6 +2702,64 @@ object TextOps {
       .orderBy(col("skeleton"))
   }
 
+  /** q193: IDN PUNYCODE SPOOF SURFACE — q178's confusable-skeleton
+    * screen sees only what is WRITTEN in the host string; a homograph
+    * attack ships as ASCII punycode (`xn--…` A-labels, RFC 3490/3492)
+    * and only collides with the brand after IDNA ToUnicode. The new
+    * codegen'd `idn_unicode` expression (JDK `java.net.IDN`, never
+    * throws) decodes each host, the UTS #39 skeleton is taken over the
+    * DECODED form, and a skeleton group is a spoof surface when it
+    * contains both a pure-ASCII host and a punycode-decoded one.
+    *
+    * Planted punycode hosts are built by the inverse JDK transform
+    * (`IDN.toASCII` of Cyrillic-substituted brands) at plan
+    * construction, so the query performs a genuine round trip: encode
+    * driver-side, decode via the expression under test, compare to the
+    * carried Unicode literal. Not SQL-expressible (no punycode in
+    * DuckDB) → self-certifying `idn_ok` = decoded == expected AND
+    * spoof-flag == planted-flag for every row (organic ASCII hosts are
+    * the negative control: identity decode, spoof-free groups).
+    *
+    * Scale shape: stateless per-row decode + one skeleton-keyed
+    * aggregate re-joined broadcast; the host table is already tiny
+    * relative to the corpus it indexes.
+    */
+  def q193IdnSpoof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val brands = Seq("apache.example.com", "mozilla.example.com",
+      "paypal.example.com")
+    def cyr(b: String): String = b.map { ch =>
+      val i = "aceo".indexOf(ch.toInt)
+      if (i < 0) ch else "асео".charAt(i)
+    }
+    val planted = brands.flatMap { b =>
+      val u = cyr(b)
+      Seq((b, b, true), (java.net.IDN.toASCII(u), u, true))
+    }.toDF("host", "expected", "planted")
+    val organic = tbl(s, dir, "documents")
+      .select(concat(lit("host"), expr("(doc_id DIV 8) % 40").cast("string"),
+        lit(".example.com")).as("host"))
+      .distinct()
+      .withColumn("expected", col("host"))
+      .withColumn("planted", lit(false))
+    val hosts = organic.unionByName(planted)
+      .withColumn("decoded", expr("idn_unicode(host)"))
+      .withColumn("skeleton",
+        translate(lower(col("decoded")), ConfusableFrom, ConfusableTo))
+    val groups = hosts.groupBy(col("skeleton"))
+      .agg(
+        max(when(col("host") === col("decoded"), 1).otherwise(0)).as("has_ascii"),
+        max(when(col("host") =!= col("decoded"), 1).otherwise(0)).as("has_idn"))
+      .withColumn("spoof", col("has_ascii") === 1 && col("has_idn") === 1)
+    hosts.join(broadcast(groups.select(col("skeleton"), col("spoof"))),
+        "skeleton")
+      .select(col("host"), col("decoded"), col("skeleton"), col("spoof"),
+        (col("decoded") <=> col("expected") &&
+          col("spoof") <=> col("planted")).as("idn_ok"))
+      .orderBy(col("host"))
+  }
+
   /** q180: QUALITY-AWARE DEDUP KEEPER SELECTION — the canonicalization
     * refinement of q15: inside every exact-duplicate cluster (md5 of the
     * text bytes) the KEPT copy is the best one, not the arbitrary
@@ -2774,6 +2832,49 @@ object TextOps {
       .orderBy(col("doc_id"), col("qidx"))
   }
 
+  /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
+    * fact-mining surface QA/grounding pipelines index ("3 million
+    * users", "85 %", "120 km"): extract integer-magnitude claims and
+    * normalize them to a base value in exact integer arithmetic.
+    * Pattern (Java∩RE2): `\b(\d{1,9}) ?(%|percent|million|billion|
+    * thousand|km|kg|people|years)\b` — group 1 the magnitude, group 2
+    * the unit; `scaled` = magnitude × {thousand 10³, million 10⁶,
+    * billion 10⁹, else 1}. Planted wires (q105 in-query construction)
+    * give every 3rd doc two claims with deterministic magnitudes, so
+    * the match walk, the zip by ordinal, and the scaling are all
+    * exercised; fully oracled hash-exact.
+    *
+    * Scale shape: stateless per-row regex scan + one explode — no
+    * shuffle before the ORDER BY.
+    */
+  def q194NumericClaims(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(\\d{1,9}) ?(%|percent|million|billion|thousand|km|kg|people|years)\\b"
+    tbl(s, dir, "documents")
+      .withColumn("wire",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" the survey counted "),
+            (col("doc_id") % 97 + 1).cast("string"),
+            lit(" million people and a "),
+            (col("doc_id") % 89 + 1).cast("string"),
+            lit(" % rise.")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        // Column-API regexp (NOT expr(): Spark SQL string literals eat
+        // backslashes, silently corrupting \b/\d)
+        posexplode(arrays_zip(
+          regexp_extract_all(col("wire"), lit(pat), lit(1)),
+          regexp_extract_all(col("wire"), lit(pat), lit(2)))).as(Seq("i", "m")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("cidx"),
+        col("m").getField("0").cast("long").as("value"),
+        col("m").getField("1").as("unit"))
+      .withColumn("scaled", col("value") *
+        when(col("unit") === "thousand", 1000L)
+          .when(col("unit") === "million", 1000000L)
+          .when(col("unit") === "billion", 1000000000L)
+          .otherwise(1L))
+      .orderBy(col("doc_id"), col("cidx"))
+  }
+
   /** q192: SYNDICATION-LAG PROVENANCE — inside every exact-duplicate
     * cluster, who published first and how far the copies trail (the
     * news-wire question q180's keeper selection answers mechanically;
@@ -2814,6 +2915,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_quote_attribution" -> q191QuoteAttribution _,
     "q192_syndication_lag" -> q192SyndicationLag _,
+    "q193_idn_spoof" -> q193IdnSpoof _,
+    "q194_numeric_claims" -> q194NumericClaims _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -2947,6 +3050,32 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q194: same wire, same two-group regex walk (DuckDB strings do not
+    // process backslashes, so \b/\d pass through literally)
+    "q194_numeric_claims" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' the survey counted '
+         |        || CAST(doc_id % 97 + 1 AS VARCHAR) || ' million people and a '
+         |        || CAST(doc_id % 89 + 1 AS VARCHAR) || ' % rise.'
+         |      ELSE text END AS wire
+         |  FROM documents),
+         |pt AS (SELECT '\\b(\\d{1,9}) ?(%|percent|million|billion|thousand|km|kg|people|years)\\b' AS p),
+         |q1 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, (SELECT p FROM pt), 1)) AS v,
+         |    generate_subscripts(regexp_extract_all(wire, (SELECT p FROM pt), 1), 1) AS cidx
+         |  FROM w),
+         |q2 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, (SELECT p FROM pt), 2)) AS unit,
+         |    generate_subscripts(regexp_extract_all(wire, (SELECT p FROM pt), 2), 1) AS cidx
+         |  FROM w)
+         |SELECT q1.doc_id, CAST(q1.cidx AS BIGINT) AS cidx,
+         |  CAST(q1.v AS BIGINT) AS value, q2.unit,
+         |  CAST(q1.v AS BIGINT) * CASE q2.unit WHEN 'thousand' THEN 1000
+         |    WHEN 'million' THEN 1000000 WHEN 'billion' THEN 1000000000
+         |    ELSE 1 END AS scaled
+         |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.cidx = q2.cidx
+         |ORDER BY q1.doc_id, cidx""".stripMargin,
     // q192: same mirror construction, md5-derived day, argmin-(day, id)
     // first copy via a per-cluster window
     "q192_syndication_lag" ->
