@@ -759,7 +759,100 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q196: LLM-ARTIFACT SCREENING — chat-template/control tokens and
+    * assistant boilerplate (`<|im_start|>`, `<|endoftext|>`,
+    * `### instruction:`, "as an ai language model", …) are the tells of
+    * synthetic or chat-log text that self-training pipelines must keep
+    * OUT of pretraining corpora (model-collapse hygiene). One
+    * Aho–Corasick walk per document (q119's codegen'd automaton);
+    * stump: flagged iff ≥ 2 artifact hits, so a single quoted mention
+    * in organic prose survives — the planted single-hit wire pins that
+    * threshold. Every 13th doc is planted with a two-artifact
+    * chat-template tail, every 13th+1 with one quoted artifact.
+    * Oracled: DuckDB recounts by position×pattern substring arithmetic
+    * (q168 idiom). Stateless per-row, zero shuffles.
+    */
+  def q196LlmArtifacts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"),
+          lit(" <|im_start|>assistant as an ai language model i can help.")))
+        .when(pmod(col("doc_id"), lit(13)) === 1,
+          concat(col("text"),
+            lit(" the model printed \"<|endoftext|>\" once and stopped.")))
+        .otherwise(col("text")).as("body"))
+    d.select(col("doc_id"),
+        expr("blocklist_hits(lower(body), array('<|im_start|>'," +
+          "'<|endoftext|>','### instruction:','as an ai language model'," +
+          "'i cannot fulfill that request'))").as("hits"))
+      .withColumn("llm_artifact", col("hits") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q197: BASE64-BLOB JUNK DETECTION — long base64/alphanumeric runs
+    * (inline images, serialized payloads, tracking state) are
+    * token-budget poison: they tokenize terribly and teach nothing.
+    * Blobs = regex runs `[A-Za-z0-9+/]{40,}={0,2}`; a document is junk
+    * when blobs occupy ≥ 20% of its characters. Every 17th doc is
+    * planted with a 96-char md5-concat blob (hex ⊂ the base64 alphabet,
+    * byte-identically derivable in DuckDB), so detection truth exists
+    * by construction; fully oracled. Stateless per-row regex scan.
+    */
+  def q197Base64Junk(s: SparkSession, dir: String): DataFrame = {
+    def m(off: Int) = md5((col("doc_id") + off).cast("string").cast("binary"))
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(col("text"), lit(" "), m(0), m(1), m(2)))
+        .otherwise(col("text")).as("body"))
+    val blobs = regexp_extract_all(col("body"),
+      lit("[A-Za-z0-9+/]{40,}={0,2}"), lit(0))
+    d.select(col("doc_id"),
+        size(blobs).cast("long").as("n_blobs"),
+        coalesce(aggregate(transform(blobs, b => length(b).cast("long")),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("blob_chars"),
+        length(col("body")).cast("long").as("body_chars"))
+      .withColumn("ratio_x1000", expr("blob_chars * 1000 div body_chars"))
+      .withColumn("junk", col("ratio_x1000") >= 200)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q198: LOG-DUMP / STACK-TRACE DETECTION — the C4-style "page is a
+    * machine log" screen: stack-frame markers (one Aho–Corasick walk)
+    * plus `YYYY-MM-DD hh:mm:ss` timestamp density (one regex scan).
+    * Stump: log-dump iff ≥ 2 stack hits OR ≥ 3 timestamps. Planted
+    * wires: every 19th doc a three-frame Java trace, 19th+1 three
+    * timestamped log lines, 19th+2 a single timestamp (below
+    * threshold — pins the cutoff). Fully oracled. Stateless per-row.
+    */
+  def q198LogDump(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(19)) === 0,
+        concat(col("text"), lit(" exception in thread \"main\"" +
+          " java.lang.IllegalStateException at java.base/x.y(Z.java:1)" +
+          " at java.base/a.b(C.java:2)")))
+        .when(pmod(col("doc_id"), lit(19)) === 1,
+          concat(col("text"), lit(" 2024-01-02 10:11:12 info started" +
+            " 2024-01-02 10:11:13 warn retry 2024-01-02 10:11:14 info done")))
+        .when(pmod(col("doc_id"), lit(19)) === 2,
+          concat(col("text"), lit(" released 2024-01-02 10:11:12 final")))
+        .otherwise(col("text")).as("body"))
+    val tsPat = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"
+    d.select(col("doc_id"),
+        expr("blocklist_hits(lower(body), array(" +
+          "'traceback (most recent call last)','at java.'," +
+          "'caused by: ','exception in thread'))").as("stack_hits"),
+        size(regexp_extract_all(col("body"), lit(tsPat), lit(0)))
+          .cast("long").as("ts_count"))
+      .withColumn("logdump", col("stack_hits") >= 2 || col("ts_count") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_llm_artifacts" -> q196LlmArtifacts _,
+    "q197_base64_junk" -> q197Base64Junk _,
+    "q198_log_dump" -> q198LogDump _,
     "q187_rendezvous_shard" -> q187RendezvousShard _,
     "q168_soft404" -> q168Soft404 _,
     "q153_shard_gini" -> q153ShardGini _,
@@ -803,6 +896,76 @@ object CurationOps {
         |  shard10 <> shard11 AS moved,
         |  (shard10 = shard11 OR shard11 = 10) AS gain_ok
         |FROM r10 JOIN r11 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q196: q168's position×pattern recount over the lowercased body
+    "q196_llm_artifacts" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' <|im_start|>assistant as an ai language model i can help.'
+        |    WHEN doc_id % 13 = 1
+        |    THEN text || ' the model printed "<|endoftext|>" once and stopped.'
+        |    ELSE text END) AS body
+        |  FROM documents),
+        |p AS (SELECT unnest(['<|im_start|>','<|endoftext|>',
+        |    '### instruction:','as an ai language model',
+        |    'i cannot fulfill that request']) AS pat),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(list_sum(list_transform(generate_series(1, len(d.body)),
+        |      i -> CASE WHEN substr(d.body, i, len(p.pat)) = p.pat
+        |           THEN 1 ELSE 0 END))) AS BIGINT) AS hits
+        |  FROM d, p GROUP BY d.doc_id)
+        |SELECT doc_id, hits, hits >= 2 AS llm_artifact
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // q197: same md5-concat blob plant, same regex, list_sum lengths
+    "q197_base64_junk" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |    THEN text || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |      || md5(CAST(doc_id + 1 AS VARCHAR))
+        |      || md5(CAST(doc_id + 2 AS VARCHAR))
+        |    ELSE text END AS body
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    regexp_extract_all(body, '[A-Za-z0-9+/]{40,}={0,2}', 0) AS blobs,
+        |    length(body) AS bc
+        |  FROM d),
+        |c AS (SELECT doc_id, CAST(len(blobs) AS BIGINT) AS n_blobs,
+        |    CAST(coalesce(list_sum(list_transform(blobs, x -> length(x))), 0)
+        |      AS BIGINT) AS blob_chars,
+        |    CAST(bc AS BIGINT) AS body_chars
+        |  FROM b)
+        |SELECT doc_id, n_blobs, blob_chars, body_chars,
+        |  CAST(blob_chars * 1000 // body_chars AS BIGINT) AS ratio_x1000,
+        |  (blob_chars * 1000 // body_chars >= 200) AS junk
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q198: stack markers by position recount + regex timestamp density
+    "q198_log_dump" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 19 = 0
+        |    THEN text || ' exception in thread "main"' ||
+        |      ' java.lang.IllegalStateException at java.base/x.y(Z.java:1)' ||
+        |      ' at java.base/a.b(C.java:2)'
+        |    WHEN doc_id % 19 = 1
+        |    THEN text || ' 2024-01-02 10:11:12 info started' ||
+        |      ' 2024-01-02 10:11:13 warn retry 2024-01-02 10:11:14 info done'
+        |    WHEN doc_id % 19 = 2
+        |    THEN text || ' released 2024-01-02 10:11:12 final'
+        |    ELSE text END AS body
+        |  FROM documents),
+        |p AS (SELECT unnest(['traceback (most recent call last)','at java.',
+        |    'caused by: ','exception in thread']) AS pat),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(list_sum(list_transform(generate_series(1, len(lower(d.body))),
+        |      i -> CASE WHEN substr(lower(d.body), i, len(p.pat)) = p.pat
+        |           THEN 1 ELSE 0 END))) AS BIGINT) AS stack_hits
+        |  FROM d, p GROUP BY d.doc_id),
+        |t AS (SELECT doc_id, CAST(len(regexp_extract_all(body,
+        |    '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}', 0)) AS BIGINT) AS ts_count
+        |  FROM d)
+        |SELECT h.doc_id, h.stack_hits, t.ts_count,
+        |  (h.stack_hits >= 2 OR t.ts_count >= 3) AS logdump
+        |FROM h JOIN t USING (doc_id) ORDER BY h.doc_id""".stripMargin,
     // q168: position×pattern substring arithmetic counts the same
     // overlapping occurrences the Aho–Corasick walk does (q119 idiom)
     "q168_soft404" ->
