@@ -774,7 +774,67 @@ object ClusterOps {
     pairs.join(e.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
   }
 
+  /** Sampled-source HARMONIC CENTRALITY over a directed edge list
+    * `(src, dst)`: `H(v) = Σ_seeds 1/d(seed, v)` accumulated as exact
+    * `1e6 div d` contributions (Boldi & Vigna, "Axioms for centrality",
+    * Internet Math. 2014 — harmonic handles disconnected/unreachable
+    * pairs natively, which closeness cannot; Eppstein & Wang 2004 for
+    * the sampled-source estimator). BFS by `rounds` frontier steps:
+    * per round ONE frontier⋈edges equi-join + one anti-join against
+    * the discovered set (first discovery == min distance), both over
+    * localCheckpointed frames — q110's crawl-BFS discipline keyed by
+    * (seed, node), so all seeds advance in the same shuffle.
+    *
+    * At 100 TB: k seeds cost k·diameter scans of the edge list — the
+    * standard trade (exact all-pairs is O(n·E), unpayable); seeds are
+    * deterministic (node % seedMod == 0), not random, so the driver
+    * hash-compare holds.
+    */
+  def harmonicCentrality(edges: DataFrame, seedMod: Int,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val seeds = nodes.filter(pmod(col("node"), lit(seedMod)) === 0)
+    var dist = seeds.select(col("node").as("seed"), col("node"),
+      lit(0).as("d")).localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val stepped = frontier.select(col("seed"), col("node").as("src"))
+        .join(e, "src")
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val nxt = stepped.join(dist.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r).as("d"))
+        .localCheckpoint()
+      dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    val h = dist.where(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(expr("1000000 div d")).as("h"))
+    nodes.join(h, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_seeds"), lit(0L)).as("n_seeds"),
+        coalesce(col("h"), lit(0L)).as("h_x1e6"))
+  }
+
+  /** q199: harmonic centrality of the q53 mod-graph from the
+    * deterministic seed set node % 17 == 0, 8 BFS rounds (past the
+    * graph's diameter — ClusterOpsSpec pins rounds-invariance).
+    */
+  def q199Harmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"),
+        (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    harmonicCentrality(e, seedMod = 17, rounds = 8).orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_harmonic" -> q199Harmonic _,
     "q170_label_prop" -> q170LabelProp _,
     "q181_modularity" -> q181Modularity _,
     "q171_link_pred" -> q171LinkPred _,
@@ -830,6 +890,29 @@ object ClusterOps {
        |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q199: recursive walk with set-dedup (UNION) bounded at d<8; MIN(d)
+    // over the deduped (seed,node,d) rows equals the BFS first-discovery
+    "q199_harmonic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+        |      FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100),
+        |-- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+        |-- block DuckDB gives UNION the recursive anchor/step treatment
+        |-- even in non-self-referencing CTEs and skips the dedup
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |seeds AS (SELECT node FROM nodes WHERE node % 17 = 0),
+        |walk(seed, node, d) AS (
+        |  SELECT node, node, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.dst, w.d + 1 FROM walk w
+        |  JOIN e ON e.src = w.node WHERE w.d < 8),
+        |md AS (SELECT seed, node, MIN(d) AS d FROM walk GROUP BY seed, node),
+        |h AS (SELECT node, COUNT(*) AS n_seeds, SUM(1000000 // d) AS h
+        |      FROM md WHERE d > 0 GROUP BY node)
+        |SELECT n.node, CAST(coalesce(h.n_seeds, 0) AS BIGINT) AS n_seeds,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS h_x1e6
+        |FROM nodes n LEFT JOIN h USING (node) ORDER BY n.node""".stripMargin,
     // the oracle resolves the same chains by a LITERAL recursive walk
     // (hops < 8 cap: deepest terminating chain is 7, so only real
     // terminals ever reach `term`; cycle walks age out at the cap)

@@ -377,10 +377,76 @@ object LmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q200: T5 SPAN-CORRUPTION EXAMPLE GENERATION (Raffel et al., "Exploring
+    * the limits of transfer learning with a unified text-to-text
+    * transformer", JMLR 2020, §3.1.4): replace token spans with numbered
+    * sentinels `<extra_id_K>` and emit the (corrupted input, target)
+    * pair — the denoising objective's data builder, run at corpus scale.
+    *
+    * Deterministic masking, identical in both engines: positions are
+    * cut into blocks of 10 tokens; a block is MASKED iff
+    * `md5(doc_id:block) % 5 == 0` (≈ 20% of blocks); within a masked
+    * block the span starts at `h = md5 % 8` and runs `1 + md5(…) % 2`
+    * tokens (1–2, never crossing the block edge — non-overlap by
+    * construction, the relational-friendly form of T5's iid span draw;
+    * mean mask rate ≈ 3%, sentinels numbered in block order by a dense
+    * rank). Only digests travel: input_md5/target_md5 hash the rebuilt
+    * strings, built with the q58/q70 ordered collect_list rebuild.
+    *
+    * Fully oracled (md5 arithmetic + string_agg in DuckDB). Scale
+    * shape: one posexplode → one doc-keyed window (sentinel rank) →
+    * one doc-keyed rebuild aggregate — single Exchange family; the
+    * examples write out as a stateless projection.
+    */
+  def q200SpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+      .withColumn("blk", expr("pos div 10"))
+    def h(salt: String) = conv(substring(md5(concat(
+      col("doc_id").cast("string"), lit(":"), col("blk").cast("string"),
+      lit(salt)).cast("binary")), 1, 4), 16, 10).cast("long")
+    val marked = tk
+      .withColumn("masked_blk", h("") % 5 === 0)
+      .withColumn("start", h("s") % 8)
+      .withColumn("len", h("l") % 2 + 1)
+      .withColumn("off", col("pos") - col("blk") * 10)
+      .withColumn("in_span",
+        col("masked_blk") && col("off") >= col("start") &&
+          col("off") < col("start") + col("len"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("blk"))
+    val sent = marked.filter(col("in_span") && col("off") === col("start"))
+      .select(col("doc_id"), col("blk"),
+        (row_number().over(w) - 1).as("k"))
+    val ev = marked.join(sent, Seq("doc_id", "blk"), "left")
+      .withColumn("inp_tok",
+        when(!col("in_span"), col("tok"))
+          .when(col("off") === col("start"),
+            concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))))
+      .withColumn("tgt_tok",
+        when(col("in_span") && col("off") === col("start"),
+          concat(lit("<extra_id_"), col("k").cast("string"), lit("> "),
+            col("tok")))
+          .when(col("in_span"), col("tok")))
+    def rebuild(c: String) = array_join(transform(
+      array_sort(collect_list(when(col(c).isNotNull,
+        struct(col("pos"), col(c).as("t"))))),
+      x => x.getField("t")), " ")
+    ev.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("in_span").cast("long")).as("n_masked"),
+        md5(rebuild("inp_tok").cast("binary")).as("input_md5"),
+        md5(rebuild("tgt_tok").cast("binary")).as("target_md5"))
+      .withColumn("mask_rate_x1000", expr("n_masked * 1000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_bigram_backoff" -> q102BigramBackoff _,
     "q105_naive_bayes" -> q105NaiveBayes _,
     "q189_kneser_ney" -> q189KneserNey _,
+    "q200_span_corrupt" -> q200SpanCorrupt _,
     "q117_quality_classifier" -> q117QualityClassifier _)
 
   private val dkTokens =
@@ -407,6 +473,47 @@ object LmOps {
       |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q200: same 0-based blocks (generate_subscripts is 1-based, hence
+    // pos-1), same md5-derived block mask/start/len, same ordered
+    // rebuild; coalesce('') because string_agg of all NULLs is NULL in
+    // DuckDB while Spark's rebuild of an empty list is ''
+    "q200_span_corrupt" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |             generate_subscripts($dkTokens, 1) AS pos1 FROM documents),
+         |m AS (SELECT doc_id, pos1 - 1 AS pos, tok, (pos1 - 1) // 10 AS blk
+         |      FROM tk WHERE tok <> ''),
+         |hh AS (SELECT doc_id, blk,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+         |      || CAST(blk AS VARCHAR)), 1, 4))::BIGINT % 5 = 0 AS masked_blk,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+         |      || CAST(blk AS VARCHAR) || 's'), 1, 4))::BIGINT % 8 AS st,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+         |      || CAST(blk AS VARCHAR) || 'l'), 1, 4))::BIGINT % 2 + 1 AS ln
+         |  FROM (SELECT DISTINCT doc_id, blk FROM m)),
+         |mk AS (SELECT m.doc_id, m.pos, m.tok, m.blk, hh.st,
+         |    m.pos - m.blk * 10 AS off,
+         |    (hh.masked_blk AND m.pos - m.blk * 10 >= hh.st
+         |      AND m.pos - m.blk * 10 < hh.st + hh.ln) AS in_span
+         |  FROM m JOIN hh ON m.doc_id = hh.doc_id AND m.blk = hh.blk),
+         |snt AS (SELECT doc_id, blk,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY blk) - 1 AS k
+         |  FROM mk WHERE in_span AND off = st),
+         |ev AS (SELECT mk.*, snt.k FROM mk
+         |  LEFT JOIN snt ON mk.doc_id = snt.doc_id AND mk.blk = snt.blk),
+         |re AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    SUM(CASE WHEN in_span THEN 1 ELSE 0 END) AS n_masked,
+         |    md5(coalesce(string_agg(CASE WHEN NOT in_span THEN tok
+         |        WHEN off = st THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+         |        END, ' ' ORDER BY pos), '')) AS input_md5,
+         |    md5(coalesce(string_agg(CASE WHEN in_span AND off = st
+         |        THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+         |        WHEN in_span THEN tok END, ' ' ORDER BY pos), ''))
+         |      AS target_md5
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(n_masked AS BIGINT) AS n_masked,
+         |  input_md5, target_md5,
+         |  CAST(n_masked * 1000 // n_tokens AS BIGINT) AS mask_rate_x1000
+         |FROM re ORDER BY doc_id""".stripMargin,
     // q189: same 80% split, same continuation-count tables, same exact
     // D=3/4 rationals under integer division
     "q189_kneser_ney" ->

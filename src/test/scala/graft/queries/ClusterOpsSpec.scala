@@ -385,4 +385,19 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((1L, 2L) -> (1L, 500000L), (0L, 20L) -> (2L, 1000000L)),
       s"unexpected AA table: $got")
   }
+
+  test("harmonicCentrality: hand graph + BFS-rounds invariance past diameter") {
+    val s = spark; import s.implicits._
+    // 0 -> 1 -> 2 -> 3 plus shortcut 0 -> 3; seeds (mod 17) = {0}
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("src", "dst")
+    val got = ClusterOps.harmonicCentrality(e, seedMod = 17, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // d(0,1)=1, d(0,2)=2, d(0,3)=1 (shortcut beats the 3-hop path)
+    assert(got === Set((0L, 0L, 0L), (1L, 1L, 1000000L),
+      (2L, 1L, 500000L), (3L, 1L, 1000000L)))
+    // rounds past the diameter change nothing (converged BFS)
+    val r3 = ClusterOps.harmonicCentrality(e, 17, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r3 === got)
+  }
 }
