@@ -849,7 +849,40 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q201: POISSON-BOOTSTRAP CONFIDENCE ACCOUNTING — the one-pass
+    * bootstrap for corpus statistics at scale (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google TR 2012): resampling
+    * n docs WITH replacement is unpayable at 100 TB, but per-doc
+    * Poisson(1) replicate weights stream in one scan and 16 replicates
+    * fit one map-combined aggregate. Weights are md5-derived through the
+    * exact cumulative Poisson(1) table on u = md5(doc:r) % 10000
+    * (3679/7358/9197/9810/9963 — deterministic, engine-identical), the
+    * statistic is mean document length, and the replicate spread IS the
+    * error bar a data card should print next to the point estimate.
+    * Fully oracled. Scale shape: one 16-way in-row explode → one
+    * 16-group aggregate; nothing keyed finer than the replicate id.
+    */
+  def q201PoissonBootstrap(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(15))).as("r"))
+      .withColumn("u", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"), col("r").cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 10000)
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .when(col("u") < 9963, 4L).otherwise(5L))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_eff"),
+        sum(col("w") * col("n_chars")).as("w_chars"))
+      .withColumn("mean_chars_x100", expr("w_chars * 100 div n_eff"))
+      .select(col("r").cast("long").as("r"), col("n_docs"), col("n_eff"),
+        col("w_chars"), col("mean_chars_x100"))
+      .orderBy(col("r"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_poisson_bootstrap" -> q201PoissonBootstrap _,
     "q196_llm_artifacts" -> q196LlmArtifacts _,
     "q197_base64_junk" -> q197Base64Junk _,
     "q198_log_dump" -> q198LogDump _,
@@ -896,6 +929,23 @@ object CurationOps {
         |  shard10 <> shard11 AS moved,
         |  (shard10 = shard11 OR shard11 = 10) AS gain_ok
         |FROM r10 JOIN r11 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q201: same md5->cumulative-Poisson(1) weights, same exact sums
+    "q201_poisson_bootstrap" ->
+      """WITH x AS (
+        |  SELECT doc_id, n_chars, g.r,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(g.r AS VARCHAR)), 1, 4))::BIGINT % 10000 AS u
+        |  FROM documents, generate_series(0, 15) AS g(r)),
+        |w AS (SELECT doc_id, n_chars, r,
+        |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |         WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |         WHEN u < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM x)
+        |SELECT CAST(r AS BIGINT) AS r, COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * n_chars) AS BIGINT) AS w_chars,
+        |  CAST(SUM(w * n_chars) * 100 // SUM(w) AS BIGINT) AS mean_chars_x100
+        |FROM w GROUP BY r ORDER BY r""".stripMargin,
     // q196: q168's position×pattern recount over the lowercased body
     "q196_llm_artifacts" ->
       """WITH d AS (

@@ -2832,6 +2832,46 @@ object TextOps {
       .orderBy(col("doc_id"), col("qidx"))
   }
 
+  /** q202: TOKEN DISPERSION (Gries' DP, "Dispersions and adjusted
+    * frequencies in corpora", IJCL 2008) — how evenly a token spreads
+    * over the sources, the corpus-linguistics complement of raw
+    * frequency (a high-frequency token concentrated in one source is a
+    * template artifact, not a function word). DP(t) = Σ_s |v_s − e_s|/2
+    * where v_s is the token's share in source s and e_s the source's
+    * share of the corpus, both as ×1e6 integer-div fixed point; sources
+    * NOT containing the token contribute |0 − e_s| = e_s, folded in
+    * CLOSED FORM as (Σ_all e_s − Σ_present e_s) so absent (token,
+    * source) pairs never materialize. Restricted to tokens with corpus
+    * count ≥ 200 (the decision-relevant head). Fully oracled.
+    *
+    * Scale shape: one (token, source) map-combined count; the per-source
+    * share table and the frequent-token list re-enter BROADCAST (the
+    * q55/q56 Zipf discipline); no windows, no absent-pair explosion.
+    */
+  def q202Dispersion(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val st = tk.groupBy(col("source")).agg(count(lit(1)).as("stot"))
+    val tot = st.agg(sum(col("stot")).as("t_all"))
+    val s6 = st.crossJoin(broadcast(tot))
+      .select(col("source"), expr("stot * 1000000 div t_all").as("e6"))
+    val s6tot = s6.agg(sum(col("e6")).as("e6_all"))
+    val ct = tk.groupBy(col("tok"), col("source")).agg(count(lit(1)).as("c"))
+    val freq = ct.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))
+      .where(col("cnt") >= 200)
+    ct.join(broadcast(freq), "tok")
+      .join(broadcast(s6), "source")
+      .withColumn("v6", expr("c * 1000000 div cnt"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(sum(abs(col("v6") - col("e6"))).as("present_abs"),
+        sum(col("e6")).as("present_e6"))
+      .crossJoin(broadcast(s6tot))
+      .select(col("tok"), col("cnt"),
+        expr("(present_abs + e6_all - present_e6) div 2").as("dp_x1e6"))
+      .orderBy(col("tok"))
+  }
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -2917,6 +2957,7 @@ object TextOps {
     "q192_syndication_lag" -> q192SyndicationLag _,
     "q193_idn_spoof" -> q193IdnSpoof _,
     "q194_numeric_claims" -> q194NumericClaims _,
+    "q202_dispersion" -> q202Dispersion _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3050,6 +3091,29 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q202: same shares, same integer-div fixed point, same closed-form
+    // absent-source fold
+    "q202_dispersion" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |st AS (SELECT source, COUNT(*) AS stot FROM t2 GROUP BY source),
+        |tot AS (SELECT SUM(stot) AS t_all FROM st),
+        |s6 AS (SELECT source, stot * 1000000 // (SELECT t_all FROM tot) AS e6
+        |       FROM st),
+        |s6t AS (SELECT SUM(e6) AS e6_all FROM s6),
+        |ct AS (SELECT tok, source, COUNT(*) AS c FROM t2 GROUP BY tok, source),
+        |freq AS (SELECT tok, SUM(c) AS cnt FROM ct GROUP BY tok
+        |         HAVING SUM(c) >= 200),
+        |j AS (SELECT ct.tok, freq.cnt,
+        |    abs(ct.c * 1000000 // freq.cnt - s6.e6) AS a6, s6.e6
+        |  FROM ct JOIN freq USING (tok) JOIN s6 USING (source))
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST((SUM(a6) + (SELECT e6_all FROM s6t) - SUM(e6)) // 2 AS BIGINT)
+        |    AS dp_x1e6
+        |FROM j GROUP BY tok, cnt ORDER BY tok""".stripMargin,
     // q194: same wire, same two-group regex walk (DuckDB strings do not
     // process backslashes, so \b/\d pass through literally)
     "q194_numeric_claims" ->

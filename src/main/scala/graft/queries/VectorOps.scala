@@ -569,7 +569,37 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q203: PER-LABEL SEMANTIC SCATTER — the embedding-space diversity
+    * accounting a curation pipeline reads before mixing sources ("is
+    * this domain one blob or a spread?"): per label, the trace of the
+    * scatter matrix as the EXACT integer identity
+    * `Σ_d (n·Σx_d² − (Σx_d)²)` over per-row fixed-point components
+    * `x = round(e·1000)` (the Q.cents rounding discipline — the only
+    * float op is one per-row round, IEEE-identical in both engines;
+    * every cross-row sum is a BIGINT). The single-pass Σx/Σx² form
+    * needs no centroid broadcast and no second scan.
+    *
+    * Scale shape: one posexplode → one (label, dim) map-combined
+    * aggregate → one label rollup; 64·labels intermediate rows.
+    */
+  def q203LabelScatter(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xs", round(col("x").cast("double") * 1000).cast("long"))
+      .groupBy(col("label"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"),
+        sum(col("xs") * col("xs")).as("sxx"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("n") * col("sxx") - col("sx") * col("sx")).as("scatter_num"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("scatter_num"),
+        expr("scatter_num div (n_vecs * n_vecs)").as("trace_var_x1e6"))
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_label_scatter" -> q203LabelScatter _,
     "q24_ann_brute" -> q24AnnBrute _,
     "q124_pca" -> q124Pca _,
     "q25_ann_bucketed" -> q25AnnBucketed _,
@@ -588,6 +618,23 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q203: same per-row x1000 round, same n*sxx - sx^2 identity
+    "q203_label_scatter" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, d,
+        |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xs
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d)),
+        |pd AS (SELECT label, d, COUNT(*) AS n, SUM(xs) AS sx,
+        |    SUM(xs * xs) AS sxx
+        |  FROM x GROUP BY label, d),
+        |r AS (SELECT label, MAX(n) AS n_vecs,
+        |    SUM(n * sxx - sx * sx) AS scatter_num
+        |  FROM pd GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n_vecs,
+        |  CAST(scatter_num AS BIGINT) AS scatter_num,
+        |  CAST(scatter_num // (n_vecs * n_vecs) AS BIGINT) AS trace_var_x1e6
+        |FROM r ORDER BY label""".stripMargin,
     "q24_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
