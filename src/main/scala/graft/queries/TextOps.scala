@@ -2872,6 +2872,101 @@ object TextOps {
       .orderBy(col("tok"))
   }
 
+  /** q204: ACRONYM–DEFINITION MINING — `long form (ACRO)` pairs are the
+    * terminology layer a domain-adaptation pipeline extracts first
+    * (Schwartz & Hearst, "A simple algorithm for identifying
+    * abbreviation definitions in biomedical text", PSB 2003 — the
+    * initial-matching core, relationally). Regex (Java∩RE2, greedy in
+    * both): `([a-z]+(?: [a-z]+){1,5}) \(([a-z]{2,6})\)` over the
+    * lowercased text; `matched` = the initials of the LAST |acro| words
+    * of the long form spell the acronym (array slice + transform — no
+    * per-char UDF). Planted wires give every 6th doc a true pair and
+    * every 6th+1 a non-matching parenthetical, so both verdicts exist.
+    * Fully oracled. Stateless per-row scan + one explode.
+    */
+  def q204Acronyms(s: SparkSession, dir: String): DataFrame = {
+    val pat = "([a-z]+(?: [a-z]+){1,5}) \\(([a-z]{2,6})\\)"
+    tbl(s, dir, "documents")
+      .withColumn("wire",
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("text"),
+            lit(" the world health organization (who) announced it.")))
+          .when(pmod(col("doc_id"), lit(6)) === 1,
+            concat(col("text"), lit(" a big tent (abc) event happened.")))
+          .otherwise(col("text")))
+      .withColumn("wire", lower(col("wire")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          regexp_extract_all(col("wire"), lit(pat), lit(1)),
+          regexp_extract_all(col("wire"), lit(pat), lit(2)))).as(Seq("i", "m")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("aidx"),
+        col("m").getField("1").as("acro"),
+        split(col("m").getField("0"), " ").as("words"))
+      .withColumn("n", length(col("acro")).cast("int"))
+      .withColumn("tail_words",
+        slice(col("words"), size(col("words")) - col("n") + 1, col("n")))
+      .select(col("doc_id"), col("aidx"), col("acro"),
+        md5(array_join(col("words"), " ").cast("binary")).as("def_md5"),
+        (size(col("words")) >= col("n") &&
+          array_join(transform(col("tail_words"),
+            w => substring(w, 1, 1)), "") === col("acro")).as("matched"))
+      .orderBy(col("doc_id"), col("aidx"))
+  }
+
+  /** q205: TYPOSQUAT SCREEN — edit-distance-bounded host-label matches
+    * against a protected-brand list, the Levenshtein complement of
+    * q193's homoglyph surface (substitution/omission attacks instead of
+    * confusable codepoints). Candidates = first DNS label within
+    * distance ≤ 2 of a brand but not equal to it; the brand list enters
+    * BROADCAST (it is tiny by definition), so the screen is a stateless
+    * per-row loop over ~|brands| native `levenshtein` calls — never a
+    * host×host self-join. Planted typos (substitution, deletion,
+    * digit-swap) exist in-query in both engines; fully oracled (DuckDB
+    * ships the same unit-cost levenshtein).
+    */
+  def q205Typosquat(s: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("paypal", "google", "mozilla", "amazon")
+    val organic = tbl(s, dir, "documents")
+      .select(concat(lit("host"), expr("(doc_id DIV 8) % 40").cast("string"),
+        lit(".example.com")).as("host"))
+    val planted = Seq("payp4l.example.com", "gogle.example.com",
+      "mozila.example.com", "paypal.example.com", "zebra.example.com")
+    import s.implicits._
+    organic.unionByName(planted.toDF("host")).distinct()
+      .withColumn("label", split(col("host"), "\\.").getItem(0))
+      .crossJoin(broadcast(brands.toDF("brand")))
+      .withColumn("dist", levenshtein(col("label"), col("brand")).cast("long"))
+      .where(col("dist") <= 2 && col("label") =!= col("brand"))
+      .select(col("host"), col("brand"), col("dist"))
+      .orderBy(col("host"), col("brand"))
+  }
+
+  /** q206: BARE-URL CITATION MINING — http(s) URLs inside plain text
+    * (the outlink evidence HTML parsing cannot see once a page is
+    * reduced to text): hosts extracted by regex, trailing `.`/`-`
+    * stripped (the sentence-final-dot wart, handled identically in both
+    * engines), rolled up to per-host mention and document counts.
+    * Every 9th doc plants two citations. Fully oracled; one regex scan
+    * + one host-keyed map-combined aggregate.
+    */
+  def q206UrlMentions(s: SparkSession, dir: String): DataFrame = {
+    val pat = "https?://([a-z0-9.-]+)"
+    tbl(s, dir, "documents")
+      .withColumn("wire",
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(col("text"),
+            lit(" see https://cite1.example.org/a and http://cite2.example.net.")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("wire")), lit(pat), lit(1)))
+          .as("h"))
+      .withColumn("host", rtrim(col("h"), ".-"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("host"))
+  }
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -2958,6 +3053,9 @@ object TextOps {
     "q193_idn_spoof" -> q193IdnSpoof _,
     "q194_numeric_claims" -> q194NumericClaims _,
     "q202_dispersion" -> q202Dispersion _,
+    "q204_acronyms" -> q204Acronyms _,
+    "q205_typosquat" -> q205Typosquat _,
+    "q206_url_mentions" -> q206UrlMentions _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3091,6 +3189,65 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q204: same greedy two-group scan, same slice/initials check
+    "q204_acronyms" -> {
+      val pat = """([a-z]+(?: [a-z]+){1,5}) \(([a-z]{2,6})\)"""
+      s"""WITH w AS (
+         |  SELECT doc_id, lower(CASE WHEN doc_id % 6 = 0
+         |    THEN text || ' the world health organization (who) announced it.'
+         |    WHEN doc_id % 6 = 1 THEN text || ' a big tent (abc) event happened.'
+         |    ELSE text END) AS wire
+         |  FROM documents),
+         |q1 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, '$pat', 1)) AS def,
+         |    generate_subscripts(regexp_extract_all(wire, '$pat', 1), 1) AS aidx
+         |  FROM w),
+         |q2 AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(wire, '$pat', 2)) AS acro,
+         |    generate_subscripts(regexp_extract_all(wire, '$pat', 2), 1) AS aidx
+         |  FROM w),
+         |j AS (SELECT q1.doc_id, q1.aidx, q2.acro,
+         |    regexp_split_to_array(q1.def, ' ') AS words, q1.def
+         |  FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.aidx = q2.aidx)
+         |SELECT doc_id, CAST(aidx AS BIGINT) AS aidx, acro,
+         |  md5(def) AS def_md5,
+         |  (len(words) >= length(acro) AND
+         |   array_to_string(list_transform(
+         |     words[len(words) - length(acro) + 1 : len(words)],
+         |     x -> substr(x, 1, 1)), '') = acro) AS matched
+         |FROM j ORDER BY doc_id, aidx""".stripMargin
+    },
+    // q205: same brand list, same unit-cost levenshtein bound
+    "q205_typosquat" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT host FROM (
+        |    SELECT 'host' || CAST((doc_id // 8) % 40 AS VARCHAR)
+        |      || '.example.com' AS host FROM documents
+        |    UNION ALL
+        |    SELECT unnest(['payp4l.example.com','gogle.example.com',
+        |      'mozila.example.com','paypal.example.com','zebra.example.com']))),
+        |b AS (SELECT unnest(['paypal','google','mozilla','amazon']) AS brand),
+        |l AS (SELECT host, string_split(host, '.')[1] AS label FROM hosts)
+        |SELECT l.host, b.brand,
+        |  CAST(levenshtein(l.label, b.brand) AS BIGINT) AS dist
+        |FROM l, b
+        |WHERE levenshtein(l.label, b.brand) <= 2 AND l.label <> b.brand
+        |ORDER BY l.host, b.brand""".stripMargin,
+    // q206: same host regex, same trailing ./- strip
+    "q206_url_mentions" ->
+      """WITH w AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN text || ' see https://cite1.example.org/a and http://cite2.example.net.'
+        |    ELSE text END AS wire
+        |  FROM documents),
+        |h0 AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(wire),
+        |      'https?://([a-z0-9.-]+)', 1)) AS hraw
+        |  FROM w),
+        |h AS (SELECT doc_id, rtrim(hraw, '.-') AS host FROM h0)
+        |SELECT host, COUNT(*) AS n_mentions,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
     // q202: same shares, same integer-div fixed point, same closed-form
     // absent-source fold
     "q202_dispersion" ->
