@@ -2967,6 +2967,66 @@ object TextOps {
       .orderBy(col("host"))
   }
 
+  /** q207: RAG PASSAGE CHUNKING — fixed-size overlapping token windows
+    * (W=64, stride S=48, the standard retrieval-ingest shape): chunk k
+    * covers tokens [k·S, min(k·S+W, n)). A tail window that ends where
+    * its predecessor ends is a strict suffix of it and is SKIPPED
+    * (emit iff k == 0 or (k−1)·S + W < n) — the dedup-at-source rule a
+    * vector store wants. Only digests travel (chunk_md5 of the
+    * space-joined slice). Fully oracled; the whole operator is one
+    * in-row sequence explode + slice — no shuffle before the ORDER BY,
+    * and the token array is materialized once per row, never re-split
+    * per chunk.
+    */
+  def q207RagChunks(s: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), expr(s"(n - 1) div $S"))).as("k"))
+      .where(col("k") === 0 || (col("k") - 1) * S + W < col("n"))
+      .withColumn("start", col("k") * S)
+      .select(col("doc_id"), col("k").cast("long").as("k"),
+        col("start").cast("long").as("start"),
+        (least(col("start") + W, col("n")) - col("start")).cast("long").as("len"),
+        md5(array_join(slice(col("t"), col("start") + 1, lit(W)), " ")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
+  /** q208: VOCABULARY CHURN BETWEEN CRAWLS — per source, the type-level
+    * diff between two crawl snapshots (halves by doc_id parity, the
+    * deterministic stand-in): types retired, types new, and the
+    * vocabulary Jaccard ×1e6 — the drift gauge that decides whether a
+    * source's language model / tokenizer stats need refreshing (q69
+    * answers "which documents changed"; this answers "did the LANGUAGE
+    * change"). Fully oracled. Shape: one (source, token, half)
+    * map-combined aggregate → one source rollup; no joins at all — the
+    * halves meet inside the aggregate via conditional counts.
+    */
+  def q208VocabChurn(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2 === 0).as("in_a"),
+        explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+      .groupBy(col("source"))
+      .agg(sum(col("a")).as("types_a"), sum(col("b")).as("types_b"),
+        sum(col("a") * col("b")).as("common"))
+      .select(col("source"),
+        col("types_a").cast("long").as("types_a"),
+        col("types_b").cast("long").as("types_b"),
+        (col("types_a") - col("common")).cast("long").as("gone"),
+        (col("types_b") - col("common")).cast("long").as("new_types"),
+        expr("common * 1000000 div (types_a + types_b - common)")
+          .as("jaccard_x1e6"))
+      .orderBy(col("source"))
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -3056,6 +3116,8 @@ object TextOps {
     "q204_acronyms" -> q204Acronyms _,
     "q205_typosquat" -> q205Typosquat _,
     "q206_url_mentions" -> q206UrlMentions _,
+    "q207_rag_chunks" -> q207RagChunks _,
+    "q208_vocab_churn" -> q208VocabChurn _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3189,6 +3251,42 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q207: same windows (generate_subscripts alignment via pos-free
+    // list ops), same suffix-skip rule, same joined-slice md5
+    "q207_rag_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),
+        |    '[ \t\n\f\r\x0B]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0),
+        |k AS (SELECT doc_id, t, n, unnest(generate_series(0, (n - 1) // 48))
+        |        AS k FROM n)
+        |SELECT doc_id, CAST(k AS BIGINT) AS k,
+        |  CAST(k * 48 AS BIGINT) AS start,
+        |  CAST(least(k * 48 + 64, n) - k * 48 AS BIGINT) AS len,
+        |  md5(array_to_string(t[k * 48 + 1 : least(k * 48 + 64, n)], ' '))
+        |    AS chunk_md5
+        |FROM k WHERE k = 0 OR (k - 1) * 48 + 64 < n
+        |ORDER BY doc_id, k""".stripMargin,
+    // q208: same parity halves, same conditional-count rollup
+    "q208_vocab_churn" ->
+      """WITH tk AS (SELECT source, doc_id % 2 = 0 AS in_a,
+        |    unnest(regexp_split_to_array(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT source, tok,
+        |    MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+        |  FROM tk WHERE tok <> '' GROUP BY source, tok),
+        |r AS (SELECT source, SUM(a) AS types_a, SUM(b) AS types_b,
+        |    SUM(a * b) AS common FROM tt GROUP BY source)
+        |SELECT source, CAST(types_a AS BIGINT) AS types_a,
+        |  CAST(types_b AS BIGINT) AS types_b,
+        |  CAST(types_a - common AS BIGINT) AS gone,
+        |  CAST(types_b - common AS BIGINT) AS new_types,
+        |  CAST(common * 1000000 // (types_a + types_b - common) AS BIGINT)
+        |    AS jaccard_x1e6
+        |FROM r ORDER BY source""".stripMargin,
     // q204: same greedy two-group scan, same slice/initials check
     "q204_acronyms" -> {
       val pat = """([a-z]+(?: [a-z]+){1,5}) \(([a-z]{2,6})\)"""
