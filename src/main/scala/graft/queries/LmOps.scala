@@ -442,11 +442,79 @@ object LmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q210: DUAL-LM ENSEMBLE GATE — stupid-backoff bits (q102) and
+    * interpolated Kneser–Ney probability (q189) scored from ONE shared
+    * training pass: the tokenize, the bigram window, the bigram/unigram
+    * count tables and the per-pair scoring join are built once and feed
+    * BOTH models' per-bigram contributions, which meet in a single
+    * doc-keyed aggregate producing both metrics — the "one Exchange
+    * family serves two models" plan a production gate wants (CCNet runs
+    * exactly this shape: several LM scores per doc, one pass). Keep
+    * rule: floor-avg backoff bits ≤ 4.90/bigram AND floor-avg KN mass ≥
+    * 0.033/bigram (the corpus median band measured at both scales) —
+    * agreement of two differently-smoothed models is the fluency vote.
+    * Fully oracled (the two models' CTEs share their prefix in SQL too).
+    */
+  def q210LmEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val tk = tbl(s, dir, "documents").select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok"), col("nxt"))
+      .localCheckpoint()
+    val bi = pairs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val uni = tk.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1u"))
+      .localCheckpoint()
+    val ctx = bi.groupBy(col("tok"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy(col("nxt")).agg(count(lit(1)).as("n1s"))
+    val stats = uni.agg((sum(col("c1u")) + count(lit(1))).as("tv"))
+    val bstat = bi.agg(count(lit(1)).as("bt"))
+    val hitBits = length(bin(col("c1w1"))) - length(bin(col("c2")))
+    val backBits = lit(2) + length(bin(col("tv"))) -
+      length(bin(coalesce(col("c1w2"), lit(0L)) + 1))
+    val bits = when(col("c2").isNotNull, hitBits).otherwise(backBits)
+    val num = when(col("c1").isNotNull,
+      greatest(coalesce(col("c2"), lit(0L)) * 4 - 3, lit(0L)) * col("bt") +
+        lit(3) * col("n1p") * coalesce(col("n1s"), lit(0L)))
+      .otherwise(greatest(coalesce(col("n1s"), lit(0L)), lit(1L)))
+    val den = when(col("c1").isNotNull, col("c1") * col("bt") * 4)
+      .otherwise(col("bt"))
+    pairs
+      .join(broadcast(bi), Seq("tok", "nxt"), "left")
+      .join(broadcast(uni.withColumnRenamed("c1u", "c1w1")), Seq("tok"), "left")
+      .join(broadcast(uni.toDF("nxt", "c1w2")), Seq("nxt"), "left")
+      .join(broadcast(ctx), Seq("tok"), "left")
+      .join(broadcast(cont), Seq("nxt"), "left")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(bstat))
+      .withColumn("bits", bits.cast("long"))
+      .withColumn("num_c", num)
+      .withColumn("den_c", den)
+      .withColumn("px", expr("num_c * 1000000 div den_c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bigrams"), sum(col("bits")).as("sb_bits"),
+        sum(col("px")).as("kn_sum"))
+      .withColumn("avg_bits_x100", expr("sb_bits * 100 div bigrams"))
+      .withColumn("kn_avg_x1e6", expr("kn_sum div bigrams"))
+      .withColumn("sb_ok", col("avg_bits_x100") <= 490)
+      .withColumn("kn_ok", col("kn_avg_x1e6") >= 33000)
+      .withColumn("kept", col("sb_ok") && col("kn_ok"))
+      .select(col("doc_id"), col("bigrams"), col("avg_bits_x100"),
+        col("kn_avg_x1e6"), col("sb_ok"), col("kn_ok"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_bigram_backoff" -> q102BigramBackoff _,
     "q105_naive_bayes" -> q105NaiveBayes _,
     "q189_kneser_ney" -> q189KneserNey _,
     "q200_span_corrupt" -> q200SpanCorrupt _,
+    "q210_lm_ensemble" -> q210LmEnsemble _,
     "q117_quality_classifier" -> q117QualityClassifier _)
 
   private val dkTokens =
@@ -514,6 +582,51 @@ object LmOps {
          |  input_md5, target_md5,
          |  CAST(n_masked * 1000 // n_tokens AS BIGINT) AS mask_rate_x1000
          |FROM re ORDER BY doc_id""".stripMargin,
+    // q210: q102's and q189's CTEs fused on their shared prefix, both
+    // per-pair scores in one scan, same floor thresholds
+    "q210_lm_ensemble" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok,
+         |             generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |pr AS (SELECT doc_id, tok,
+         |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tk),
+         |pairs AS (SELECT doc_id, tok, nxt FROM pr WHERE nxt IS NOT NULL),
+         |bi AS (SELECT tok, nxt, COUNT(*) AS c2 FROM pairs
+         |       WHERE doc_id % 5 <> 0 GROUP BY tok, nxt),
+         |uni AS (SELECT tok, COUNT(*) AS c1u FROM tk
+         |        WHERE doc_id % 5 <> 0 GROUP BY tok),
+         |ctx AS (SELECT tok, SUM(c2) AS c1, COUNT(*) AS n1p FROM bi GROUP BY tok),
+         |cont AS (SELECT nxt, COUNT(*) AS n1s FROM bi GROUP BY nxt),
+         |st AS (SELECT SUM(c1u) + COUNT(*) AS tv FROM uni),
+         |bs AS (SELECT COUNT(*) AS bt FROM bi),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN b.c2 IS NOT NULL
+         |         THEN length(bin(u1.c1u)) - length(bin(b.c2))
+         |         ELSE 2 + length(bin((SELECT tv FROM st)))
+         |              - length(bin(COALESCE(u2.c1u, 0) + 1)) END AS bits,
+         |    CASE WHEN x.c1 IS NOT NULL THEN
+         |      (greatest(coalesce(b.c2, 0) * 4 - 3, 0) * s.bt
+         |        + 3 * x.n1p * coalesce(n.n1s, 0)) * 1000000
+         |        // (x.c1 * s.bt * 4)
+         |    ELSE greatest(coalesce(n.n1s, 0), 1) * 1000000 // s.bt END AS px
+         |  FROM pairs p
+         |  LEFT JOIN bi b ON p.tok = b.tok AND p.nxt = b.nxt
+         |  LEFT JOIN uni u1 ON p.tok = u1.tok
+         |  LEFT JOIN uni u2 ON p.nxt = u2.tok
+         |  LEFT JOIN ctx x ON p.tok = x.tok
+         |  LEFT JOIN cont n ON p.nxt = n.nxt
+         |  CROSS JOIN bs s),
+         |agg AS (SELECT doc_id, COUNT(*) AS bigrams,
+         |    CAST(SUM(bits) AS BIGINT) AS sb_bits,
+         |    CAST(SUM(px) AS BIGINT) AS kn_sum
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, bigrams,
+         |  CAST(sb_bits * 100 // bigrams AS BIGINT) AS avg_bits_x100,
+         |  CAST(kn_sum // bigrams AS BIGINT) AS kn_avg_x1e6,
+         |  (sb_bits * 100 // bigrams <= 490) AS sb_ok,
+         |  (kn_sum // bigrams >= 33000) AS kn_ok,
+         |  (sb_bits * 100 // bigrams <= 490 AND kn_sum // bigrams >= 33000)
+         |    AS kept
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // q189: same 80% split, same continuation-count tables, same exact
     // D=3/4 rationals under integer division
     "q189_kneser_ney" ->

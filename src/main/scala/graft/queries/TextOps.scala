@@ -3027,6 +3027,83 @@ object TextOps {
           .as("jaccard_x1e6"))
       .orderBy(col("source"))
 
+  /** q209: MIRROR-SOURCE DETECTION BY CONTENT OVERLAP — source pairs
+    * sharing a large fraction of exact content fingerprints are mirrors
+    * (or syndication partners), and a curation pipeline should collapse
+    * them BEFORE per-source accounting (q163's data cards double-count
+    * a mirrored site; q192 explains individual copies, this finds the
+    * systemic pair). Uses q192's in-query mirror plant (every 10th doc
+    * copied under `mirror-<src>`), so true mirror pairs exist by
+    * construction: a planted pair shares ALL of its fps with its
+    * original, organic source pairs share none. `mirror_pair` =
+    * fp-Jaccard ≥ 0.5.
+    *
+    * Scale shape: one digest-keyed aggregate → within-fp source pairs
+    * (bucket bounded by sources-per-fp, tiny by construction — the q63
+    * cap discipline) → one pair rollup; per-source totals re-enter
+    * BROADCAST. Fully oracled.
+    */
+  def q209MirrorSources(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mirrors = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        concat(lit("mirror-"), col("source")).as("source"))
+    val fps = base.unionByName(mirrors)
+      .select(col("source"), md5s(col("text")).as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+    val pairs = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_fps").as("fps_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n_fps").as("fps_b"))), "src_b")
+      .withColumn("jaccard_x1e6",
+        expr("overlap * 1000000 div (fps_a + fps_b - overlap)"))
+      .withColumn("mirror_pair", col("jaccard_x1e6") >= 500000)
+      .select(col("src_a"), col("src_b"), col("overlap"), col("fps_a"),
+        col("fps_b"), col("jaccard_x1e6"), col("mirror_pair"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q211: ZIPF RANK-FREQUENCY FIT — the octave-binned rank/frequency
+    * profile (Zipf 1949): vocabulary ranked by (freq desc, token),
+    * octave k = types at ranks [2^k, 2^(k+1)); per octave the exact
+    * mean frequency bitlen ×1000 and its delta to the previous octave —
+    * a Zipfian corpus shows a steady ≈ −1000 (one bit per octave)
+    * staircase, while template-heavy or synthetic text bends it. The
+    * vocabulary ranking is a VOCAB-sized global sort (not corpus-sized;
+    * the one legitimate small global sort, q153's discipline). Fully
+    * oracled.
+    */
+  def q211ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val oct = ranked
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(length(bin(col("c"))).cast("long")).as("bits_sum"))
+      .withColumn("mean_bits_x1000", expr("bits_sum * 1000 div n_types"))
+    val w = Window.orderBy(col("octave"))
+    oct.withColumn("delta_x1000",
+        col("mean_bits_x1000") - coalesce(lag(col("mean_bits_x1000"), 1).over(w),
+          col("mean_bits_x1000")))
+      .select(col("octave"), col("n_types"), col("mean_bits_x1000"),
+        col("delta_x1000"))
+      .orderBy(col("octave"))
+  }
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -3118,6 +3195,8 @@ object TextOps {
     "q206_url_mentions" -> q206UrlMentions _,
     "q207_rag_chunks" -> q207RagChunks _,
     "q208_vocab_churn" -> q208VocabChurn _,
+    "q209_mirror_sources" -> q209MirrorSources _,
+    "q211_zipf_fit" -> q211ZipfFit _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3251,6 +3330,48 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q209: same mirror plant, same within-fp pair counting
+    "q209_mirror_sources" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'mirror-' || source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |fps AS (SELECT DISTINCT source, md5(text) AS fp FROM all_docs),
+        |tot AS (SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source),
+        |p AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    COUNT(*) AS overlap
+        |  FROM fps x JOIN fps y ON x.fp = y.fp AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, CAST(p.overlap AS BIGINT) AS overlap,
+        |  ta.n_fps AS fps_a, tb.n_fps AS fps_b,
+        |  CAST(p.overlap * 1000000 // (ta.n_fps + tb.n_fps - p.overlap)
+        |    AS BIGINT) AS jaccard_x1e6,
+        |  (p.overlap * 1000000 // (ta.n_fps + tb.n_fps - p.overlap)
+        |    >= 500000) AS mirror_pair
+        |FROM p JOIN tot ta ON ta.source = p.src_a
+        |JOIN tot tb ON tb.source = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // q211: same vocab-sized ranking, same octave bitlen staircase
+    "q211_zipf_fit" ->
+      """WITH tk AS (SELECT
+        |    unnest(regexp_split_to_array(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS c FROM tk WHERE tok <> ''
+        |         GROUP BY tok),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+        |      FROM freq),
+        |o AS (SELECT length(bin(rank)) - 1 AS octave, COUNT(*) AS n_types,
+        |    SUM(length(bin(c))) AS bits_sum
+        |  FROM r GROUP BY 1),
+        |o2 AS (SELECT octave, n_types,
+        |    bits_sum * 1000 // n_types AS mb FROM o)
+        |SELECT CAST(octave AS BIGINT) AS octave, n_types,
+        |  CAST(mb AS BIGINT) AS mean_bits_x1000,
+        |  CAST(mb - coalesce(lag(mb) OVER (ORDER BY octave), mb) AS BIGINT)
+        |    AS delta_x1000
+        |FROM o2 ORDER BY octave""".stripMargin,
     // q207: same windows (generate_subscripts alignment via pos-free
     // list ops), same suffix-skip rule, same joined-slice md5
     "q207_rag_chunks" ->
