@@ -3104,6 +3104,94 @@ object TextOps {
       .orderBy(col("octave"))
   }
 
+  /** q212: LSH QUALITY AUDIT — precision/recall of q22's banded MinHash
+    * candidates against the EXACT prefix-filtered similarity join
+    * (q116's production-exact path) at J ≥ 0.5, on the deterministic
+    * doc_id-even evaluation stripe: the sketch-observability meta-op a
+    * pipeline runs after every LSH re-configuration ("is 8-hash/2-band
+    * still good enough for this corpus?") — exactly the measurement
+    * that justifies LshParams' threshold-derived banding when recall
+    * comes back low. One full-outer join of two pair sets → one global
+    * count row; both sides run on the same stripe so the audit costs a
+    * quarter of the full exact join. Fully oracled (the q22 and q116
+    * oracle derivations fused on the stripe).
+    */
+  def q212LshQuality(s: SparkSession, dir: String): DataFrame = {
+    val stripe = tbl(s, dir, "documents")
+      .where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"))
+    val lsh = minhashPairs(s, dir)
+      .where(pmod(col("a_id"), lit(2)) === 0 && pmod(col("b_id"), lit(2)) === 0)
+      .select(col("a_id"), col("b_id")).distinct()
+    val truth = prefixJaccardPairs(stripe, 500)
+      .select(col("a_id"), col("b_id"))
+    lsh.withColumn("in_lsh", lit(1))
+      .join(truth.withColumn("in_truth", lit(1)), Seq("a_id", "b_id"),
+        "full_outer")
+      .agg(
+        sum(when(col("in_lsh").isNotNull && col("in_truth").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("in_lsh").isNotNull && col("in_truth").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("in_lsh").isNull && col("in_truth").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) " +
+          "ELSE 0 END").as("precision_x1e6"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) " +
+          "ELSE 0 END").as("recall_x1e6"))
+  }
+
+  /** q213: SHARD MOVE-COST COMPARISON — the decision evidence behind
+    * q187: growing 10 → 11 shards moves ~1/11 of docs under rendezvous
+    * hashing but ~10/11 under `doc_id % N` — measured exactly, side by
+    * side, in one pass. One stateless projection + one global count
+    * row; fully oracled.
+    */
+  def q213ShardMoveCost(s: SparkSession, dir: String): DataFrame = {
+    def hrw(n: Int): Column =
+      array_max(transform(sequence(lit(0), lit(n - 1)),
+        sh => struct(
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            sh.cast("string")).cast("binary")).as("ticket"),
+          sh.cast("long").as("s")))).getField("s")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        (hrw(10) =!= hrw(11)).as("hrw_moved"),
+        (col("doc_id") % 10 =!= col("doc_id") % 11).as("mod_moved"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hrw_moved").cast("long")).as("hrw_moved"),
+        sum(col("mod_moved").cast("long")).as("mod_moved"))
+      .select(col("n_docs"), col("hrw_moved"), col("mod_moved"),
+        expr("hrw_moved * 1000000 div n_docs").as("hrw_rate_x1e6"),
+        expr("mod_moved * 1000000 div n_docs").as("mod_rate_x1e6"))
+  }
+
+  /** q214: SPLIT-CONTAMINATION AUDIT — the governance join of q54's
+    * hash split with q60's decontamination hits: per split, how many
+    * documents carry eval 13-gram overlap. A nonzero train count is the
+    * leak every release checklist hunts; the val/test rows calibrate
+    * how aggressive the eval-gram screen is overall. One distinct
+    * projection of q60's hit table + one broadcast-joinable split
+    * column + one 3-group aggregate; fully oracled (q54's and q60's
+    * oracle derivations fused).
+    */
+  def q214SplitContamination(s: SparkSession, dir: String): DataFrame = {
+    val cont = q60Decontaminate(s, dir).select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 4), 16, 10).cast("long") % 100)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      .orderBy(col("split"))
+  }
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -3197,6 +3285,9 @@ object TextOps {
     "q208_vocab_churn" -> q208VocabChurn _,
     "q209_mirror_sources" -> q209MirrorSources _,
     "q211_zipf_fit" -> q211ZipfFit _,
+    "q212_lsh_quality" -> q212LshQuality _,
+    "q213_shard_move_cost" -> q213ShardMoveCost _,
+    "q214_split_contamination" -> q214SplitContamination _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3330,6 +3421,92 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q212: q22's band-pair CTEs and q116's naive exact join fused on
+    // the even-doc stripe, counted through one full-outer join
+    "q212_lsh_quality" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($dkBigrams) AS s
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |sig AS (SELECT doc_id,
+         |   ${(0 until NumHashes).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |   md5(h0||'|'||h1||'|'||h2||'|'||h3) AS band0,
+         |   md5(h4||'|'||h5||'|'||h6||'|'||h7) AS band1 FROM sig),
+         |lsh AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a
+         |   JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id FROM bands a
+         |   JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON a_id = sa.doc_id
+         |  JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE CAST(round(1000.0*inter/(sa.n + sb.n - inter)) AS BIGINT)
+         |    >= 500),
+         |j AS (SELECT (l.a_id IS NOT NULL) AS in_l,
+         |    (t.a_id IS NOT NULL) AS in_t
+         |  FROM lsh l FULL OUTER JOIN truth t
+         |    ON l.a_id = t.a_id AND l.b_id = t.b_id),
+         |c AS (SELECT
+         |    CAST(SUM(CASE WHEN in_l AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN in_l AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT in_l AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM j)
+         |SELECT tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+         |       ELSE 0 END AS BIGINT) AS precision_x1e6,
+         |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+         |       ELSE 0 END AS BIGINT) AS recall_x1e6
+         |FROM c""".stripMargin,
+    // q213: q187's argmax tickets vs plain mod, one global count
+    "q213_shard_move_cost" ->
+      """WITH t AS (
+        |  SELECT doc_id, g.s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.s AS VARCHAR))
+        |      AS ticket
+        |  FROM documents, generate_series(0, 10) AS g(s)),
+        |r10 AS (SELECT doc_id, s AS shard10 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ticket DESC, s DESC) AS rn
+        |    FROM t WHERE s < 10) WHERE rn = 1),
+        |r11 AS (SELECT doc_id, s AS shard11 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY ticket DESC, s DESC) AS rn
+        |    FROM t) WHERE rn = 1),
+        |d AS (SELECT r10.doc_id,
+        |    (shard10 <> shard11) AS hrw_moved,
+        |    (r10.doc_id % 10 <> r10.doc_id % 11) AS mod_moved
+        |  FROM r10 JOIN r11 ON r10.doc_id = r11.doc_id),
+        |c AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hrw_moved,
+        |    CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS mod_moved
+        |  FROM d)
+        |SELECT n_docs, hrw_moved, mod_moved,
+        |  CAST(hrw_moved * 1000000 // n_docs AS BIGINT) AS hrw_rate_x1e6,
+        |  CAST(mod_moved * 1000000 // n_docs AS BIGINT) AS mod_rate_x1e6
+        |FROM c""".stripMargin,
+    // q214: q54's split CASE + q60's full decontamination derivation as
+    // a nested subquery, one 3-group rollup
+    "q214_split_contamination" ->
+      s"""WITH cont AS (
+         |  SELECT DISTINCT doc_id FROM ( $decontamOracleSql )),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT sp.split, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated
+         |FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id
+         |GROUP BY sp.split ORDER BY sp.split""".stripMargin,
     // q209: same mirror plant, same within-fp pair counting
     "q209_mirror_sources" ->
       """WITH all_docs AS (
