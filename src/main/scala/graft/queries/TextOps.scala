@@ -3192,6 +3192,93 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** q215: SHARED-DICTIONARY CANDIDATE MINING — the `zstd --train`
+    * analog: the token 8-grams whose repetition pays the most if
+    * promoted into a shared compression dictionary, scored by exact
+    * byte savings `(count − 1) × chars` over grams with count ≥ 5.
+    * Top-20 under the total order (savings desc, gram) so the limit is
+    * a TakeOrderedAndProject, not a global sort. Fully oracled.
+    *
+    * Scale shape: one in-row position explode (grams built by slice
+    * from ONE token array, never re-split) → one gram-keyed
+    * map-combined count → top-k.
+    */
+  def q215DictCandidates(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 8)
+      .select(explode(sequence(lit(1), size(col("t")) - 7)).as("p"), col("t"))
+      .select(array_join(slice(col("t"), col("p"), lit(8)), " ").as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 5)
+      .select(col("gram"), col("cnt"),
+        ((col("cnt") - 1) * length(col("gram")).cast("long")).as("savings"))
+      .orderBy(col("savings").desc, col("gram"))
+      .limit(20)
+
+  /** q216: CURATION FUNNEL — the docs/tokens-surviving-each-gate table
+    * every curation paper publishes (C4/Gopher/Dolma reporting shape),
+    * computed over the repo's own gates in their pipeline order:
+    * all → q17 quality → q50 Gopher repetition → exact-dup keeper
+    * (min-id among the survivors of the previous stages, so dedup
+    * never resurrects a rejected doc) → q60 eval-decontamination.
+    * One row per stage with CUMULATIVE survivors. Fully oracled (the
+    * four gates' oracle derivations fused; q60's rides as a nested
+    * subquery).
+    *
+    * Scale shape: the q50 bigram-mode aggregate is the only per-doc
+    * shuffle; the keeper window is digest-keyed; the decontam hit set
+    * joins broadcast; the funnel itself is ONE global aggregate row
+    * exploded to 5.
+    */
+  def q216CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val base = tbl(s, dir, "documents").select(col("doc_id"),
+      size(t).as("words"), size(array_distinct(t)).as("uniq"),
+      size(filter(t, x => x.isin(stopwords: _*))).as("stop_cnt"),
+      md5s(col("text")).as("fp"),
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bg"))
+    val mode = base.select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("totc"))
+    val hits = q60Decontaminate(s, dir).select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    val dupTok = round(lit(1000.0) * (col("words") - col("uniq")) / col("words"))
+      .cast("long")
+    val topBg = round(lit(1000.0) * col("topc") / col("totc")).cast("long")
+    val flagged = base.drop("bg").join(mode, "doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("s1", col("words") >= 20 && col("words") <= 5000 &&
+        col("stop_cnt") * 20 >= col("words"))
+      .withColumn("s2", col("s1") && col("words") >= 30 &&
+        dupTok <= 600 && topBg <= 60)
+      .withColumn("keeper",
+        min(when(col("s2"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+      .withColumn("s3", col("s2") && col("doc_id") === col("keeper"))
+      .withColumn("s4", col("s3") && col("hit").isNull)
+    val agg = flagged.agg(
+      count(lit(1)).as("d0"), sum(col("words").cast("long")).as("t0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("s1"), col("words").cast("long")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("s2"), col("words").cast("long")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("s3"), col("words").cast("long")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+      sum(when(col("s4"), col("words").cast("long")).otherwise(0L)).as("t4"))
+    val st = (i: Int, name: String) => struct(lit(i.toLong).as("stage_idx"),
+      lit(name).as("stage"), col(s"d$i").as("docs"), col(s"t$i").as("tokens"))
+    agg.select(explode(array(st(0, "all"), st(1, "quality"),
+        st(2, "gopher"), st(3, "exact_dedup"), st(4, "decontam"))).as("r"))
+      .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+        col("r.docs").as("docs"), col("r.tokens").as("tokens"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** q194: NUMERIC-CLAIM EXTRACTION — quantities with units are the
     * fact-mining surface QA/grounding pipelines index ("3 million
     * users", "85 %", "120 km"): extract integer-magnitude claims and
@@ -3288,6 +3375,8 @@ object TextOps {
     "q212_lsh_quality" -> q212LshQuality _,
     "q213_shard_move_cost" -> q213ShardMoveCost _,
     "q214_split_contamination" -> q214SplitContamination _,
+    "q215_dict_candidates" -> q215DictCandidates _,
+    "q216_curation_funnel" -> q216CurationFunnel _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3421,6 +3510,68 @@ object TextOps {
          |FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id AND q1.qidx = q2.qidx
          |ORDER BY q1.doc_id, qidx""".stripMargin
     },
+    // q215: same slice-built grams, same savings order, same LIMIT
+    "q215_dict_candidates" ->
+      s"""WITH t AS (SELECT $dkTokens AS t FROM documents),
+         |g AS (SELECT array_to_string(t[p : p + 7], ' ') AS gram
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS p
+         |        FROM t WHERE len(t) >= 8)),
+         |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+         |      HAVING COUNT(*) >= 5)
+         |SELECT gram, cnt,
+         |  CAST((cnt - 1) * length(gram) AS BIGINT) AS savings
+         |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
+    // q216: q17 + q50 + keeper-window + q60 derivations fused; the
+    // funnel row set is a UNION ALL over one aggregate
+    "q216_curation_funnel" ->
+      s"""WITH t0 AS (SELECT doc_id, $dkTokens AS toks, md5(text) AS fp,
+         |    CAST($dkStop AS BIGINT) AS stop_cnt FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM t0),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         |md AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM bc
+         |       GROUP BY doc_id),
+         |hits AS (SELECT DISTINCT doc_id FROM ( $decontamOracleSql )),
+         |f0 AS (SELECT t0.doc_id, t0.fp, CAST(len(toks) AS BIGINT) AS words,
+         |    (len(toks) BETWEEN 20 AND 5000
+         |      AND stop_cnt * 20 >= len(toks)) AS s1,
+         |    (len(toks) BETWEEN 20 AND 5000
+         |      AND stop_cnt * 20 >= len(toks)
+         |      AND len(toks) >= 30
+         |      AND round(1000.0 * (len(toks) - len(list_distinct(toks)))
+         |            / len(toks)) <= 600
+         |      AND round(1000.0 * md.topc / md.totc) <= 60) AS s2,
+         |    (hits.doc_id IS NOT NULL) AS hit
+         |  FROM t0 JOIN md ON t0.doc_id = md.doc_id
+         |  LEFT JOIN hits ON t0.doc_id = hits.doc_id),
+         |f1 AS (SELECT *,
+         |    min(CASE WHEN s2 THEN doc_id END) OVER (PARTITION BY fp)
+         |      AS keeper FROM f0),
+         |f2 AS (SELECT *, (s2 AND doc_id = keeper) AS s3,
+         |    (s2 AND doc_id = keeper AND NOT hit) AS s4 FROM f1),
+         |a AS (SELECT COUNT(*) AS d0, SUM(words) AS t0w,
+         |    SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+         |    SUM(CASE WHEN s1 THEN words ELSE 0 END) AS t1,
+         |    SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2,
+         |    SUM(CASE WHEN s2 THEN words ELSE 0 END) AS t2,
+         |    SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3,
+         |    SUM(CASE WHEN s3 THEN words ELSE 0 END) AS t3,
+         |    SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4,
+         |    SUM(CASE WHEN s4 THEN words ELSE 0 END) AS t4
+         |  FROM f2)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+         |    d0 AS docs, CAST(t0w AS BIGINT) AS tokens FROM a
+         |  UNION ALL SELECT 1, 'quality', CAST(d1 AS BIGINT),
+         |    CAST(t1 AS BIGINT) FROM a
+         |  UNION ALL SELECT 2, 'gopher', CAST(d2 AS BIGINT),
+         |    CAST(t2 AS BIGINT) FROM a
+         |  UNION ALL SELECT 3, 'exact_dedup', CAST(d3 AS BIGINT),
+         |    CAST(t3 AS BIGINT) FROM a
+         |  UNION ALL SELECT 4, 'decontam', CAST(d4 AS BIGINT),
+         |    CAST(t4 AS BIGINT) FROM a)
+         |ORDER BY stage_idx""".stripMargin,
     // q212: q22's band-pair CTEs and q116's naive exact join fused on
     // the even-doc stripe, counted through one full-outer join
     "q212_lsh_quality" ->
