@@ -3210,7 +3210,7 @@ object TextOps {
       .select(explode(sequence(lit(1), size(col("t")) - 7)).as("p"), col("t"))
       .select(array_join(slice(col("t"), col("p"), lit(8)), " ").as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 5)
+      .where(col("cnt") >= 3)
       .select(col("gram"), col("cnt"),
         ((col("cnt") - 1) * length(col("gram")).cast("long")).as("savings"))
       .orderBy(col("savings").desc, col("gram"))
@@ -3517,7 +3517,7 @@ object TextOps {
          |  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS p
          |        FROM t WHERE len(t) >= 8)),
          |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
-         |      HAVING COUNT(*) >= 5)
+         |      HAVING COUNT(*) >= 3)
          |SELECT gram, cnt,
          |  CAST((cnt - 1) * length(gram) AS BIGINT) AS savings
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
