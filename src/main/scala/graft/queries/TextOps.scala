@@ -408,6 +408,52 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q217: DATA-CONSTRAINED EPOCH ALLOCATION — when the training token
+    * budget B exceeds the unique corpus size U, data is REPEATED, and
+    * repeating up to ~4 epochs costs almost nothing while further epochs
+    * decay fast (Muennighoff et al., NeurIPS 2023, "Scaling
+    * Data-Constrained Language Models"). The operator every
+    * budget-planning run needs: given per-source unique token counts and
+    * a quality ranking, allocate B as a 1-epoch base for everyone plus a
+    * quality-ordered WATERFALL of extra epochs capped at 4 total per
+    * source — the best sources repeat first, the partially-funded source
+    * at the waterline gets an exact fractional epoch in basis points.
+    *
+    * The waterfall is sequential by definition, but over S sources, not
+    * N docs: extra_s = clamp(R − Σ_{rank<s} 3·n_t, 0, 3·n_s) with
+    * R = B − U, so one cumulative-sum window over the S-row per-source
+    * table computes the whole allocation — the corpus itself pays one
+    * map-combined aggregate and never shuffles. Every number is exact
+    * integer (B = 5·U div 2, ranks by integer mean-length quality), so
+    * the DuckDB oracle matches bit-for-bit.
+    */
+  def q217EpochAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = tbl(s, dir, "documents").select(col("source"),
+      size(tokens(col("text"))).cast("long").as("tok_len"))
+    val per = lens.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok_len")).as("toks"))
+      .withColumn("quality_x1000", expr("(1000 * toks) div docs"))
+    val u = per.agg(sum(col("toks")).as("u_toks"))
+    // S rows from here on — the window is over the per-source table only
+    val rankW = Window.orderBy(col("quality_x1000").desc, col("source"))
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, -1)
+    per.crossJoin(broadcast(u))
+      .withColumn("budget", expr("(5 * u_toks) div 2"))
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("cum_before",
+        coalesce(sum(lit(3L) * col("toks")).over(cumW), lit(0L)))
+      .withColumn("extra",
+        greatest(lit(0L), least(col("budget") - col("u_toks") - col("cum_before"),
+          lit(3L) * col("toks"))))
+      .select(col("source"), col("docs"), col("toks"),
+        col("quality_x1000"), col("rank"),
+        (lit(1L) + expr("extra div toks")).as("epochs_full"),
+        expr("((extra % toks) * 10000) div toks").as("partial_bp"),
+        (col("toks") + col("extra")).as("toks_alloc"))
+      .orderBy(col("rank"))
+  }
+
   /** q87: HyperLogLog distinct sketches
     * ([[graft.functions.HllBuild]]/[[graft.functions.HllUnion]]) — per
     * (lang, source) distinct-text cardinality as a constant-size mergeable
@@ -3377,6 +3423,7 @@ object TextOps {
     "q214_split_contamination" -> q214SplitContamination _,
     "q215_dict_candidates" -> q215DictCandidates _,
     "q216_curation_funnel" -> q216CurationFunnel _,
+    "q217_epoch_alloc" -> q217EpochAlloc _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3523,6 +3570,33 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q217: the whole waterfall is one cumulative window over the S-row
+    // per-source table; every quantity integer (B = 5U div 2, 3n extra cap)
+    "q217_epoch_alloc" ->
+      s"""WITH l AS (
+         |  SELECT source, CAST(len($dkTokens) AS BIGINT) AS tok_len
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, COUNT(*) AS docs,
+         |    CAST(SUM(tok_len) AS BIGINT) AS toks,
+         |    CAST((1000 * SUM(tok_len)) // COUNT(*) AS BIGINT) AS quality_x1000
+         |  FROM l GROUP BY source),
+         |u AS (SELECT CAST(SUM(toks) AS BIGINT) AS u_toks FROM per),
+         |r AS (
+         |  SELECT per.*, u_toks, (5 * u_toks) // 2 AS budget,
+         |    row_number() OVER w AS rank,
+         |    CAST(COALESCE(SUM(3 * toks) OVER (ORDER BY quality_x1000 DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM per, u
+         |  WINDOW w AS (ORDER BY quality_x1000 DESC, source)),
+         |x AS (
+         |  SELECT r.*, greatest(0, least(budget - u_toks - cum_before,
+         |    3 * toks)) AS extra FROM r)
+         |SELECT source, docs, toks, quality_x1000, rank,
+         |  CAST(1 + (extra // toks) AS BIGINT) AS epochs_full,
+         |  CAST(((extra % toks) * 10000) // toks AS BIGINT) AS partial_bp,
+         |  CAST(toks + extra AS BIGINT) AS toks_alloc
+         |FROM x ORDER BY rank""".stripMargin,
     "q216_curation_funnel" ->
       s"""WITH t0 AS (SELECT doc_id, $dkTokens AS toks, md5(text) AS fp,
          |    CAST($dkStop AS BIGINT) AS stop_cnt FROM documents),

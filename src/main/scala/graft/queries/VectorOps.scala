@@ -598,7 +598,70 @@ object VectorOps {
         expr("scatter_num div (n_vecs * n_vecs)").as("trace_var_x1e6"))
       .orderBy(col("label"))
 
+  /** q218: MARGIN-BASED BITEXT MINING — the CCMatrix/LASER margin
+    * criterion (Artetxe & Schwenk, ACL 2019; Schwenk et al. 2021):
+    * raw cosine over-selects pairs in dense embedding regions ("hubs"),
+    * so each candidate is scored RELATIVE to its neighborhoods —
+    * margin(x,y) = cos(x,y) / (mean cos(x, NNk(x))/2 + mean cos(y,
+    * NNk(y))/2) — and a pair is mined only when each side is the
+    * other's best margin match (mutual-best, the "max" strategy).
+    * The two embedding sides here are the even/odd `label` halves (the
+    * harness stand-in for two languages embedded in one multilingual
+    * space).
+    *
+    * Exactness: cosines land on the q24 x1000 grid first, so kNN sums
+    * sx/sy are BIGINTs and margin_x1e6 = (2k·1e6·c) div (sx+sy) is one
+    * integer division. Candidates are restricted to c > 0 (a real
+    * bitext-mining floor), which keeps every numerator/denominator
+    * positive — Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so a negative quotient would diverge between engines.
+    *
+    * Scale shape: the harness corpus pays the exact side×side score so
+    * the DuckDB oracle can replay it; at production scale the candidate
+    * generator is q26's banded sign-LSH equi-join (ids + band keys
+    * shuffle, never vectors) with kNN sums estimated over the same
+    * candidate set, and the per-side aggregates (S rows) broadcast back
+    * exactly as sx/sy do here.
+    */
+  def q218MarginBitext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val e = emb(s, dir)
+    val src = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("e").as("se"))
+    val tgt = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("e").as("te"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        x1000(cosine(col("se"), col("te"))).as("c"))
+      .where(col("c") > 0)
+    val wS = Window.partitionBy(col("src_id")).orderBy(col("c").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id")).orderBy(col("c").desc, col("src_id"))
+    val ranked = pairs
+      .withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    val sx = ranked.where(col("rs") <= k)
+      .groupBy(col("src_id")).agg(sum(col("c")).as("sx"))
+    val sy = ranked.where(col("rt") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("c")).as("sy"))
+    val m = pairs
+      .join(broadcast(sx), "src_id").join(broadcast(sy), "tgt_id")
+      .withColumn("margin_x1e6",
+        expr(s"(${2 * k} * 1000000 * c) div (sx + sy)"))
+    val bS = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_x1e6").desc, col("tgt_id"))
+    val bT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_x1e6").desc, col("src_id"))
+    m.withColumn("bs", row_number().over(bS))
+      .withColumn("bt", row_number().over(bT))
+      .where(col("bs") === 1 && col("bt") === 1)
+      .select(col("src_id"), col("tgt_id"), col("c").as("cos_x1000"),
+        col("margin_x1e6"))
+      .orderBy(col("src_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_margin_bitext" -> q218MarginBitext _,
     "q203_label_scatter" -> q203LabelScatter _,
     "q24_ann_brute" -> q24AnnBrute _,
     "q124_pca" -> q124Pca _,
@@ -618,6 +681,40 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q218: cosines on the q24 x1000 grid; all quantities positive so
+    // DuckDB's floor-// and Spark's truncating-div agree
+    "q218_margin_bitext" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |  FROM embeddings),
+        |src AS (SELECT vec_id AS src_id, emb AS se FROM e WHERE label % 2 = 0),
+        |tgt AS (SELECT vec_id AS tgt_id, emb AS te FROM e WHERE label % 2 = 1),
+        |p AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(round(1000*list_dot_product(se, te) /
+        |      (sqrt(list_dot_product(se, se)) * sqrt(list_dot_product(te, te))))
+        |      AS BIGINT) AS c
+        |  FROM src, tgt),
+        |pp AS (SELECT * FROM p WHERE c > 0),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rs,
+        |    row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rt
+        |  FROM pp),
+        |sx AS (SELECT src_id, CAST(SUM(c) AS BIGINT) AS sx FROM r
+        |  WHERE rs <= 4 GROUP BY src_id),
+        |sy AS (SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS sy FROM r
+        |  WHERE rt <= 4 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT pp.src_id, pp.tgt_id, c,
+        |    CAST((8000000 * c) // (sx + sy) AS BIGINT) AS margin_x1e6
+        |  FROM pp JOIN sx USING (src_id) JOIN sy USING (tgt_id)),
+        |b AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY margin_x1e6 DESC, tgt_id) AS bs,
+        |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin_x1e6 DESC, src_id) AS bt
+        |  FROM m)
+        |SELECT src_id, tgt_id, c AS cos_x1000, margin_x1e6
+        |FROM b WHERE bs = 1 AND bt = 1 ORDER BY src_id""".stripMargin,
     // q203: same per-row x1000 round, same n*sxx - sx^2 identity
     "q203_label_scatter" ->
       """WITH x AS (
