@@ -1660,6 +1660,67 @@ object TextOps {
       .limit(20)
   }
 
+  /** q219: BM25 HARD-NEGATIVE MINING — the retrieval-training data op
+    * (DPR, Karpukhin et al. EMNLP 2020): for each training query, the
+    * top BM25-scoring NON-relevant documents are the "hard negatives"
+    * that make a dense retriever actually learn. Queries here are the
+    * doc_id % 101 == 0 stripe; each query's text is reduced to its top-3
+    * non-stopword tokens by (tf desc, tok) — the classic
+    * query-from-document convention — and every other document is scored
+    * with q92's exact-integer BM25 over those terms. Two exclusions, both
+    * standard DPR hygiene: the query document itself, and any EXACT
+    * duplicate of it (md5 content equality) — a positive leaked into the
+    * negatives poisons contrastive training.
+    *
+    * Scale shape: the query-term table is Q×3 rows — broadcast; document
+    * lengths and term frequencies are one map-combined aggregate each
+    * (tf only for tokens in the broadcast term set, so the token-keyed
+    * shuffle carries matching rows only); the per-query top-5 is a
+    * window over candidates-with-term-overlap, partitioned by q_doc.
+    */
+  def q219HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tk = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot div n_docs").as("avgdl"))
+    val qW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("qtf").desc, col("tok"))
+    val qterms = tk.where(col("doc_id") % 101 === 0)
+      .where(!col("tok").isin(stopwords: _*))
+      .groupBy(col("doc_id").as("q_doc"), col("tok"))
+      .agg(count(lit(1)).as("qtf"))
+      .withColumn("r", row_number().over(qW))
+      .where(col("r") <= 3).select(col("q_doc"), col("tok"))
+    val tf = tk.join(broadcast(qterms.select(col("tok")).distinct()), "tok")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val fp = d.select(col("doc_id"), md5s(col("text")).as("fp"))
+    val qfp = fp.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("q_doc"), col("fp").as("qfp"))
+    val scored = tf.join(broadcast(qterms), "tok")
+      .join(broadcast(dfs), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_doc"), col("doc_id"),
+        expr("""(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT)
+                |  * 22000 * tf * avgdl)
+                | div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"""
+          .stripMargin).as("term_score"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_x1000"))
+    val rW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+    scored.where(col("doc_id") =!= col("q_doc"))
+      .join(fp, "doc_id").join(broadcast(qfp), "q_doc")
+      .where(col("fp") =!= col("qfp"))
+      .withColumn("rank", row_number().over(rW))
+      .where(col("rank") <= 5)
+      .select(col("q_doc"), col("doc_id").as("neg_doc"),
+        col("score_x1000"), col("rank"))
+      .orderBy(col("q_doc"), col("rank"))
+  }
+
   /** Production quality-gate scoring used by
     * [[graft.pipeline.QualityStage]]: the document-level keep decision a
     * curation pipeline applies before dedup — word-count bounds, Gopher
@@ -3424,6 +3485,7 @@ object TextOps {
     "q215_dict_candidates" -> q215DictCandidates _,
     "q216_curation_funnel" -> q216CurationFunnel _,
     "q217_epoch_alloc" -> q217EpochAlloc _,
+    "q219_hard_negatives" -> q219HardNegatives _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3570,6 +3632,48 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q219: q92's integer BM25 per (query, term); every division operand
+    // positive so // and div agree; md5 dup guard on both sides
+    "q219_hard_negatives" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+         |       FROM dl),
+         |qt0 AS (SELECT doc_id AS q_doc, tok, count(*) AS qtf FROM tk
+         |       WHERE doc_id % 101 = 0
+         |         AND tok NOT IN ('the','a','of','and','to','in')
+         |       GROUP BY 1, 2),
+         |qt AS (SELECT q_doc, tok FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY q_doc
+         |         ORDER BY qtf DESC, tok) AS r FROM qt0) WHERE r <= 3),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN (SELECT DISTINCT tok FROM qt)
+         |       GROUP BY doc_id, tok),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+         |       GROUP BY tok),
+         |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |sc AS (
+         |  SELECT qt.q_doc, tf.doc_id,
+         |    CAST(sum((CAST(length(bin((SELECT n_docs FROM st)))
+         |       - length(bin(dfs.df)) AS BIGINT)
+         |     * 22000 * tf.tf * (SELECT avgdl FROM st))
+         |    // (10 * (SELECT avgdl FROM st) * tf.tf
+         |        + 3 * (SELECT avgdl FROM st) + 9 * dl.dl)) AS BIGINT)
+         |      AS score_x1000
+         |  FROM tf JOIN qt USING (tok) JOIN dfs USING (tok)
+         |    JOIN dl USING (doc_id)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |    JOIN fp c ON c.doc_id = sc.doc_id
+         |    JOIN fp q ON q.doc_id = sc.q_doc
+         |  WHERE sc.doc_id <> sc.q_doc AND c.fp <> q.fp)
+         |SELECT q_doc, doc_id AS neg_doc, score_x1000, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_doc
+         |    ORDER BY score_x1000 DESC, doc_id) AS rank FROM cand)
+         |WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin,
     // q217: the whole waterfall is one cumulative window over the S-row
     // per-source table; every quantity integer (B = 5U div 2, 3n extra cap)
     "q217_epoch_alloc" ->
