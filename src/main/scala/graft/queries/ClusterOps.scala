@@ -178,6 +178,57 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q220: DEDUP-CLUSTER DIAMETER AUDIT — the safety evidence behind
+    * transitive-closure dedup (q49): connected components CHAIN — A~B
+    * and B~C merge A with C even when Jaccard(A, C) is far below the LSH
+    * design threshold — so every member's TRUE bigram Jaccard against
+    * its cluster's keeper is the lower bound of what deletion actually
+    * discards. A cluster whose min_j_x1000 sits well under the banding
+    * target is a false merge the release notes must disclose (the audit
+    * complement to q212, which scores candidate quality BEFORE closure).
+    *
+    * Scale shape: shingle work is confined to CLUSTERED docs (a small
+    * fraction of the corpus — the semi join prunes before any explode);
+    * intersections join member shingles to keeper shingles on
+    * (cluster_id, shingle), so each cluster's comparison stays inside
+    * its own key range and a giant cluster parallelizes across its
+    * shingle space rather than serializing on one task.
+    */
+  def q220ClusterDiameter(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val clusters = clusterize(exactStarEdges(docs).union(
+        TextOps.minhashPairs(s, dir)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))))
+    val sh = docs.join(clusters.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), explode(TextOps.bigrams(col("text"))).as("sg"))
+    // sizes from the exploded rows (not size(array)) so a zero-shingle doc
+    // is absent here exactly as it is in the oracle's sh CTE
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val keeperIds = clusters.where(col("is_keeper"))
+      .select(col("doc_id"), col("cluster_id"))
+    val shK = sh.join(keeperIds, "doc_id").select(col("cluster_id"), col("sg"))
+    val members = clusters.where(!col("is_keeper"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val shM = sh.join(members.select(col("doc_id"), col("cluster_id")), "doc_id")
+    val inter = shM.join(shK, Seq("cluster_id", "sg"))
+      .groupBy(col("cluster_id"), col("doc_id")).agg(count(lit(1)).as("i0"))
+    val nK = sizes.join(keeperIds, "doc_id")
+      .select(col("cluster_id"), col("n_sh").as("nk"))
+    members
+      .join(sizes, "doc_id").withColumnRenamed("n_sh", "nm")
+      .join(nK, "cluster_id")
+      .join(inter, Seq("cluster_id", "doc_id"), "left")
+      .withColumn("i", coalesce(col("i0"), lit(0L)))
+      .withColumn("j_x1000",
+        when(col("nm") + col("nk") - col("i") === 0, 1000L)
+          .otherwise(expr("(1000 * i) div (nm + nk - i)")))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("members"),
+        min(col("j_x1000")).as("min_j_x1000"),
+        expr("sum(j_x1000) div count(1)").as("mean_j_x1000"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Production dedup entry point (not a driver query — q49 keeps q22's
     * fixed banding so its oracle is static): documents → one row per doc
     * that belongs to a duplicate cluster, `(doc_id, cluster_id,
@@ -842,6 +893,7 @@ object ClusterOps {
     "q152_trustrank" -> q152TrustRank _,
     "q159_graph_mixing" -> q159GraphMixing _,
     "q49_dedup_clusters" -> q49DedupClusters _,
+    "q220_cluster_diameter" -> q220ClusterDiameter _,
     "q134_cluster_split" -> q134ClusterSplit _,
     "q53_pagerank" -> q53PageRank _,
     "q120_triangle_count" -> q120TriangleCount _,
@@ -952,6 +1004,36 @@ object ClusterOps {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  (id = cluster_id) AS is_keeper
          |FROM cc ORDER BY doc_id""".stripMargin,
+    // q220: the same closure + the same distinct-bigram sh CTE; every
+    // Jaccard operand positive so // and div agree
+    "q220_cluster_diameter" ->
+      s"""WITH RECURSIVE
+         |$ccCtes,
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY doc_id),
+         |csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM cc GROUP BY cluster_id),
+         |mem AS (SELECT id AS doc_id, cluster_id FROM cc WHERE id <> cluster_id),
+         |shk AS (SELECT cc.cluster_id, sh.s FROM sh
+         |  JOIN cc ON cc.id = sh.doc_id WHERE cc.id = cc.cluster_id),
+         |shm AS (SELECT cluster_id, doc_id, s FROM sh JOIN mem USING (doc_id)),
+         |i AS (SELECT shm.cluster_id, shm.doc_id, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM shm JOIN shk ON shk.cluster_id = shm.cluster_id AND shk.s = shm.s
+         |  GROUP BY 1, 2),
+         |nk AS (SELECT cc.cluster_id, sizes.n_sh AS nk FROM sizes
+         |  JOIN cc ON cc.id = sizes.doc_id WHERE cc.id = cc.cluster_id),
+         |jj AS (SELECT mem.cluster_id, mem.doc_id,
+         |    CASE WHEN sm.n_sh + nk.nk - COALESCE(i.i, 0) = 0 THEN 1000
+         |         ELSE (1000 * COALESCE(i.i, 0))
+         |              // (sm.n_sh + nk.nk - COALESCE(i.i, 0)) END AS j_x1000
+         |  FROM mem JOIN sizes sm USING (doc_id) JOIN nk USING (cluster_id)
+         |    LEFT JOIN i ON i.cluster_id = mem.cluster_id
+         |      AND i.doc_id = mem.doc_id)
+         |SELECT jj.cluster_id, cs.cluster_size, CAST(COUNT(*) AS BIGINT) AS members,
+         |  CAST(MIN(j_x1000) AS BIGINT) AS min_j_x1000,
+         |  CAST(SUM(j_x1000) // COUNT(*) AS BIGINT) AS mean_j_x1000
+         |FROM jj JOIN csize cs ON cs.cluster_id = jj.cluster_id
+         |GROUP BY 1, 2 ORDER BY jj.cluster_id""".stripMargin,
     // the oracle closes the components independently AND re-derives the
     // bucket from the representative with the same md5 arithmetic — rank
     // equality pins clustering + assignment in one hash
