@@ -212,4 +212,72 @@ object BpeOps {
             lit(true)))
       .orderBy(col("rank"))
   }
+
+  /** q221: TOKENIZER FERTILITY AUDIT — per-language subwords-per-word
+    * and bytes-per-subword under the learned BPE table, plus each
+    * language's fertility RELATIVE to the corpus mean. The fairness
+    * number multilingual-tokenizer reports publish (Petrov et al. 2023,
+    * "Language Model Tokenizers Introduce Unfairness Between
+    * Languages"): a language whose rel_fert is well above 1000 pays
+    * proportionally more sequence length — and so more compute and a
+    * shorter effective context — for the same text.
+    *
+    * Rows-only; `fert_ok` certifies the q98 discipline one level up:
+    * per-language totals from the Catalyst higher-order-function encode
+    * aggregated RELATIONALLY must equal an independent sequential
+    * groupByKey fold running the typed JVM encoder — two execution
+    * paths for the encode AND two for the aggregation. Scale: encoding
+    * is stateless per row; the per-language rollup is one L-row
+    * map-combined aggregate; the totals row broadcasts back.
+    */
+  def q221Fertility(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(Q.tbl(s, dir, "documents"), 8)
+      .map(m => (m.left, m.right))
+    import s.implicits._
+    val wordsCol = filter(
+      split(lower(trim(col("text"))), TextOps.WS), w => length(w) > 0)
+    val encExpr = (w: Column) => merges.foldLeft(chars(w)) {
+      case (c, (l, r)) => applyMerge(c, l, r)
+    }
+    val subsCol = transform(wordsCol, w => encExpr(w))
+    val rel = Q.tbl(s, dir, "documents")
+      .select(col("lang"),
+        octet_length(col("text")).cast("long").as("b"),
+        size(wordsCol).cast("long").as("w"),
+        aggregate(subsCol, lit(0L), (acc, x) => acc + size(x)).as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("b")).as("bytes"),
+        sum(col("w")).as("words"), sum(col("sw")).as("subwords"))
+    val tot = rel.agg(sum(col("words")).as("tw"),
+      sum(col("subwords")).as("tsw"))
+    val relF = rel.crossJoin(broadcast(tot))
+      .withColumn("fert_x1000", expr("(1000 * subwords) div words"))
+      .withColumn("bytes_per_sub_x1000", expr("(1000 * bytes) div subwords"))
+      .withColumn("rel_fert_x1000",
+        expr("(1000 * subwords * tw) div (words * tsw)"))
+    val twin = Q.tbl(s, dir, "documents")
+      .select(col("lang"), col("text")).as[(String, String)]
+      .groupByKey(_._1).mapGroups { (lang, it) =>
+        var docs = 0L; var bytes = 0L; var words = 0L; var subs = 0L
+        it.foreach { case (_, text0) =>
+          val text = if (text0 == null) "" else text0
+          docs += 1
+          bytes += text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val ws = jvmTokens(text)
+          words += ws.length
+          var i = 0
+          while (i < ws.length) { subs += encodeWord(ws(i), merges).length; i += 1 }
+        }
+        (lang, docs, bytes, words, subs)
+      }.toDF("t_lang", "t_docs", "t_bytes", "t_words", "t_subwords")
+    relF.join(twin, col("lang") === col("t_lang"))
+      .select(col("lang"), col("docs"), col("bytes"), col("words"),
+        col("subwords"), col("fert_x1000"), col("bytes_per_sub_x1000"),
+        col("rel_fert_x1000"),
+        (col("docs") === col("t_docs") && col("bytes") === col("t_bytes") &&
+          col("words") === col("t_words") &&
+          col("subwords") === col("t_subwords") &&
+          col("subwords") >= col("words")).as("fert_ok"))
+      .orderBy(col("lang"))
+  }
 }

@@ -3526,6 +3526,7 @@ object TextOps {
     "q93_bpe_train" -> BpeOps.q93BpeTrain _,
     "q97_inverted_index" -> q97InvertedIndex _,
     "q98_bpe_encode" -> BpeOps.q98BpeEncode _,
+    "q221_fertility" -> BpeOps.q221Fertility _,
     "q99_exact_repeats" -> SuffixOps.q99ExactRepeats _,
     "q100_exactsubstr_cut" -> SuffixOps.q100ExactSubstrCut _,
     "q55_surprisal" -> q55Surprisal _,

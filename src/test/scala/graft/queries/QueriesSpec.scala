@@ -100,7 +100,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q186_paywall" -> "pw_ok",
       "q190_hreflang" -> "hl_ok",
       "q193_idn_spoof" -> "idn_ok",
-      "q195_fragment_links" -> "frag_ok")
+      "q195_fragment_links" -> "frag_ok",
+      "q221_fertility" -> "fert_ok")
     flags.foreach { case (name, flag) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.columns.contains(flag), s"$name lost its $flag column")
