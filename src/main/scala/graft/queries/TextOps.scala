@@ -1721,6 +1721,72 @@ object TextOps {
       .orderBy(col("q_doc"), col("rank"))
   }
 
+  /** q222: PADDING-WASTE ACCOUNTING — the batching-efficiency number
+    * behind length-sorted batching: a fixed-size batch pads every
+    * sequence to the batch max, so tokens_wasted = B·max(len) − Σlen per
+    * batch, and sorting by length before batching collapses that waste
+    * (the "bucketing by sequence length" every training framework ships;
+    * the accounting here is what justifies it on a given corpus). One
+    * summary row per strategy — arrival order vs length-sorted — with
+    * identical batch size 16, so the two waste_x1000 numbers are
+    * directly comparable.
+    *
+    * Scale note: both strategies use a GLOBAL row_number here (exact,
+    * oracle-matched); at corpus scale the sorted variant becomes q133's
+    * two-level value-histogram ranking and arrival order is the
+    * per-shard sequence — the waste algebra is unchanged.
+    */
+  def q222PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val b = 16
+    val lens = tbl(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val tagged = lens
+      .withColumn("b_arr",
+        expr(s"(row_number() OVER (ORDER BY doc_id) - 1) div $b"))
+      .withColumn("b_srt",
+        expr(s"(row_number() OVER (ORDER BY n DESC, doc_id) - 1) div $b"))
+    def summarize(df: DataFrame, batchCol: String, name: String): DataFrame =
+      df.groupBy(col(batchCol).as("batch"))
+        .agg(count(lit(1)).as("rows_in_batch"), max(col("n")).as("mx"),
+          sum(col("n")).as("used"))
+        .agg(count(lit(1)).as("batches"),
+          sum(col("rows_in_batch") * col("mx")).as("slots"),
+          sum(col("used")).as("tokens"))
+        .select(lit(name).as("strategy"), col("batches"), col("tokens"),
+          col("slots"),
+          expr("(1000 * (slots - tokens)) div slots").as("waste_x1000"))
+    summarize(tagged, "b_arr", "arrival")
+      .unionByName(summarize(tagged, "b_srt", "length_sorted"))
+      .orderBy(col("strategy"))
+  }
+
+  /** q223: LANGUAGE-METADATA / SCRIPT CONSISTENCY AUDIT — the cheapest
+    * metadata-vs-content cross-check a corpus intake runs: a document
+    * labeled `zh` whose text contains not one non-ASCII character, or a
+    * Latin-language document that is mostly non-Latin, has a WRONG label
+    * (upstream lang-ID ran on boilerplate, or the label came from a TLD
+    * guess), and mislabeled docs poison per-language mixing weights
+    * (q88/q139) and fertility stats (q221). Stump: a `zh` label expects
+    * non-ASCII evidence (≥1 char); en/de/es/fr expect mostly-ASCII
+    * (non-ASCII < 50% of chars). Per (lang): docs, labels contradicted
+    * by script evidence, and the contradiction rate in basis points.
+    * (On this synthetic corpus every `zh` doc is ASCII prose — the audit
+    * correctly reports the labels as decorative; that is the point.)
+    */
+  def q223LangScriptAudit(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+          .cast("long").as("non_ascii"))
+      .withColumn("mismatch",
+        when(col("lang") === "zh", col("non_ascii") === 0)
+          .otherwise(col("non_ascii") * 2 > col("chars")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("mismatch"), 1L).otherwise(0L)).as("mismatched"))
+      .withColumn("mismatch_bp", expr("(10000 * mismatched) div docs"))
+      .orderBy(col("lang"))
+
   /** Production quality-gate scoring used by
     * [[graft.pipeline.QualityStage]]: the document-level keep decision a
     * curation pipeline applies before dedup — word-count bounds, Gopher
@@ -3486,6 +3552,8 @@ object TextOps {
     "q216_curation_funnel" -> q216CurationFunnel _,
     "q217_epoch_alloc" -> q217EpochAlloc _,
     "q219_hard_negatives" -> q219HardNegatives _,
+    "q222_padding_waste" -> q222PaddingWaste _,
+    "q223_lang_script_audit" -> q223LangScriptAudit _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3633,6 +3701,50 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q222: same global row_number batching, same waste algebra
+    "q222_padding_waste" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, CAST(len($dkTokens) AS BIGINT) AS n FROM documents),
+         |t AS (
+         |  SELECT n,
+         |    (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS b_arr,
+         |    (row_number() OVER (ORDER BY n DESC, doc_id) - 1) // 16 AS b_srt
+         |  FROM l),
+         |arr AS (
+         |  SELECT b_arr, COUNT(*) AS r, MAX(n) AS mx, SUM(n) AS used
+         |  FROM t GROUP BY b_arr),
+         |srt AS (
+         |  SELECT b_srt, COUNT(*) AS r, MAX(n) AS mx, SUM(n) AS used
+         |  FROM t GROUP BY b_srt),
+         |s1 AS (
+         |  SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS batches,
+         |    CAST(SUM(used) AS BIGINT) AS tokens,
+         |    CAST(SUM(r * mx) AS BIGINT) AS slots FROM arr),
+         |s2 AS (
+         |  SELECT 'length_sorted' AS strategy, CAST(COUNT(*) AS BIGINT) AS batches,
+         |    CAST(SUM(used) AS BIGINT) AS tokens,
+         |    CAST(SUM(r * mx) AS BIGINT) AS slots FROM srt),
+         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |SELECT strategy, batches, tokens, slots,
+         |  (1000 * (slots - tokens)) // slots AS waste_x1000
+         |FROM u ORDER BY strategy""".stripMargin,
+    // q223: char-level length()/regexp in both engines count codepoints
+    "q223_lang_script_audit" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+        |      AS BIGINT) AS non_ascii
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'zh' THEN non_ascii = 0
+        |         ELSE non_ascii * 2 > chars END AS mismatch
+        |  FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT) AS mismatched,
+        |  (10000 * CAST(SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT))
+        |    // COUNT(*) AS mismatch_bp
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // q219: q92's integer BM25 per (query, term); every division operand
     // positive so // and div agree; md5 dup guard on both sides
     "q219_hard_negatives" ->
