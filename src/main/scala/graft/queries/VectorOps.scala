@@ -660,8 +660,68 @@ object VectorOps {
       .orderBy(col("src_id"))
   }
 
+  /** q224: IN-CONTEXT-PRETRAINING DOCUMENT ORDERING (Shi et al., ICLR
+    * 2024): language models train better when related documents share a
+    * context window, so the corpus is reordered by semantic adjacency —
+    * a traveling-salesman-style path over document embeddings,
+    * approximated greedily. The distributed shape: sign-LSH buckets
+    * (4 bits here) bound each chain's scope, and within a bucket the
+    * order is the deterministic greedy nearest-neighbor walk — start at
+    * the min vec_id, repeatedly hop to the unvisited vector with the
+    * highest cosine to the current one (ties → lowest id). Output is
+    * the training order: (bucket, position, vec_id, cosine-to-previous).
+    *
+    * The walk is inherently sequential PER BUCKET — the legitimate
+    * mapGroups case — but buckets are independent and LSH-bounded
+    * ([[LshParams.signBits]] sizes them against corpus growth), so the
+    * stage parallelizes across buckets with no shuffle beyond the one
+    * bucket-key Exchange. Cosines land on the q24 x1000 grid
+    * (BigDecimal HALF_UP == Spark round == DuckDB round), which lets a
+    * recursive-CTE DuckDB twin replay every hop exactly.
+    */
+  def q224IcpOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("bk", bucket(col("e"), 4).cast("int"))
+      .select(col("bk"), col("vec_id"), col("e"))
+      .as[(Int, Long, Seq[Double])]
+    e.groupByKey(_._1).flatMapGroups { (bk, it) =>
+      val vs = it.map { case (_, id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
+      val n = vs.length
+      def cos(a: Array[Double], b: Array[Double]): Long = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        java.math.BigDecimal.valueOf(1000.0 * d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }
+      val visited = new Array[Boolean](n)
+      val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Option[Long])](n)
+      visited(0) = true
+      out += ((bk, 1L, vs(0)._1, None))
+      var curIdx = 0; var pos = 2L; var remaining = n - 1
+      while (remaining > 0) {
+        var best = -1; var bestC = Long.MinValue
+        var j = 0
+        while (j < n) { // ascending j: equal-c ties resolve to the lowest id
+          if (!visited(j)) {
+            val c = cos(vs(curIdx)._2, vs(j)._2)
+            if (c > bestC) { best = j; bestC = c }
+          }
+          j += 1
+        }
+        visited(best) = true
+        out += ((bk, pos, vs(best)._1, Some(bestC)))
+        curIdx = best; pos += 1; remaining -= 1
+      }
+      out.iterator
+    }.toDF("bk", "pos", "vec_id", "c_prev")
+      .orderBy(col("bk"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_margin_bitext" -> q218MarginBitext _,
+    "q224_icp_order" -> q224IcpOrder _,
     "q203_label_scatter" -> q203LabelScatter _,
     "q24_ann_brute" -> q24AnnBrute _,
     "q124_pca" -> q124Pca _,
@@ -681,6 +741,37 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q224: the greedy walk replayed as a recursive CTE — each step's
+    // argmax hop is the same (c desc, v) pick on the same x1000 grid
+    "q224_icp_order" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT vec_id, emb, ${dkBucket(4, "emb")} AS bk FROM e),
+         |p AS (SELECT a.bk, a.vec_id AS u, b.vec_id AS v,
+         |  CAST(round(1000*list_dot_product(a.emb, b.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) *
+         |     sqrt(list_dot_product(b.emb, b.emb)))) AS BIGINT) AS c
+         |  FROM eb a JOIN eb b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+         |st AS (SELECT bk, MIN(vec_id) AS v0 FROM eb GROUP BY bk),
+         |chain(bk, pos, cur, visited, c_prev) AS (
+         |  SELECT bk, CAST(1 AS BIGINT), v0, [v0], CAST(NULL AS BIGINT) FROM st
+         |  UNION ALL
+         |  SELECT bk, pos + 1,
+         |    (SELECT v FROM p WHERE p.bk = chain.bk AND p.u = chain.cur
+         |       AND NOT list_contains(chain.visited, p.v)
+         |     ORDER BY c DESC, v LIMIT 1),
+         |    list_append(visited,
+         |    (SELECT v FROM p WHERE p.bk = chain.bk AND p.u = chain.cur
+         |       AND NOT list_contains(chain.visited, p.v)
+         |     ORDER BY c DESC, v LIMIT 1)),
+         |    (SELECT c FROM p WHERE p.bk = chain.bk AND p.u = chain.cur
+         |       AND NOT list_contains(chain.visited, p.v)
+         |     ORDER BY c DESC, v LIMIT 1)
+         |  FROM chain
+         |  WHERE EXISTS (SELECT 1 FROM p WHERE p.bk = chain.bk
+         |       AND p.u = chain.cur AND NOT list_contains(chain.visited, p.v)))
+         |SELECT bk, pos, cur AS vec_id, c_prev FROM chain
+         |ORDER BY bk, pos""".stripMargin,
     // q218: cosines on the q24 x1000 grid; all quantities positive so
     // DuckDB's floor-// and Spark's truncating-div agree
     "q218_margin_bitext" ->
