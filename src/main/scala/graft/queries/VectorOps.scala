@@ -719,9 +719,60 @@ object VectorOps {
       .orderBy(col("bk"), col("pos"))
   }
 
+  /** q225: RANDOM SIGN PROJECTION (Johnson–Lindenstrauss / Achlioptas
+    * 2003) + distance-preservation audit — the cheap 4× dimensionality
+    * reduction (64 → 16 dims) a 100 TB embedding pipeline applies before
+    * storing or index-building, with the audit that justifies it: for a
+    * ±1 sign matrix R, E‖Rz‖² = k·‖z‖², so (1000·d16) div (k·d64) should
+    * concentrate around 1000 over sampled pairs. The matrix is
+    * md5-derived (row j, col i → sign), so both engines build the SAME
+    * projection with no RNG state, and all arithmetic runs on q203's
+    * x1000 fixed-point components — every distance is an exact BIGINT.
+    *
+    * Scale shape: the sign table is k×d = 1024 rows — broadcast; the
+    * projection is one explode + one (vec, j) map-combined aggregate
+    * (the corpus pays one scan); the audit pair-join runs on a
+    * deterministic id stripe (vec_id % 7) because an all-pairs distance
+    * check does not survive corpus growth — the projection itself does.
+    */
+  def q225JlAudit(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val dIn = 64
+    val comps = emb(s, dir).where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        round(col("x") * 1000).cast("long").as("xs"))
+    val signs = s.range(k).select(col("id").as("j"))
+      .crossJoin(s.range(dIn.toLong).select(col("id").as("i")))
+      .select(col("j"), col("i"),
+        when(conv(substring(md5(concat(col("j").cast("string"), lit("_"),
+          col("i").cast("string")).cast("binary")), 1, 1), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sg"))
+    val proj = comps.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sg") * col("xs")).as("p"))
+    val d64 = comps.as("a").join(comps.as("b"),
+        col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .agg(sum((col("a.xs") - col("b.xs")) *
+        (col("a.xs") - col("b.xs"))).as("d64"))
+    val d16 = proj.as("a").join(proj.as("b"),
+        col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .agg(sum((col("a.p") - col("b.p")) *
+        (col("a.p") - col("b.p"))).as("d16"))
+    d64.join(d16, Seq("va", "vb"))
+      .where(col("d64") > 0)
+      .select(expr(s"(1000 * d16) div ($k * d64)").as("ratio_x1000"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("ratio_x1000")).as("min_ratio_x1000"),
+        expr("sum(ratio_x1000) div count(1)").as("mean_ratio_x1000"),
+        max(col("ratio_x1000")).as("max_ratio_x1000"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_margin_bitext" -> q218MarginBitext _,
     "q224_icp_order" -> q224IcpOrder _,
+    "q225_jl_audit" -> q225JlAudit _,
     "q203_label_scatter" -> q203LabelScatter _,
     "q24_ann_brute" -> q24AnnBrute _,
     "q124_pca" -> q124Pca _,
@@ -741,6 +792,41 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q225: q203's x1000 components, md5-derived signs, exact BIGINT
+    // distances; every // denominator positive
+    "q225_jl_audit" ->
+      """WITH c AS (
+        |  SELECT vec_id, d - 1 AS i,
+        |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xs
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS d)
+        |  WHERE vec_id % 7 = 0),
+        |sg AS (
+        |  SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5(j || '_' || i), 1, 1))::INT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sg
+        |  FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)),
+        |pr AS (
+        |  SELECT vec_id, j, CAST(SUM(sg * xs) AS BIGINT) AS p
+        |  FROM c JOIN sg USING (i) GROUP BY 1, 2),
+        |d64 AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(SUM((a.xs - b.xs) * (a.xs - b.xs)) AS BIGINT) AS d64
+        |  FROM c a JOIN c b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |d16 AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d16
+        |  FROM pr a JOIN pr b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT (1000 * d16) // (16 * d64) AS ratio
+        |  FROM d64 JOIN d16 USING (va, vb) WHERE d64 > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(ratio) AS BIGINT) AS min_ratio_x1000,
+        |  CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS mean_ratio_x1000,
+        |  CAST(MAX(ratio) AS BIGINT) AS max_ratio_x1000
+        |FROM r""".stripMargin,
     // q224: the greedy walk replayed as a recursive CTE — each step's
     // argmax hop is the same (c desc, v) pick on the same x1000 grid
     "q224_icp_order" ->
