@@ -769,10 +769,52 @@ object VectorOps {
         max(col("ratio_x1000")).as("max_ratio_x1000"))
   }
 
+  /** q226: RETRIEVAL EVAL HARNESS — the measurement half of the ANN
+    * family (q24/q25/q52/q141 build indexes; this scores them the way a
+    * retrieval paper does): for a query stripe (vec_id % 25), rank every
+    * other vector by cosine and grade against label ground truth —
+    * precision@10, recall@10, and MRR per query. Every metric stays
+    * exact-integer (1e6 div first_rank — the reciprocal-rank family;
+    * nDCG's irrational log2 discounts are deliberately out of scope), so
+    * the oracle matches bit-for-bit. Queries with no relevant documents
+    * are excluded by contract in both engines.
+    *
+    * Scale shape: the Q-row query table broadcasts; scoring is one
+    * stateless projection over corpus×Q; per-query ranking is a window
+    * partitioned by q_id. At production scale the full ranking is
+    * replaced by the index shortlist under test (the metrics algebra is
+    * unchanged — that is the point of keeping the harness relational).
+    */
+  def q226RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("label").as("q_label"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        x1000(cosine(col("e"), col("qe"))).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .withColumn("rel", (col("label") === col("q_label")).cast("long"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).as("hits10"),
+        min(when(col("rel") === 1, col("rank"))).cast("long").as("first_rank"))
+      .where(col("n_rel") > 0)
+      .select(col("q_id"), col("n_rel"), col("hits10"),
+        expr("(1000 * hits10) div 10").as("p10_x1000"),
+        expr("(1000 * hits10) div n_rel").as("r10_x1000"),
+        col("first_rank"),
+        expr("1000000 div first_rank").as("mrr_x1e6"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_margin_bitext" -> q218MarginBitext _,
     "q224_icp_order" -> q224IcpOrder _,
     "q225_jl_audit" -> q225JlAudit _,
+    "q226_retrieval_eval" -> q226RetrievalEval _,
     "q203_label_scatter" -> q203LabelScatter _,
     "q24_ann_brute" -> q24AnnBrute _,
     "q124_pca" -> q124Pca _,
@@ -792,6 +834,30 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q226: same x1000 ranking grid; reciprocal-rank metrics are exact
+    // integer division, queries with no relevant docs excluded identically
+    "q226_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, label AS q_label
+        |  FROM e WHERE vec_id % 25 = 0),
+        |p AS (SELECT q_id, q_label, vec_id, label,
+        |  CAST(round(1000*list_dot_product(emb, qe) /
+        |    (sqrt(list_dot_product(emb, emb)) *
+        |     sqrt(list_dot_product(qe, qe)))) AS BIGINT) AS c
+        |  FROM e, q WHERE vec_id <> q_id),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank,
+        |  CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel FROM p),
+        |g AS (SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |  CAST(SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS BIGINT) AS hits10,
+        |  CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS BIGINT) AS first_rank
+        |  FROM r GROUP BY q_id)
+        |SELECT q_id, n_rel, hits10,
+        |  (1000 * hits10) // 10 AS p10_x1000,
+        |  (1000 * hits10) // n_rel AS r10_x1000,
+        |  first_rank, 1000000 // first_rank AS mrr_x1e6
+        |FROM g WHERE n_rel > 0 ORDER BY q_id""".stripMargin,
     // q225: q203's x1000 components, md5-derived signs, exact BIGINT
     // distances; every // denominator positive
     "q225_jl_audit" ->
