@@ -2037,6 +2037,42 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q227: CONTAINMENT JOIN (Broder 1997's asymmetric resemblance twin)
+    * — containment(A in B) = |A∩B| / |A| over distinct bigram shingles.
+    * The measure symmetric Jaccard structurally misses: a short document
+    * quoted whole inside a long aggregator page has Jaccard ≈ |A|/|B|
+    * (tiny) but containment ≈ 1 — exactly the quote-inclusion /
+    * page-aggregation duplication a release-level dedup must disclose.
+    * Pairs are kept when EITHER direction's containment ≥ 600‰; both
+    * directions plus Jaccard ride along so the asymmetric cases are
+    * visible in one row.
+    *
+    * Scale shape: q20's discipline — per-doc shingle size rides the
+    * exploded row (no sizes re-join), one shingle-keyed self equi-join
+    * on a deterministic id stripe; the production scale path for
+    * all-pairs containment is q116's df-ordered prefix filter (the
+    * prefix bound for containment indexes only |A|−⌈t·|A|⌉+1 of A's
+    * rarest shingles — same machinery, asymmetric threshold).
+    */
+  def q227ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val ex = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), bigrams(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        expr("(1000 * inter) div na").as("cont_a_x1000"),
+        expr("(1000 * inter) div nb").as("cont_b_x1000"),
+        expr("(1000 * inter) div (na + nb - inter)").as("jac_x1000"))
+      .filter(greatest(col("cont_a_x1000"), col("cont_b_x1000")) >= 600)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3554,6 +3590,7 @@ object TextOps {
     "q219_hard_negatives" -> q219HardNegatives _,
     "q222_padding_waste" -> q222PaddingWaste _,
     "q223_lang_script_audit" -> q223LangScriptAudit _,
+    "q227_containment_join" -> q227ContainmentJoin _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3701,6 +3738,26 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q227: q20's pair join + integer containment in both directions;
+    // all operands positive so // and div agree
+    "q227_containment_join" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, CAST(len($dkBigrams) AS BIGINT) AS n,
+         |    unnest($dkBigrams) AS s
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(COUNT(*) AS BIGINT) AS inter,
+         |    MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, na, nb,
+         |  (1000 * inter) // na AS cont_a_x1000,
+         |  (1000 * inter) // nb AS cont_b_x1000,
+         |  (1000 * inter) // (na + nb - inter) AS jac_x1000
+         |FROM p
+         |WHERE greatest((1000 * inter) // na, (1000 * inter) // nb) >= 600
+         |ORDER BY a_id, b_id""".stripMargin,
     // q222: same global row_number batching, same waste algebra
     "q222_padding_waste" ->
       s"""WITH l AS (
