@@ -2073,6 +2073,46 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q228: SHUFFLE-HEALTH SKEW REPORT — the operational table behind
+    * every broadcast/salting decision in this library: for each shuffle
+    * key family actually used (raw token, bigram shingle, url-hash
+    * bucket), the 10 hottest keys with their row share in basis points,
+    * plus the family's key cardinality and total rows. The hottest key's
+    * share IS the straggler lower bound of a hash-partitioned shuffle on
+    * that key (one reducer gets at least that fraction), so this table is
+    * the measured justification for the q55/q56 Zipf broadcast defense
+    * and the q62 salting path — and the monitor that tells a production
+    * run when a new corpus breaks those assumptions.
+    *
+    * Scale shape: each family is one map-combined key count; the top-10
+    * window runs over the AGGREGATED per-key table (vocabulary-sized,
+    * q153's one legitimate global sort — production would TakeOrdered).
+    */
+  def q228SkewReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "documents")
+    def report(rows: DataFrame, kind: String): DataFrame = {
+      val per = rows.groupBy(col("k")).agg(count(lit(1)).as("rows"))
+      val tot = per.agg(sum(col("rows")).as("t"), count(lit(1)).as("n_keys"))
+      val w = Window.orderBy(col("rows").desc, col("k"))
+      per.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+        .crossJoin(broadcast(tot))
+        .select(lit(kind).as("key_kind"), col("rank").cast("long").as("rank"),
+          col("k").as("hot_key"), col("rows"),
+          expr("(10000 * rows) div t").as("share_bp"),
+          col("n_keys"), col("t").as("total_rows"))
+    }
+    val toks = d.select(explode(tokens(col("text"))).as("k"))
+    val bgs = d.select(explode(bigrams(col("text"))).as("k"))
+    val urls = d.select(concat(lit("b"),
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long") % 1024).as("k"))
+    report(toks, "token")
+      .unionByName(report(bgs, "bigram"))
+      .unionByName(report(urls, "url_bucket"))
+      .orderBy(col("key_kind"), col("rank"))
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3591,6 +3631,7 @@ object TextOps {
     "q222_padding_waste" -> q222PaddingWaste _,
     "q223_lang_script_audit" -> q223LangScriptAudit _,
     "q227_containment_join" -> q227ContainmentJoin _,
+    "q228_skew_report" -> q228SkewReport _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3738,6 +3779,30 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q228: one key count per family, top-10 by (rows desc, key)
+    "q228_skew_report" ->
+      s"""WITH tok AS (
+         |  SELECT 'token' AS key_kind, unnest($dkTokens) AS k FROM documents),
+         |bg AS (
+         |  SELECT 'bigram' AS key_kind, unnest($dkBigrams) AS k FROM documents),
+         |ub AS (
+         |  SELECT 'url_bucket' AS key_kind,
+         |    'b' || (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |      % 1024) AS k
+         |  FROM documents),
+         |a AS (SELECT * FROM tok UNION ALL SELECT * FROM bg
+         |      UNION ALL SELECT * FROM ub),
+         |per AS (SELECT key_kind, k, CAST(COUNT(*) AS BIGINT) AS rows
+         |  FROM a GROUP BY 1, 2),
+         |tot AS (SELECT key_kind, CAST(SUM(rows) AS BIGINT) AS t,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys
+         |  FROM per GROUP BY 1),
+         |r AS (SELECT per.*, row_number() OVER (PARTITION BY key_kind
+         |    ORDER BY rows DESC, k) AS rank FROM per)
+         |SELECT r.key_kind, CAST(rank AS BIGINT) AS rank, k AS hot_key, rows,
+         |  (10000 * rows) // t AS share_bp, n_keys, t AS total_rows
+         |FROM r JOIN tot ON tot.key_kind = r.key_kind
+         |WHERE rank <= 10 ORDER BY r.key_kind, rank""".stripMargin,
     // q227: q20's pair join + integer containment in both directions;
     // all operands positive so // and div agree
     "q227_containment_join" ->
