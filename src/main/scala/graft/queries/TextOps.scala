@@ -2113,6 +2113,90 @@ object TextOps {
       .orderBy(col("key_kind"), col("rank"))
   }
 
+  /** q229: QUALITY-GATE RANK AGREEMENT — Kendall's tau-a between two
+    * independent quality signals (per-doc mean unigram surprisal, q55's
+    * exact-bits formula, vs duplicate-token fraction, the Gopher
+    * repetition gate) over a doc stripe. The diagnostic every
+    * multi-gate curation stack needs: gates that rank documents the
+    * same way are redundant, gates that anti-correlate are measuring
+    * different failure modes (here repetition ⇒ low surprisal, so tau
+    * comes out NEGATIVE — the two gates genuinely complement). All
+    * pair counts are exact integers; tau's sign is applied OUTSIDE the
+    * floor division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they disagree on negative quotients, so the quotient is
+    * kept positive by construction).
+    *
+    * Scale shape: signals are one explode + map-combined aggregate
+    * each (vocabulary broadcast per q55); the O(n²) concordance count
+    * runs on the bounded stripe — at corpus scale the estimator is the
+    * same counts over a fixed-size sample, which is how Kendall tau is
+    * measured everywhere.
+    */
+  def q229GateAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val bits = length(bin(col("total"))) - length(bin(col("cnt")))
+    val x = tk.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"), sum(bits.cast("long")).as("sbits"))
+      .select(col("doc_id"),
+        expr("(100 * sbits) div words").as("x"))
+    val t = tokens(col("text"))
+    val y = docs.select(col("doc_id"),
+      size(t).cast("long").as("w"),
+      size(array_distinct(t)).cast("long").as("u"))
+      .select(col("doc_id"), expr("(1000 * (w - u)) div w").as("y"))
+    val d = x.join(y, "doc_id")
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        ((col("a.x") - col("b.x")) * (col("a.y") - col("b.y"))).as("prod"),
+        (col("a.x") === col("b.x")).as("tx"),
+        (col("a.y") === col("b.y")).as("ty"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("tx") && !col("ty"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(!col("tx") && col("ty"), 1L).otherwise(0L)).as("ties_y"),
+        sum(when(col("tx") && col("ty"), 1L).otherwise(0L)).as("ties_both"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_both"),
+        when(col("concordant") >= col("discordant"),
+          expr("(1000 * (concordant - discordant)) div n_pairs"))
+          .otherwise(-expr("(1000 * (discordant - concordant)) div n_pairs"))
+          .as("tau_a_x1000"))
+  }
+
+  /** q230: DEDUP ROI CURVE — pair volume by true-Jaccard band over the
+    * q20 stripe, with an upper-bound token-savings estimate per band
+    * (Σ min(shingle counts) — an upper bound because overlapping pairs
+    * double-count; the closure's keeper accounting, q180, is the exact
+    * version AFTER a threshold is chosen). This is the table a release
+    * reads to CHOOSE the near-dup threshold: how much pair mass and
+    * token mass each 50‰ band adds — before paying for any closure.
+    */
+  def q230DedupRoi(s: SparkSession, dir: String): DataFrame = {
+    val ex = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), bigrams(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .select(
+        expr("(1000 * inter) div (na + nb - inter)").as("jac_x1000"),
+        least(col("na"), col("nb")).cast("long").as("mn"))
+      .where(col("jac_x1000") >= 50)
+      .withColumn("band", expr("least((jac_x1000 div 50) * 50, 950)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("mn")).as("est_removed_shingles_ub"))
+      .orderBy(col("band"))
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3632,6 +3716,8 @@ object TextOps {
     "q223_lang_script_audit" -> q223LangScriptAudit _,
     "q227_containment_join" -> q227ContainmentJoin _,
     "q228_skew_report" -> q228SkewReport _,
+    "q229_gate_agreement" -> q229GateAgreement _,
+    "q230_dedup_roi" -> q230DedupRoi _,
     "q180_quality_keeper" -> q180QualityKeeper _,
     "q176_gale_church" -> q176GaleChurch _,
     "q177_dehyphenate" -> q177Dehyphenate _,
@@ -3779,6 +3865,60 @@ object TextOps {
          |FROM c ORDER BY savings DESC, gram LIMIT 20""".stripMargin,
     // q216: q17 + q50 + keeper-window + q60 derivations fused; the
     // funnel row set is a UNION ALL over one aggregate
+    // q229: stripe-trained surprisal vs dup fraction; tau sign applied
+    // outside the floor division (negative quotients diverge div vs //)
+    "q229_gate_agreement" ->
+      s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM docs),
+         |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tk GROUP BY tok),
+         |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+         |x AS (SELECT doc_id,
+         |    (100 * CAST(SUM(CAST(length(bin((SELECT total FROM tt)))
+         |       - length(bin(cnt)) AS BIGINT)) AS BIGINT)) // COUNT(*) AS x
+         |  FROM tk JOIN freq USING (tok) GROUP BY doc_id),
+         |y AS (SELECT doc_id,
+         |    (1000 * (CAST(len($dkTokens) AS BIGINT)
+         |       - CAST(len(list_distinct($dkTokens)) AS BIGINT)))
+         |      // CAST(len($dkTokens) AS BIGINT) AS y
+         |  FROM docs),
+         |d AS (SELECT x.doc_id, x.x, y.y FROM x JOIN y USING (doc_id)),
+         |p AS (SELECT (a.x - b.x) * (a.y - b.y) AS prod,
+         |    a.x = b.x AS tx, a.y = b.y AS ty
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         |  CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         |  CAST(SUM(CASE WHEN tx AND NOT ty THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         |  CAST(SUM(CASE WHEN NOT tx AND ty THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+         |  CAST(SUM(CASE WHEN tx AND ty THEN 1 ELSE 0 END) AS BIGINT) AS ties_both
+         |  FROM p)
+         |SELECT n_pairs, concordant, discordant, ties_x, ties_y, ties_both,
+         |  CASE WHEN concordant >= discordant
+         |    THEN (1000 * (concordant - discordant)) // n_pairs
+         |    ELSE -((1000 * (discordant - concordant)) // n_pairs)
+         |  END AS tau_a_x1000
+         |FROM g""".stripMargin,
+    // q230: q20's pair join binned at 50-per-mille bands from 500
+    "q230_dedup_roi" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, CAST(len($dkBigrams) AS BIGINT) AS n,
+         |    unnest($dkBigrams) AS s
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(COUNT(*) AS BIGINT) AS inter,
+         |    MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT (1000 * inter) // (na + nb - inter) AS jac_x1000,
+         |    least(na, nb) AS mn
+         |  FROM p WHERE (1000 * inter) // (na + nb - inter) >= 50)
+         |SELECT least((jac_x1000 // 50) * 50, 950) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS pairs,
+         |  CAST(SUM(mn) AS BIGINT) AS est_removed_shingles_ub
+         |FROM j GROUP BY 1 ORDER BY band""".stripMargin,
     // q228: one key count per family, top-10 by (rows desc, key)
     "q228_skew_report" ->
       s"""WITH tok AS (
