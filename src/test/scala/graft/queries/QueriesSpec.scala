@@ -154,6 +154,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weighted draw not biased: sample $sampleMeanW vs corpus $corpusMeanW")
   }
 
+  test("q218 margin bitext: every join is broadcast (no shuffled join)") {
+    // sides and kNN-sum tables are broadcast-sized by construction; a
+    // SortMergeJoin appearing here means the explicit broadcasts regressed
+    val plan = SparkEntry.queries("q218_margin_bitext")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"q218 grew a shuffled join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"q218 lost its broadcasts:\n$plan")
+  }
+
+  test("q219 hard negatives: token-keyed joins stay broadcast (Zipf defense)") {
+    val plan = SparkEntry.queries("q219_hard_negatives")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // dl/fp join on doc_id (the natural corpus key) may shuffle; the
+    // token-keyed term/df joins must not — count the broadcasts instead
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 3, s"q219 lost its broadcast joins ($nBhj):\n$plan")
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
