@@ -364,6 +364,60 @@ object ClusterOps {
       .orderBy(col("node"))
   }
 
+  /** q234: EIGENVECTOR + KATZ CENTRALITY — the two classical recursive
+    * importance scores PageRank sits between (Bonacich, J. Math. Sociol.
+    * 1972; Katz, Psychometrika 1953): eigenvector centrality is the
+    * power-iteration fixed point of x ← Aᵀx (L1-normalized per round, no
+    * teleport — a page matters if important pages link to it, with NO
+    * floor for orphans), and Katz is x ← β + α·Aᵀx (β = 1, α = 0.1 —
+    * every node gets base mass, attenuated credit for longer walk
+    * chains; the score spam-farms inflate most easily, which is why it's
+    * the standard *contrast* column next to q152's TrustRank). Same
+    * mod-100 link graph, same 3-iteration unroll, same 1e-9 snap
+    * discipline as q53/q152 so the DuckDB replay is float-exact.
+    *
+    * Scale shape per iteration (both chains): one edge⋈rank equi-join +
+    * one dst-keyed map-combined aggregate over localCheckpointed ranks —
+    * identical to q53; the L1 normalizer is an O(1) scalar read-back per
+    * round (same budget as the fixpoint stamps).
+    */
+  def q234EigenKatz(s: SparkSession, dir: String): DataFrame = {
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var eig = nodes.select(col("node"), lit(1.0).as("x")).localCheckpoint()
+    var kat = nodes.select(col("node"), lit(1.0).as("k")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val raw = nodes
+        .join(e.join(eig, col("src") === col("node"))
+            .groupBy(col("dst")).agg(sum(col("x")).as("c")),
+          col("node") === col("dst"), "left")
+        .select(col("node"), round9(coalesce(col("c"), lit(0.0))).as("x"))
+        .localCheckpoint()
+      val s1 = raw.agg(sum(col("x"))).head.getDouble(0)
+      eig = raw.select(col("node"), round9(col("x") / s1).as("x"))
+        .localCheckpoint()
+      kat = nodes
+        .join(e.join(kat, col("src") === col("node"))
+            .groupBy(col("dst")).agg(sum(col("k")).as("c")),
+          col("node") === col("dst"), "left")
+        .select(col("node"),
+          round9(lit(1.0) + lit(0.1) * coalesce(col("c"), lit(0.0))).as("k"))
+        .localCheckpoint()
+    }
+    eig.join(kat, "node")
+      .select(col("node"), round(col("x") * 1e9).cast("long").as("eig_x1e9"),
+        round(col("k") * 1e9).cast("long").as("katz_x1e9"))
+      .orderBy(col("node"))
+  }
+
   /** q159: GRAPH MIXING diagnostics — reciprocity and degree
     * assortativity of the directed host link graph, the two one-number
     * structure alarms of webgraph analysis (Newman, PRL 2002 for
@@ -896,6 +950,7 @@ object ClusterOps {
     "q220_cluster_diameter" -> q220ClusterDiameter _,
     "q134_cluster_split" -> q134ClusterSplit _,
     "q53_pagerank" -> q53PageRank _,
+    "q234_eigen_katz" -> q234EigenKatz _,
     "q120_triangle_count" -> q120TriangleCount _,
     "q121_cocitation" -> q121Cocitation _,
     "q129_kcore" -> q129Kcore _,
@@ -1115,6 +1170,46 @@ object ClusterOps {
          |SELECT r3.node, CAST(round(r3.r*1e9) AS BIGINT) AS trust_x1e9,
          |  (tr.t > 0.0) AS is_seed
          |FROM r3 JOIN tr ON tr.node = r3.node ORDER BY r3.node""".stripMargin
+    },
+    // q234: same edge set, both 3-round chains unrolled as CTEs — the
+    // eigenvector chain re-normalizes by the round's L1 sum (a scalar
+    // subquery), the Katz chain is the β + α·Aᵀx recurrence; every
+    // intermediate snapped to the 1e-9 grid exactly as Spark does
+    "q234_eigen_katz" -> {
+      def eigRound(prev: String, raw: String, cur: String) =
+        s"""$raw AS (
+           |  SELECT nodes.node, round(1e9*COALESCE(SUM($prev.x), 0))/1e9 AS x
+           |  FROM nodes
+           |  LEFT JOIN e ON e.dst = nodes.node
+           |  LEFT JOIN $prev ON $prev.node = e.src
+           |  GROUP BY nodes.node),
+           |$cur AS (
+           |  SELECT node, round(1e9*(x / (SELECT SUM(x) FROM $raw)))/1e9 AS x
+           |  FROM $raw)""".stripMargin
+      def katRound(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    round(1e9*(1.0 + 0.1*COALESCE(SUM($prev.k), 0)))/1e9 AS k
+           |  FROM nodes
+           |  LEFT JOIN e ON e.dst = nodes.node
+           |  LEFT JOIN $prev ON $prev.node = e.src
+           |  GROUP BY nodes.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+         |  FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |e0 AS (SELECT node, 1.0 AS x FROM nodes),
+         |k0 AS (SELECT node, 1.0 AS k FROM nodes),
+         |${eigRound("e0", "er1", "e1")},
+         |${katRound("k0", "k1")},
+         |${eigRound("e1", "er2", "e2")},
+         |${katRound("k1", "k2")},
+         |${eigRound("e2", "er3", "e3")},
+         |${katRound("k2", "k3")}
+         |SELECT e3.node, CAST(round(e3.x*1e9) AS BIGINT) AS eig_x1e9,
+         |  CAST(round(k3.k*1e9) AS BIGINT) AS katz_x1e9
+         |FROM e3 JOIN k3 ON k3.node = e3.node ORDER BY e3.node""".stripMargin
     },
     "q53_pagerank" -> {
       def iter(prev: String, cur: String) =

@@ -326,11 +326,211 @@ object NlpOps {
     texttile(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"), col("gap"))
 
+  // --------------------------------------------------------- Readability
+
+  /** q231: READABILITY SCORING per document — the Automated Readability
+    * Index (Senter & Smith 1967) and the Coleman–Liau index (Coleman &
+    * Liau 1975), the two standard formulas that need NO syllable counter
+    * (syllabification is dictionary-bound and engine-divergent; ARI/CLI
+    * run on character/word/sentence counts alone, which is why
+    * large-scale quality pipelines use exactly these two). Reported in
+    * ×100 fixed point with every division integer `div`:
+    *
+    *   ari_x100 = 471·chars div words + 50·words div sents − 2143
+    *   cli_x100 = 588·chars div words − 2960·sents div words − 1580
+    *
+    * (ARI = 4.71·chars/words + 0.5·words/sents − 21.43; CLI =
+    * 0.0588·L − 0.296·S − 15.8 with L = chars per 100 words and S =
+    * sents per 100 words — the ×100 constants absorb the /100s exactly.)
+    * Both numerators are non-negative before the one subtraction, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree. The ARI
+    * value ×100 is a US grade level; `band` buckets it the way a quality
+    * gate consumes it.
+    *
+    * Shape: ZERO shuffles — words/chars/sentences are higher-order-
+    * function folds over the in-row token and sentence arrays (stateless
+    * projection; the scan's narrow pass at any corpus size). Sentences
+    * reuse q184's `[.!?]+` splitter; a sentence counts if it contains
+    * any non-whitespace char; sents is floored at 1 so fragment-only
+    * docs still score.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val toks = filter(tokens(col("text")), t => t =!= "")
+    val sents = greatest(lit(1L),
+      size(filter(split(lower(trim(col("text"))), "[.!?]+"),
+        x => x.rlike("[^ \\t\\n\\f\\r\\x0B]"))).cast("long"))
+    docs
+      .select(col("doc_id"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("n_chars"),
+        size(toks).cast("long").as("n_words"),
+        sents.as("n_sents"))
+      .where(col("n_words") > 0)
+      .withColumn("ari_x100",
+        expr("471 * n_chars div n_words + 50 * n_words div n_sents - 2143"))
+      .withColumn("cli_x100",
+        expr("588 * n_chars div n_words - 2960 * n_sents div n_words - 1580"))
+      .withColumn("band",
+        when(col("ari_x100") < 500, "elementary")
+          .when(col("ari_x100") < 900, "middle")
+          .when(col("ari_x100") < 1300, "high")
+          .otherwise("college"))
+  }
+
+  def q231Readability(s: SparkSession, dir: String): DataFrame =
+    readability(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------- Lexical repeat rate
+
+  /** q232: YULE'S K per source — the classic lexical-richness
+    * characteristic (Yule, "The Statistical Study of Literary
+    * Vocabulary", 1944): K = 10⁴·(Σ_m m²·V_m − N)/N², where V_m is the
+    * count of types occurring m times and N the token count. Unlike raw
+    * type/token ratio, K is (asymptotically) length-invariant, which is
+    * why stylometry uses it to compare sources of different sizes; a
+    * template-stamped source shows a much higher K (mass concentrated in
+    * few types) than organic prose. Σ m²·V_m ≡ Σ_types c², so one
+    * (source, token) count feeds it directly. Reported as
+    * yule_k_x100 = (Σc² − N)·10⁶ div N² — exact BIGINT at the harness
+    * scales (the docstring bound: |Σc²·10⁶| < 2⁶³ up to ~3·10⁶ tokens
+    * per source; beyond that the 100 TB path is the same query over
+    * DECIMAL(38,0), a type change, not a plan change).
+    *
+    * Shape: one explode → one (source, token) map-combined count → one
+    * per-source rollup; output one row per source (q183's exact shape —
+    * the two richness views share a scan in a fused pipeline).
+    */
+  def yuleK(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .withColumn("yule_k_x100",
+        expr("(sum_c2 - n_tokens) * 1000000 div (n_tokens * n_tokens)"))
+      .select(col("source"), col("n_tokens"), col("v_types"),
+        col("sum_c2"), col("yule_k_x100"))
+
+  def q232YuleK(s: SparkSession, dir: String): DataFrame =
+    yuleK(tbl(s, dir, "documents")).orderBy(col("source"))
+
+  // ----------------------------------------------------- Token burstiness
+
+  /** q233: TOKEN BURSTINESS — the across-document Fano factor
+    * (variance-to-mean ratio of per-document counts, zeros included) for
+    * the top-20 corpus tokens (Church & Gale, "Poisson mixtures", 1995):
+    * function words arrive ≈ Poisson (fano ≈ 1), content/topic words are
+    * bursty (a doc that mentions one mentions it many times — fano ≫ 1),
+    * and boilerplate stamped once per page undershoots. With D docs,
+    * T = Σc total occurrences and S2 = Σc² over the docs containing the
+    * token, var/mean over ALL D docs collapses to the closed form
+    *
+    *   fano_x1000 = (D·S2 − T²) · 1000 div (D·T)
+    *
+    * — absent docs contribute zeros without ever materializing them (the
+    * q202 absent-source fold). Top-20 by (total desc, tok) via the
+    * vocabulary-sized ranking window (q153/q211's one legitimate small
+    * global sort).
+    *
+    * Shape: one explode → one (doc, token) map-combined count → one
+    * token-keyed rollup (vocabulary-sized) → the 20-row cut; the D
+    * scalar enters as a 1-row broadcast cross join (the repo's
+    * O(1)-scalar discipline).
+    */
+  def burstiness(docs: DataFrame, k: Int = 20): DataFrame = {
+    val d = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("total_c"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("s2"))
+    val w = Window.orderBy(col("total_c").desc, col("tok"))
+    tok.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .crossJoin(broadcast(d))
+      .withColumn("mean_x1000", expr("total_c * 1000 div n_docs"))
+      .withColumn("fano_x1000",
+        expr("(n_docs * s2 - total_c * total_c) * 1000 div (n_docs * total_c)"))
+      .withColumn("bursty", col("fano_x1000") > 2000)
+      .select(col("rank"), col("tok"), col("total_c"), col("df"),
+        col("mean_x1000"), col("fano_x1000"), col("bursty"))
+  }
+
+  def q233Burstiness(s: SparkSession, dir: String): DataFrame =
+    burstiness(tbl(s, dir, "documents")).orderBy(col("rank"))
+
+  // ------------------------------------------------- Stylometric distance
+
+  /** q236: STYLOMETRIC SOURCE DISTANCE — a pairwise chi-squared distance
+    * between sources over the corpus's top-30 most frequent words
+    * (Burrows' "Delta" frame, Literary & Linguistic Computing 2002, with
+    * Kilgarriff's chi-squared corpus-comparison statistic in place of
+    * z-scores — Delta's σ normalization needs an irrational sqrt; χ² is
+    * exact in integers): per source the ×1e6 relative frequency r of
+    * each marker word within the source's marker mass, then per pair
+    *
+    *   chi2_x1e6 = Σ_w (r_a − r_b)² div (r_a + r_b)    over r_a+r_b > 0.
+    *
+    * Near-zero distance between two "different" sources is the mirror /
+    * same-author / same-template signal that corroborates q209's
+    * content-fingerprint view with a purely distributional one (catches
+    * paraphrased mirrors content hashing misses).
+    *
+    * Shape: marker selection is the vocabulary-sized top-30 ranking
+    * (q211 discipline); per-source profiles are |sources|×30 rows that
+    * BROADCAST into the pair join; the corpus pays one (source, token)
+    * map-combined count. The S×S pair table is tiny at any corpus size
+    * (sources, not documents).
+    */
+  def styloChi2(docs: DataFrame, k: Int = 30): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val markers = tc.groupBy(col("tok")).agg(sum(col("c")).as("tc"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tc").desc, col("tok"))))
+      .where(col("rank") <= k)
+      .select(col("tok"))
+    val prof = tc.join(broadcast(markers), "tok")
+      .withColumn("mass", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("r", expr("c * 1000000 div mass"))
+      .select(col("source"), col("tok"), col("r"))
+    prof.as("a").join(prof.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.r").as("ra"), col("b.r").as("rb"))
+      .where(col("ra") + col("rb") > 0)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("(ra - rb) * (ra - rb) div (ra + rb)")).as("chi2_x1e6"))
+      .select(col("src_a"), col("src_b"), col("n_terms"), col("chi2_x1e6"))
+  }
+
+  def q236StyloChi2(s: SparkSession, dir: String): DataFrame =
+    styloChi2(tbl(s, dir, "documents")).orderBy(col("src_a"), col("src_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q182_rake" -> q182Rake _,
     "q183_unseen_vocab" -> q183UnseenVocab _,
     "q184_textrank" -> q184Textrank _,
-    "q188_texttile" -> q188Texttile _)
+    "q188_texttile" -> q188Texttile _,
+    "q231_readability" -> q231Readability _,
+    "q232_yule_k" -> q232YuleK _,
+    "q233_burstiness" -> q233Burstiness _,
+    "q236_stylo_chi2" -> q236StyloChi2 _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -520,5 +720,93 @@ object NlpOps {
          |  md5(s.sent) AS sent_md5
          |FROM ranked r JOIN sent s ON s.doc_id = r.doc_id AND s.idx = r.idx
          |WHERE r.rank <= 2 ORDER BY r.doc_id, r.rank""".stripMargin
-    })
+    },
+    // q231: same token/sentence folds (list HOFs), same ×100 integer
+    // formulas — both divisions have non-negative operands, so Spark's
+    // truncating div and DuckDB's flooring // agree
+    "q231_readability" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter($dkTokens, t -> t <> '') AS toks,
+         |    greatest(1, len(list_filter(
+         |      regexp_split_to_array(lower(trim(text)), '[.!?]+'),
+         |      x -> regexp_matches(x, '[^ \\t\\n\\f\\r\\x0B]')))) AS sents
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+         |      AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(sents AS BIGINT) AS n_sents
+         |  FROM base WHERE len(toks) > 0)
+         |SELECT doc_id, n_chars, n_words, n_sents,
+         |  CAST(471 * n_chars // n_words + 50 * n_words // n_sents - 2143
+         |    AS BIGINT) AS ari_x100,
+         |  CAST(588 * n_chars // n_words - 2960 * n_sents // n_words - 1580
+         |    AS BIGINT) AS cli_x100,
+         |  CASE WHEN 471 * n_chars // n_words + 50 * n_words // n_sents - 2143
+         |         < 500 THEN 'elementary'
+         |       WHEN 471 * n_chars // n_words + 50 * n_words // n_sents - 2143
+         |         < 900 THEN 'middle'
+         |       WHEN 471 * n_chars // n_words + 50 * n_words // n_sents - 2143
+         |         < 1300 THEN 'high'
+         |       ELSE 'college' END AS band
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // q232: same (source, token) spectrum; Σc² ≥ Σc so the one division's
+    // numerator is non-negative
+    "q232_yule_k" ->
+      s"""WITH tk AS (SELECT source, unnest($dkTokens) AS tok FROM documents),
+         |tc AS (SELECT source, tok, COUNT(*) AS c FROM tk
+         |       WHERE tok <> '' GROUP BY source, tok),
+         |agg AS (SELECT source, SUM(c) AS n_tokens, COUNT(*) AS v_types,
+         |               SUM(c * c) AS sum_c2
+         |        FROM tc GROUP BY source)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(v_types AS BIGINT) AS v_types,
+         |  CAST(sum_c2 AS BIGINT) AS sum_c2,
+         |  CAST((sum_c2 - n_tokens) * 1000000 // (n_tokens * n_tokens)
+         |    AS BIGINT) AS yule_k_x100
+         |FROM agg ORDER BY source""".stripMargin,
+    // q233: same (doc, token) counts, closed-form Fano with zeros folded;
+    // D·S2 ≥ T² (Cauchy–Schwarz) keeps the numerator non-negative
+    "q233_burstiness" ->
+      s"""WITH d AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+         |       WHERE tok <> '' GROUP BY doc_id, tok),
+         |t AS (SELECT tok, SUM(c) AS total_c, COUNT(*) AS df,
+         |             SUM(c * c) AS s2
+         |      FROM tc GROUP BY tok),
+         |r AS (SELECT tok, total_c, df, s2,
+         |        row_number() OVER (ORDER BY total_c DESC, tok) AS rank
+         |      FROM t)
+         |SELECT CAST(rank AS BIGINT) AS rank, tok,
+         |  CAST(total_c AS BIGINT) AS total_c, CAST(df AS BIGINT) AS df,
+         |  CAST(total_c * 1000 // n_docs AS BIGINT) AS mean_x1000,
+         |  CAST((n_docs * s2 - total_c * total_c) * 1000
+         |    // (n_docs * total_c) AS BIGINT) AS fano_x1000,
+         |  ((n_docs * s2 - total_c * total_c) * 1000
+         |    // (n_docs * total_c)) > 2000 AS bursty
+         |FROM r, d WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q236: same top-30 marker cut, same ×1e6 per-source profile, same
+    // per-term chi-squared fold ((ra−rb)² ≥ 0 keeps div/floor identical)
+    "q236_stylo_chi2" ->
+      s"""WITH tk AS (SELECT source, unnest($dkTokens) AS tok FROM documents),
+         |tc AS (SELECT source, tok, COUNT(*) AS c FROM tk
+         |       WHERE tok <> '' GROUP BY source, tok),
+         |tot AS (SELECT tok, SUM(c) AS tcc FROM tc GROUP BY tok),
+         |mk AS (SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY tcc DESC, tok) AS rank
+         |    FROM tot) WHERE rank <= 30),
+         |prof AS (
+         |  SELECT source, tc.tok,
+         |    c * 1000000 // SUM(c) OVER (PARTITION BY source) AS r
+         |  FROM tc JOIN mk ON mk.tok = tc.tok)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM((a.r - b.r) * (a.r - b.r) // (a.r + b.r)) AS BIGINT)
+         |    AS chi2_x1e6
+         |FROM prof a JOIN prof b ON a.tok = b.tok AND a.source < b.source
+         |WHERE a.r + b.r > 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -3692,7 +3692,58 @@ object TextOps {
       .orderBy(col("fp"))
   }
 
+  /** q235: POSTING-LIST COMPRESSION ACCOUNTING — the d-gap + Elias-γ /
+    * varint size model every inverted-index storage decision runs on
+    * (Witten, Moffat & Bell, "Managing Gigabytes", ch. 3): per term the
+    * doc-id postings (q97's index family) delta-encode as gaps
+    * (first gap = doc_id + 1, so ids start anywhere ≥ 0), and each gap g
+    * costs `2·bitlen(g) − 1` bits under Elias-γ or `8·⌈bitlen(g)/7⌉`
+    * bits under LEB128 varint, vs the 32-bit fixed baseline. Rolled up
+    * by df-octave (`bitlen(df) − 1`, the q211 staircase device): the
+    * wins concentrate in the high-df octaves (stop-word lists have tiny
+    * gaps), exactly the distribution that decides "compress postings or
+    * don't build the index". Ratios reported as ×10000 bp of the fixed
+    * baseline (both operands non-negative — div/floor identical).
+    *
+    * Shape: one explode → distinct (token, doc_id) → ONE token-keyed
+    * window (the same shuffle that builds the index itself — this audit
+    * is free if fused with q97) → vocabulary-sized term rollup → ≤64-row
+    * octave rollup.
+    */
+  def q235PostingCompress(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+      .where(col("tok") =!= "")
+      .distinct()
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val gaps = post
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1))
+      .withColumn("bl", (length(bin(col("gap")))).cast("long"))
+    val term = gaps.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(lit(2L) * col("bl") - 1L).as("gamma_bits"),
+        sum(lit(8L) * expr("(bl + 6) div 7")).as("varint_bits"))
+    term
+      .withColumn("octave", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        sum(col("gamma_bits")).as("gamma_bits"),
+        sum(col("varint_bits")).as("varint_bits"))
+      .withColumn("fixed_bits", col("n_postings") * 32L)
+      .withColumn("gamma_bp", expr("gamma_bits * 10000 div fixed_bits"))
+      .withColumn("varint_bp", expr("varint_bits * 10000 div fixed_bits"))
+      .select(col("octave"), col("n_terms"), col("n_postings"),
+        col("gamma_bits"), col("varint_bits"), col("fixed_bits"),
+        col("gamma_bp"), col("varint_bp"))
+      .orderBy(col("octave"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_posting_compress" -> q235PostingCompress _,
     "q191_quote_attribution" -> q191QuoteAttribution _,
     "q192_syndication_lag" -> q192SyndicationLag _,
     "q193_idn_spoof" -> q193IdnSpoof _,
@@ -3823,6 +3874,37 @@ object TextOps {
          |ORDER BY dg.doc_id, evg.eval_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q235: same distinct postings, same lag-window gaps, same bitlen
+    // cost model and octave rollup (all operands non-negative)
+    "q235_posting_compress" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT
+        |    unnest(regexp_split_to_array(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+')) AS tok, doc_id
+        |  FROM documents),
+        |g AS (
+        |  SELECT tok,
+        |    length(bin(COALESCE(doc_id - lag(doc_id) OVER
+        |      (PARTITION BY tok ORDER BY doc_id), doc_id + 1))) AS bl
+        |  FROM tk WHERE tok <> ''),
+        |term AS (
+        |  SELECT tok, COUNT(*) AS df, SUM(2 * bl - 1) AS gamma_bits,
+        |    SUM(8 * ((bl + 6) // 7)) AS varint_bits
+        |  FROM g GROUP BY tok),
+        |oct AS (
+        |  SELECT length(bin(df)) - 1 AS octave, COUNT(*) AS n_terms,
+        |    SUM(df) AS n_postings, SUM(gamma_bits) AS gamma_bits,
+        |    SUM(varint_bits) AS varint_bits
+        |  FROM term GROUP BY 1)
+        |SELECT CAST(octave AS BIGINT) AS octave,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_postings AS BIGINT) AS n_postings,
+        |  CAST(gamma_bits AS BIGINT) AS gamma_bits,
+        |  CAST(varint_bits AS BIGINT) AS varint_bits,
+        |  CAST(n_postings * 32 AS BIGINT) AS fixed_bits,
+        |  CAST(gamma_bits * 10000 // (n_postings * 32) AS BIGINT) AS gamma_bp,
+        |  CAST(varint_bits * 10000 // (n_postings * 32) AS BIGINT) AS varint_bp
+        |FROM oct ORDER BY octave""".stripMargin,
     // q191: same wire construction, same two-group regex scan (group-2
     // tails cannot cross a quote char, so match order/extent agree)
     "q191_quote_attribution" -> {
