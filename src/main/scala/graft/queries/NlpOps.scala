@@ -522,6 +522,86 @@ object NlpOps {
   def q236StyloChi2(s: SparkSession, dir: String): DataFrame =
     styloChi2(tbl(s, dir, "documents")).orderBy(col("src_a"), col("src_b"))
 
+  // ---------------------------------------------- Distributional neighbors
+
+  /** q237: DISTRIBUTIONAL NEIGHBORS by SPPMI cosine — the count-based
+    * word-similarity backbone (Levy & Goldberg, NeurIPS 2014 showed
+    * skip-gram factorizes exactly this matrix): each token's context
+    * vector is its shifted-positive-PMI weight against every context
+    * token, built from ADJACENT-pair counts (window 1, both directions),
+    * with the repo's exact-integer bitlen log surrogate
+    * `w = max(0, bitlen(c_xy·N) − bitlen(c_x·c_y))` (the q166 PMI
+    * device). Neighbor ranking uses SQUARED cosine ×1e6 — SPPMI
+    * components are ≥ 0, so dot ≥ 0 and cos² is monotone in cos, and
+    * `dot²·1e6 div (‖a‖²·‖b‖²)` needs no irrational sqrt. Top-3
+    * neighbors per token; the "which words behave alike" table that
+    * drives query expansion and synonym-aware dedup.
+    *
+    * Scale shape: everything after the one (token, context) adjacency
+    * count is VOCABULARY-sized, and both the vector space and the
+    * neighbor self-join are hard-bounded by the top-100 marker cut
+    * (q236's device) + the w > 0 SPPMI sparsification — the context
+    * self-join is ≤ 100² rows joined on ctx at any corpus size. The
+    * corpus pays one zip_with adjacency explode + one map-combined
+    * count.
+    */
+  def q237SppmiNeighbors(s: SparkSession, dir: String, cap: Int = 100,
+                         topK: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val adj = tbl(s, dir, "documents")
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+    // directed both ways so c_x is each token's full adjacency mass
+    val dir2 = adj.select(col("a").as("x"), col("b").as("ctx"))
+      .unionAll(adj.select(col("b").as("x"), col("a").as("ctx")))
+    val cxy = dir2.groupBy(col("x"), col("ctx")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cx = cxy.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+    val top = cx
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cx").desc, col("x"))))
+      .where(col("rank") <= cap)
+      .select(col("x"), col("cx"))
+    val n = cxy.agg(sum(col("c")).as("n"))
+    val vec = cxy
+      .join(broadcast(top), "x")
+      .join(broadcast(top.select(col("x").as("ctx"), col("cx").as("cctx"))),
+        "ctx")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("ctx"),
+        greatest(lit(0L),
+          (length(bin(col("c") * col("n"))) -
+            length(bin(col("cx") * col("cctx")))).cast("long")).as("w"))
+      .where(col("w") > 0)
+      .localCheckpoint()
+    val norms = vec.groupBy(col("x"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+      .where(col("n2") > 0)
+    val dots = vec.as("va").join(vec.as("vb"),
+        col("va.ctx") === col("vb.ctx") && col("va.x") =!= col("vb.x"))
+      .groupBy(col("va.x").as("tok"), col("vb.x").as("nbr"))
+      .agg(sum(col("va.w") * col("vb.w")).as("dot"))
+    val sim = dots
+      .join(broadcast(norms.select(col("x").as("tok"), col("n2").as("na2"))),
+        "tok")
+      .join(broadcast(norms.select(col("x").as("nbr"), col("n2").as("nb2"))),
+        "nbr")
+      .withColumn("cos2_x1e6", expr("dot * dot * 1000000 div (na2 * nb2)"))
+    val w = Window.partitionBy(col("tok"))
+      .orderBy(col("cos2_x1e6").desc, col("nbr"))
+    sim.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("tok"), col("rank"), col("nbr"), col("dot"),
+        col("cos2_x1e6"))
+      .orderBy(col("tok"), col("rank"))
+  }
+
+  def q237Sppmi(s: SparkSession, dir: String): DataFrame =
+    q237SppmiNeighbors(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q182_rake" -> q182Rake _,
     "q183_unseen_vocab" -> q183UnseenVocab _,
@@ -530,7 +610,8 @@ object NlpOps {
     "q231_readability" -> q231Readability _,
     "q232_yule_k" -> q232YuleK _,
     "q233_burstiness" -> q233Burstiness _,
-    "q236_stylo_chi2" -> q236StyloChi2 _)
+    "q236_stylo_chi2" -> q236StyloChi2 _,
+    "q237_sppmi_neighbors" -> q237Sppmi _)
 
   private val dkTokens =
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
@@ -808,5 +889,49 @@ object NlpOps {
          |    AS chi2_x1e6
          |FROM prof a JOIN prof b ON a.tok = b.tok AND a.source < b.source
          |WHERE a.r + b.r > 0
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q237: same adjacency counts (positional self-join replays the
+    // zip_with pairing exactly), same bitlen SPPMI weights, same squared-
+    // cosine ranking — every number an exact BIGINT
+    "q237_sppmi_neighbors" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($dkTokens) AS tok,
+         |         generate_subscripts($dkTokens, 1) AS pos FROM documents),
+         |adj AS (
+         |  SELECT a.tok AS a, b.tok AS b
+         |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.tok <> '' AND b.tok <> ''),
+         |d2 AS (SELECT a AS x, b AS ctx FROM adj
+         |       UNION ALL SELECT b, a FROM adj),
+         |cxy AS (SELECT x, ctx, COUNT(*) AS c FROM d2 GROUP BY x, ctx),
+         |cx AS (SELECT x, SUM(c) AS cx FROM cxy GROUP BY x),
+         |top AS (SELECT x, cx FROM (
+         |    SELECT x, cx, row_number() OVER (ORDER BY cx DESC, x) AS rank
+         |    FROM cx) WHERE rank <= 100),
+         |nn AS (SELECT SUM(c) AS n FROM cxy),
+         |vec0 AS (
+         |  SELECT cxy.x, cxy.ctx,
+         |    greatest(0, length(bin(cxy.c * nn.n)) -
+         |                length(bin(tx.cx * tc.cx))) AS w
+         |  FROM cxy JOIN top tx ON tx.x = cxy.x
+         |           JOIN top tc ON tc.x = cxy.ctx, nn),
+         |vec AS (SELECT x, ctx, w FROM vec0 WHERE w > 0),
+         |norms AS (SELECT x, SUM(w*w) AS n2 FROM vec GROUP BY x
+         |          HAVING SUM(w*w) > 0),
+         |dots AS (
+         |  SELECT va.x AS tok, vb.x AS nbr, SUM(va.w * vb.w) AS dot
+         |  FROM vec va JOIN vec vb ON va.ctx = vb.ctx AND va.x <> vb.x
+         |  GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT tok, nbr, dot,
+         |    dot * dot * 1000000 // (na.n2 * nb.n2) AS cos2
+         |  FROM dots JOIN norms na ON na.x = dots.tok
+         |            JOIN norms nb ON nb.x = dots.nbr),
+         |r AS (SELECT tok, nbr, dot, cos2,
+         |    row_number() OVER (PARTITION BY tok
+         |      ORDER BY cos2 DESC, nbr) AS rank
+         |  FROM sim)
+         |SELECT tok, CAST(rank AS BIGINT) AS rank, nbr,
+         |  CAST(dot AS BIGINT) AS dot, CAST(cos2 AS BIGINT) AS cos2_x1e6
+         |FROM r WHERE rank <= 3 ORDER BY tok, rank""".stripMargin)
 }

@@ -2197,6 +2197,119 @@ object TextOps {
       .orderBy(col("band"))
   }
 
+  /** q238: MAXSCORE / WAND SKIP-RATE AUDIT — the term-upper-bound
+    * pruning analysis behind every dynamic top-k retrieval engine
+    * (Turtle & Flood 1995 MaxScore; Broder et al. CIKM 2003 WAND): for
+    * q92's query, each term's upper bound U_t = max per-doc BM25
+    * contribution; a candidate doc whose Σ U_t over its matching terms
+    * falls below θ (the exact k-th best full score) can be skipped
+    * without scoring. Reports per term (df, U_t) plus the corpus-level
+    * skip accounting — candidates, skippable, skip_bp — i.e. how much of
+    * the postings traversal a MaxScore engine would never touch on this
+    * corpus. Same exact-integer BM25 as q92/q219, so the audit is
+    * oracle-replayable to the last basis point.
+    *
+    * Scale shape: reuses q92's shapes (tf/df map-combined aggregates,
+    * stats broadcast); U_t is a 3-row aggregate; θ is the k-th row of
+    * the scored top-k (TakeOrderedAndProject); the doc-level UB sum is
+    * one more map-combined aggregate over the same matching rows. The
+    * summary scalars re-enter as 1-row broadcasts.
+    */
+  def q238MaxscoreAudit(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "line", "query")
+    val k = 10
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot div n_docs").as("avgdl"))
+    val tf = tk.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        expr("""(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT)
+                |  * 22000 * tf * avgdl)
+                | div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"""
+          .stripMargin).as("term_score"))
+      .localCheckpoint()
+    val ub = scored.groupBy(col("tok"))
+      .agg(max(col("term_score")).as("u_bound"), count(lit(1)).as("df"))
+    val theta = scored.groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .agg(min(col("score")).as("theta"))
+    val docUb = scored
+      .join(broadcast(ub.select(col("tok"), col("u_bound"))), "tok")
+      .groupBy(col("doc_id")).agg(sum(col("u_bound")).as("ub"))
+    val summary = docUb.crossJoin(broadcast(theta))
+      .agg(count(lit(1)).as("candidates"),
+        sum(when(col("ub") < col("theta"), 1L).otherwise(0L))
+          .as("skippable"),
+        max(col("theta")).as("theta"))
+      .withColumn("skip_bp", expr("skippable * 10000 div candidates"))
+    ub.crossJoin(broadcast(summary))
+      .select(col("tok"), col("df"), col("u_bound"), col("theta"),
+        col("candidates"), col("skippable"), col("skip_bp"))
+      .orderBy(col("tok"))
+  }
+
+  /** q239: QUALITY-GATE AUC — the exact Mann–Whitney AUC (with the
+    * standard ½-credit tie correction) of the mean-surprisal signal at
+    * separating repetition-flagged documents (duplicate-token fraction
+    * ≥ 600‰) from the rest: the threshold-free discrimination number a
+    * curation stack reads next to q229's rank agreement (tau says "do
+    * two gates agree", AUC says "does this gate separate THAT failure
+    * mode at all"). AUC = P(score_pos > score_neg) + ½·P(=), computed
+    * WITHOUT the O(P·N) pair join via the rank-sum identity: group docs
+    * by distinct score, running sum of negatives below each score group,
+    * numerator·2 = Σ_s (2·p_s·cumneg_s + p_s·n_s) — every term an exact
+    * BIGINT, auc_x1e6 = num2·10⁶ div (2·P·N). On real text, repetition
+    * implies low surprisal and AUC lands well below 500000 (reversed
+    * polarity); on THIS harness corpus the 31-type vocabulary (q211's
+    * finding) compresses the surprisal range so AUC ≈ 495000 — the same
+    * tie-domination q229 reports, visible not hidden.
+    *
+    * Scale shape: the surprisal signal is q55's broadcast-vocab explode +
+    * doc-keyed aggregate; the label is a stateless HOF projection; the
+    * rank-sum runs over DISTINCT SCORES (a few hundred values at any
+    * corpus size — the q153 small-global-window case), never over docs.
+    */
+  def q239GateAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val bits = length(bin(col("total"))) - length(bin(col("cnt")))
+    val x = tk.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"), sum(bits.cast("long")).as("sbits"))
+      .select(col("doc_id"), expr("(100 * sbits) div words").as("x"))
+    val t = tokens(col("text"))
+    val lab = docs.select(col("doc_id"),
+        size(t).cast("long").as("w"),
+        size(array_distinct(t)).cast("long").as("u"))
+      .select(col("doc_id"),
+        when(expr("(1000 * (w - u)) div w") >= 600, 1L).otherwise(0L)
+          .as("lab"))
+    val byScore = x.join(lab, "doc_id")
+      .groupBy(col("x"))
+      .agg(sum(col("lab")).as("p"), sum(lit(1L) - col("lab")).as("n"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cumneg", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("pos"), sum(col("n")).as("neg"),
+        count(lit(1)).as("n_scores"),
+        sum(lit(2L) * col("p") * col("cumneg") + col("p") * col("n"))
+          .as("num2"))
+      .select(col("pos"), col("neg"), col("n_scores"), col("num2"),
+        expr("num2 * 1000000 div (2 * pos * neg)").as("auc_x1e6"))
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3744,6 +3857,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_posting_compress" -> q235PostingCompress _,
+    "q238_maxscore_audit" -> q238MaxscoreAudit _,
+    "q239_gate_auc" -> q239GateAuc _,
     "q191_quote_attribution" -> q191QuoteAttribution _,
     "q192_syndication_lag" -> q192SyndicationLag _,
     "q193_idn_spoof" -> q193IdnSpoof _,
@@ -5044,6 +5159,76 @@ object TextOps {
          |    ' ') AS snippet
          |FROM p WHERE pos IS NOT NULL AND pos > 0
          |ORDER BY doc_id, term""".stripMargin,
+    // q238: q92's exact-integer BM25 CTEs + the MaxScore upper-bound /
+    // k-th-score-threshold accounting (all operands non-negative)
+    "q238_maxscore_audit" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+         |       FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN ('dup','line','query') GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    (CAST(length(bin((SELECT n_docs FROM st)))
+         |       - length(bin(df.df)) AS BIGINT)
+         |     * 22000 * tf.tf * (SELECT avgdl FROM st))
+         |    // (10 * (SELECT avgdl FROM st) * tf.tf
+         |        + 3 * (SELECT avgdl FROM st) + 9 * dl.dl) AS term_score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)),
+         |ub AS (SELECT tok, MAX(term_score) AS u_bound, COUNT(*) AS df
+         |       FROM sc GROUP BY tok),
+         |fs AS (SELECT doc_id, SUM(term_score) AS score FROM sc
+         |       GROUP BY doc_id),
+         |th AS (SELECT MIN(score) AS theta FROM (
+         |    SELECT score FROM fs ORDER BY score DESC, doc_id LIMIT 10)),
+         |du AS (SELECT sc.doc_id, SUM(ub.u_bound) AS ubv
+         |       FROM sc JOIN ub USING (tok) GROUP BY sc.doc_id),
+         |sm AS (SELECT COUNT(*) AS candidates,
+         |         SUM(CASE WHEN du.ubv < th.theta THEN 1 ELSE 0 END)
+         |           AS skippable,
+         |         MAX(th.theta) AS theta
+         |       FROM du, th)
+         |SELECT ub.tok, CAST(ub.df AS BIGINT) AS df,
+         |  CAST(ub.u_bound AS BIGINT) AS u_bound,
+         |  CAST(sm.theta AS BIGINT) AS theta,
+         |  CAST(sm.candidates AS BIGINT) AS candidates,
+         |  CAST(sm.skippable AS BIGINT) AS skippable,
+         |  CAST(sm.skippable * 10000 // sm.candidates AS BIGINT) AS skip_bp
+         |FROM ub, sm ORDER BY ub.tok""".stripMargin,
+    // q239: same surprisal signal (q229's x over all docs), same 600‰
+    // repetition label, and the tie-corrected rank-sum AUC identity —
+    // the window runs over DISTINCT scores only
+    "q239_gate_auc" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |tot AS (SELECT SUM(cnt) AS total FROM freq),
+         |x AS (
+         |  SELECT doc_id,
+         |    (100 * SUM(length(bin((SELECT total FROM tot)))
+         |       - length(bin(freq.cnt)))) // COUNT(*) AS x
+         |  FROM tk JOIN freq USING (tok) GROUP BY doc_id),
+         |lb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (1000 * (len(tks) - len(list_distinct(tks))))
+         |           // len(tks) >= 600 THEN 1 ELSE 0 END AS lab
+         |  FROM (SELECT doc_id, $dkTokens AS tks FROM documents)),
+         |bs AS (SELECT x.x, SUM(lb.lab) AS p, SUM(1 - lb.lab) AS n
+         |       FROM x JOIN lb USING (doc_id) GROUP BY x.x),
+         |cm AS (SELECT x, p, n,
+         |    COALESCE(SUM(n) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumneg
+         |  FROM bs)
+         |SELECT CAST(SUM(p) AS BIGINT) AS pos, CAST(SUM(n) AS BIGINT) AS neg,
+         |  CAST(COUNT(*) AS BIGINT) AS n_scores,
+         |  CAST(SUM(2*p*cumneg + p*n) AS BIGINT) AS num2,
+         |  CAST(SUM(2*p*cumneg + p*n) * 1000000
+         |    // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_x1e6
+         |FROM cm""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
