@@ -938,7 +938,98 @@ object ClusterOps {
     harmonicCentrality(e, seedMod = 17, rounds = 8).orderBy(col("node"))
   }
 
+  /** Directed-reachability fixpoint from one seed: frontier-expansion
+    * rounds (one frontier⋈edges equi-join + one anti-join each,
+    * localCheckpointed — [[harmonicCentrality]]'s per-seed shape) until
+    * the frontier empties, with an O(1) emptiness read-back per round and
+    * a hard round cap. Runs to the TRUE fixpoint, so the DuckDB
+    * recursive-CTE replay agrees at any graph diameter.
+    */
+  private def reachableFrom(e: DataFrame, seed: Long,
+                            maxRounds: Int = 64): DataFrame = {
+    var reach = e.sparkSession.range(1)
+      .select(lit(seed).as("node")).localCheckpoint()
+    var frontier = reach
+    var r = 0
+    var done = false
+    while (!done) {
+      r += 1
+      require(r <= maxRounds, s"reachability exceeded $maxRounds rounds")
+      val stepped = frontier.select(col("node").as("src")).join(e, "src")
+        .select(col("dst").as("node")).distinct()
+      val nxt = stepped.join(reach, Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else { reach = reach.unionByName(nxt).localCheckpoint(); frontier = nxt }
+    }
+    reach
+  }
+
+  /** q241: BOW-TIE DECOMPOSITION — the canonical macro-structure census
+    * of a directed webgraph (Broder et al., "Graph structure in the
+    * Web", WWW 2000): anchored at a deterministic seed (the smallest
+    * node id, the audit stand-in for "a node of the giant SCC"), forward
+    * reachability F and backward reachability B classify every node as
+    * SCC (F∩B — mutually reachable with the seed), IN (B only — feeds
+    * the core but unreachable from it), OUT (F only — fed by the core,
+    * no way back), or OTHER (neither — tendrils/tubes/disconnected,
+    * folded honestly into one bucket; separating tendrils needs
+    * secondary BFS passes this census doesn't pay for). The IN/OUT
+    * balance is the crawl-frontier health number: a crawler seeded in
+    * IN discovers the core, one seeded in OUT never escapes it.
+    *
+    * Scale shape: two reachability fixpoints ([[reachableFrom]], the
+    * harmonic-BFS per-round shape — backward = the same loop over
+    * reversed edges), then one node-keyed classification join pair and
+    * a 4-row aggregate; share_bp exact-integer against the node count.
+    */
+  def q241Bowtie(s: SparkSession, dir: String): DataFrame = {
+    // q159's allowed-pair mask: the raw mod-100 graph saturates at the
+    // harness scales (every node mutually reachable ⇒ the census
+    // degenerates to one all-SCC row); the mask keeps the graph sparse
+    // and DIRECTED enough that IN/OUT/OTHER stay populated
+    val e = tbl(s, dir, "lineitem")
+      .select((col("l_orderkey") % 100).as("src"),
+        (col("l_suppkey") % 100).as("dst"))
+      .where(col("src") =!= col("dst") &&
+        (col("src") * 31 + col("dst") * 17) % 10 < col("src") % 3)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // seed = smallest node with BOTH an out-link and an in-link (a
+    // source-only or sink-only seed collapses F or B to itself and the
+    // census loses its OUT/IN side)
+    val seed = e.select(col("src").as("node"))
+      .intersect(e.select(col("dst").as("node")))
+      .agg(min(col("node"))).head.getLong(0)
+    val f = reachableFrom(e, seed)
+      .select(col("node"), lit(1).as("inf"))
+    val b = reachableFrom(
+      e.select(col("dst").as("src"), col("src").as("dst")), seed)
+      .select(col("node"), lit(1).as("inb"))
+    val tot = nodes.agg(count(lit(1)).as("n_total"))
+    // node-keyed equi-joins, NOT broadcast: at web scale F and B are
+    // core-sized (billions) — membership must shuffle on the node key
+    nodes
+      .join(f, Seq("node"), "left")
+      .join(b, Seq("node"), "left")
+      .select(
+        when(col("inf").isNotNull && col("inb").isNotNull, "scc")
+          .when(col("inb").isNotNull, "in")
+          .when(col("inf").isNotNull, "out")
+          .otherwise("other").as("component"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_nodes * 10000 div n_total"))
+      .select(col("component"), col("n_nodes"), col("n_total"),
+        col("share_bp"))
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_bowtie" -> q241Bowtie _,
     "q199_harmonic" -> q199Harmonic _,
     "q170_label_prop" -> q170LabelProp _,
     "q181_modularity" -> q181Modularity _,
@@ -999,6 +1090,42 @@ object ClusterOps {
   val oracles: Map[String, String] = Map(
     // q199: recursive walk with set-dedup (UNION) bounded at d<8; MIN(d)
     // over the deduped (seed,node,d) rows equals the BFS first-discovery
+    // q241: forward/backward reachability as recursive walks (UNION —
+    // the set-dedup form — bounds both recursions; the Spark side runs
+    // its frontier loop to the true fixpoint so depth needs no cap
+    // agreement), then the same 4-way classification and exact shares
+    "q241_bowtie" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst
+        |      FROM lineitem WHERE l_orderkey % 100 <> l_suppkey % 100
+        |        AND (l_orderkey % 100 * 31 + l_suppkey % 100 * 17) % 10
+        |            < l_orderkey % 100 % 3),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |sd AS (SELECT MIN(node) AS seed FROM (
+        |  SELECT src AS node FROM e INTERSECT SELECT dst FROM e)),
+        |fwd(node) AS (
+        |  SELECT seed FROM sd
+        |  UNION
+        |  SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node),
+        |bwd(node) AS (
+        |  SELECT seed FROM sd
+        |  UNION
+        |  SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node),
+        |cls AS (
+        |  SELECT n.node,
+        |    CASE WHEN n.node IN (SELECT node FROM fwd)
+        |          AND n.node IN (SELECT node FROM bwd) THEN 'scc'
+        |         WHEN n.node IN (SELECT node FROM bwd) THEN 'in'
+        |         WHEN n.node IN (SELECT node FROM fwd) THEN 'out'
+        |         ELSE 'other' END AS component
+        |  FROM nodes n),
+        |tot AS (SELECT COUNT(*) AS n_total FROM nodes)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(tot.n_total AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) * 10000 // tot.n_total AS BIGINT) AS share_bp
+        |FROM cls, tot GROUP BY component, tot.n_total
+        |ORDER BY component""".stripMargin,
     "q199_harmonic" ->
       """WITH RECURSIVE
         |e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_suppkey % 100 AS dst

@@ -297,6 +297,51 @@ object VectorOps {
       .limit(topK)
   }
 
+  /** q240: K-CENTER CORESET SELECTION — greedy farthest-first traversal
+    * (Gonzalez, TCS 1985; the coreset construction behind k-center data
+    * pruning / active-learning selection, Sener & Savarese ICLR 2018):
+    * seed = smallest vec_id, then k−1 rounds of "select the point whose
+    * distance to the selected set is largest" (ties on the ×1000 grid
+    * break to the smaller vec_id). Emits each pick's selection distance
+    * (a 2-approximation of the optimal k-center radius at every prefix —
+    * the classical guarantee) and the final coverage radius, the
+    * "how well do 8 exemplars summarize this corpus" number a
+    * data-selection pass reads before spending training tokens.
+    *
+    * Scale shape: every round is ONE narrow projection (selected vectors
+    * ride as expression literals — the [[assign]] zero-shuffle pattern)
+    * + one TakeOrderedAndProject(1); the per-round driver read-back is a
+    * single row (the k-means centroid-fetch budget). Distances land on
+    * the ×1000 grid before any comparison, so selection — and therefore
+    * the whole cascade — replays identically in the DuckDB oracle
+    * (the q218 grid discipline).
+    */
+  def q240KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val vecs = emb(s, dir).select(col("vec_id"), col("e")).localCheckpoint()
+    def d1000(v: Seq[Double]): Column =
+      round(lit(1000) * sqDist(col("e"), typedlit(v))).cast("long")
+    val seed = vecs.orderBy(col("vec_id")).limit(1).head
+    var sel = Vector((seed.getLong(0), seed.getSeq[Double](1), 0L))
+    def minDist: Column = {
+      val ds = sel.map(t => d1000(t._2))
+      if (ds.length == 1) ds.head else least(ds: _*)
+    }
+    for (_ <- 2 to k) {
+      val next = vecs.select(col("vec_id"), col("e"), minDist.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).head
+      sel = sel :+ ((next.getLong(0), next.getSeq[Double](1),
+        next.getLong(2)))
+    }
+    val cover = vecs.select(minDist.as("md"))
+      .agg(max(col("md"))).head.getLong(0)
+    import s.implicits._
+    sel.zipWithIndex.map { case ((id, _, d), i) =>
+      (i + 1L, id, d, cover)
+    }.toDF("rank", "vec_id", "dist_x1000", "cover_x1000")
+      .orderBy(col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space with the SAME k-means coarse quantizer the IVF index trains
@@ -824,6 +869,7 @@ object VectorOps {
     "q52_ann_ivf" -> q52AnnIvf _,
     "q94_semdedup" -> q94SemDedup _,
     "q141_pq_ann" -> q141PqAnn _,
+    "q240_kcenter_coreset" -> q240KcenterCoreset _,
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =
@@ -834,6 +880,36 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q240: the 8 greedy rounds unrolled as CTE pairs (argmax, then
+    // mindist refresh); sqDist via the dot identity, same ×1000 grid
+    "q240_kcenter_coreset" -> {
+      def sq(a: String, b: String) =
+        s"""CAST(round(1000*(list_dot_product($a,$a)
+           | - 2*list_dot_product($a,$b) + list_dot_product($b,$b)))
+           | AS BIGINT)""".stripMargin.replace("\n", "")
+      val rounds = (2 to 8).map { r =>
+        s"""s$r AS (SELECT vec_id, v, md FROM d${r - 1}
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |d$r AS (SELECT d.vec_id, d.v,
+           |  LEAST(d.md, ${sq("d.v", "s.v")}) AS md
+           |  FROM d${r - 1} d, s$r s)""".stripMargin
+      }.mkString(",\n")
+      val sel = (2 to 8).map(r =>
+        s"UNION ALL SELECT $r AS rank, vec_id, md FROM s$r").mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, ${sq("e.v", "s.v")} AS md
+         |  FROM e, s1 s),
+         |$rounds,
+         |cov AS (SELECT MAX(md) AS cover FROM d8),
+         |sel AS (SELECT 1 AS rank, vec_id, 0 AS md FROM s1
+         |$sel)
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(md AS BIGINT) AS dist_x1000,
+         |  CAST(cover AS BIGINT) AS cover_x1000
+         |FROM sel, cov ORDER BY rank""".stripMargin
+    },
     // q226: same x1000 ranking grid; reciprocal-rank metrics are exact
     // integer division, queries with no relevant docs excluded identically
     "q226_retrieval_eval" ->
