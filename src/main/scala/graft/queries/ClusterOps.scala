@@ -381,13 +381,18 @@ object ClusterOps {
     * identical to q53; the L1 normalizer is an O(1) scalar read-back per
     * round (same budget as the fixpoint stamps).
     */
-  def q234EigenKatz(s: SparkSession, dir: String): DataFrame = {
-    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
-    val e = tbl(s, dir, "lineitem")
+  def q234EigenKatz(s: SparkSession, dir: String): DataFrame =
+    eigenKatz(tbl(s, dir, "lineitem")
       .select((col("l_orderkey") % 100).as("src"), (col("l_suppkey") % 100).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+
+  /** Bare API for [[q234EigenKatz]]: both centrality chains over an
+    * arbitrary `(src, dst)` edge table.
+    */
+  def eigenKatz(edges: DataFrame): DataFrame = {
+    def round9(c: org.apache.spark.sql.Column) = round(c * 1e9) / 1e9
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -983,18 +988,23 @@ object ClusterOps {
     * reversed edges), then one node-keyed classification join pair and
     * a 4-row aggregate; share_bp exact-integer against the node count.
     */
-  def q241Bowtie(s: SparkSession, dir: String): DataFrame = {
+  def q241Bowtie(s: SparkSession, dir: String): DataFrame =
     // q159's allowed-pair mask: the raw mod-100 graph saturates at the
     // harness scales (every node mutually reachable ⇒ the census
     // degenerates to one all-SCC row); the mask keeps the graph sparse
     // and DIRECTED enough that IN/OUT/OTHER stay populated
-    val e = tbl(s, dir, "lineitem")
+    bowtie(tbl(s, dir, "lineitem")
       .select((col("l_orderkey") % 100).as("src"),
         (col("l_suppkey") % 100).as("dst"))
       .where(col("src") =!= col("dst") &&
         (col("src") * 31 + col("dst") * 17) % 10 < col("src") % 3)
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+
+  /** Bare API for [[q241Bowtie]]: the census over an arbitrary
+    * `(src, dst)` edge table.
+    */
+  def bowtie(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // seed = smallest node with BOTH an out-link and an in-link (a

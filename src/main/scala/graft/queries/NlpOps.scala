@@ -545,10 +545,10 @@ object NlpOps {
     * corpus pays one zip_with adjacency explode + one map-combined
     * count.
     */
-  def q237SppmiNeighbors(s: SparkSession, dir: String, cap: Int = 100,
-                         topK: Int = 3): DataFrame = {
+  def sppmiNeighbors(docs: DataFrame, cap: Int = 100,
+                     topK: Int = 3): DataFrame = {
     val t = tokens(col("text"))
-    val adj = tbl(s, dir, "documents")
+    val adj = docs
       .select(explode(zip_with(
         slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
@@ -600,7 +600,7 @@ object NlpOps {
   }
 
   def q237Sppmi(s: SparkSession, dir: String): DataFrame =
-    q237SppmiNeighbors(s, dir)
+    sppmiNeighbors(tbl(s, dir, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q182_rake" -> q182Rake _,

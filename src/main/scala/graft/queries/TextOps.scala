@@ -2215,10 +2215,15 @@ object TextOps {
     * one more map-combined aggregate over the same matching rows. The
     * summary scalars re-enter as 1-row broadcasts.
     */
-  def q238MaxscoreAudit(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("dup", "line", "query")
-    val k = 10
-    val tk = tbl(s, dir, "documents")
+  def q238MaxscoreAudit(s: SparkSession, dir: String): DataFrame =
+    maxscoreAudit(tbl(s, dir, "documents"), Seq("dup", "line", "query"), 10)
+
+  /** Bare API for [[q238MaxscoreAudit]]: the skip-rate audit for `terms`
+    * at top-`k` over an arbitrary `(doc_id, text)` table.
+    */
+  def maxscoreAudit(docs: DataFrame, terms: Seq[String],
+                    k: Int): DataFrame = {
+    val tk = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
@@ -2277,9 +2282,16 @@ object TextOps {
     * rank-sum runs over DISTINCT SCORES (a few hundred values at any
     * corpus size — the q153 small-global-window case), never over docs.
     */
-  def q239GateAuc(s: SparkSession, dir: String): DataFrame = {
+  def q239GateAuc(s: SparkSession, dir: String): DataFrame =
+    gateAuc(tbl(s, dir, "documents"), 600L)
+
+  /** Bare API for [[q239GateAuc]]: AUC of the surprisal signal against
+    * the `dupfrac ≥ labThreshold`‰ label over an arbitrary
+    * `(doc_id, text)` table.
+    */
+  def gateAuc(documents: DataFrame, labThreshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = documents.select(col("doc_id"), col("text"))
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
@@ -2293,7 +2305,7 @@ object TextOps {
         size(t).cast("long").as("w"),
         size(array_distinct(t)).cast("long").as("u"))
       .select(col("doc_id"),
-        when(expr("(1000 * (w - u)) div w") >= 600, 1L).otherwise(0L)
+        when(expr("(1000 * (w - u)) div w") >= labThreshold, 1L).otherwise(0L)
           .as("lab"))
     val byScore = x.join(lab, "doc_id")
       .groupBy(col("x"))

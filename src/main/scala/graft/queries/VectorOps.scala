@@ -316,9 +316,16 @@ object VectorOps {
     * the whole cascade — replays identically in the DuckDB oracle
     * (the q218 grid discipline).
     */
-  def q240KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val vecs = emb(s, dir).select(col("vec_id"), col("e")).localCheckpoint()
+  def q240KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    kcenterSelect(emb(s, dir).select(col("vec_id"), col("e")), k = 8)
+
+  /** Bare API for [[q240KcenterCoreset]]: greedy k-center over an
+    * arbitrary `(vec_id, e: array<double>)` table.
+    */
+  def kcenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+    val s = vectors.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val vecs = vectors.select(col("vec_id"), col("e")).localCheckpoint()
     def d1000(v: Seq[Double]): Column =
       round(lit(1000) * sqDist(col("e"), typedlit(v))).cast("long")
     val seed = vecs.orderBy(col("vec_id")).limit(1).head

@@ -400,4 +400,42 @@ class ClusterOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(r3 === got)
   }
+
+  test("bowtie: hand graph classifies SCC / IN / OUT / OTHER exactly") {
+    val s = spark; import s.implicits._
+    // 0 -> 1 <-> 2 -> 3 ; 0 -> 4 ; 5 -> 6
+    // seed = min(src ∩ dst) = 1; F(1)={1,2,3}, B(1)={0,1,2}
+    // scc {1,2}, in {0}, out {3}, other {4,5,6} of 7 nodes
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = ClusterOps.bowtie(e).collect()
+      .map(r => (r.getAs[String]("component"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("share_bp"))).toSet
+    assert(got === Set(
+      ("scc", 2L, 7L, 2857L), ("in", 1L, 7L, 1428L),
+      ("out", 1L, 7L, 1428L), ("other", 3L, 7L, 4285L)))
+  }
+
+  test("eigenKatz: matches a sequential double-precision reference") {
+    val s = spark; import s.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    def round9(x: Double): Double = math.round(x * 1e9) / 1e9
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var eig = nodes.map(_ -> 1.0).toMap
+    var kat = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val raw = nodes.map(v => v -> round9(
+        edges.filter(_._2 == v).map(e => eig(e._1)).sum)).toMap
+      val s1 = raw.values.sum
+      eig = raw.map { case (v, x) => v -> round9(x / s1) }
+      kat = nodes.map(v => v -> round9(
+        1.0 + 0.1 * edges.filter(_._2 == v).map(e => kat(e._1)).sum)).toMap
+    }
+    val want = nodes.map(v => (v, math.round(eig(v) * 1e9),
+      math.round(kat(v) * 1e9))).toSet
+    val got = ClusterOps.eigenKatz(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("eig_x1e9"),
+        r.getAs[Long]("katz_x1e9"))).toSet
+    assert(got === want)
+  }
 }

@@ -110,4 +110,58 @@ class NlpSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s1", 7L, 4L, 2L, 1L, 285714L, 600L),
       ("s2", 2L, 2L, 2L, 0L, 1000000L, 300L)))
   }
+
+  test("readability: hand-computed ARI / CLI on a planted doc") {
+    // tokens: the(3) cat(3) sat.(4) it(2) ran(3) fast!(5)
+    //   -> chars 20, words 6; sentences: "the cat sat" / " it ran fast" -> 2
+    // ari_x100 = 471*20 div 6 + 50*6 div 2 - 2143 = 1570 + 150 - 2143 = -423
+    // cli_x100 = 588*20 div 6 - 2960*2 div 6 - 1580 = 1960 - 986 - 1580 = -606
+    val out = NlpOps.readability(docs(Seq((1L, "the cat sat. it ran fast!"))))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_chars") === 20L)
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("n_sents") === 2L)
+    assert(r.getAs[Long]("ari_x100") === -423L)
+    assert(r.getAs[Long]("cli_x100") === -606L)
+    assert(r.getAs[String]("band") === "elementary")
+  }
+
+  test("readability: fragment-only doc floors sentences at 1, empty doc drops") {
+    val out = NlpOps.readability(docs(Seq((1L, "no terminator here"),
+      (2L, "   ")))).collect()
+    assert(out.length === 1, "whitespace-only doc has 0 words and is dropped")
+    assert(out.head.getAs[Long]("n_sents") === 1L)
+  }
+
+  test("burstiness: constant-per-doc token fano 0, single-doc burst fano 9000") {
+    // "uniform" once in each of 10 docs: D=10 T=10 S2=10
+    //   -> fano = (10*10 - 100)*1000 div (10*10) = 0 (sub-Poisson)
+    // "bursty" 10x in one doc: T=10 S2=100
+    //   -> fano = (10*100 - 100)*1000 div 100 = 9000
+    val rows = (0L until 10L).map { i =>
+      val burst = if (i == 0) " bursty" * 10 else ""
+      (i, s"filler$i uniform$burst")
+    }
+    val out = NlpOps.burstiness(docs(rows)).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("fano_x1000"), r.getAs[Boolean]("bursty"))).toMap
+    assert(out("uniform") === ((0L, false)))
+    assert(out("bursty") === ((9000L, true)))
+  }
+
+  test("SPPMI: constructed synonyms are mutual top neighbors at cos2 = 1e6") {
+    // alpha and beta occur in IDENTICAL contexts (left/right), so their
+    // SPPMI vectors are equal -> squared cosine exactly 1e6; no other
+    // token shares a context with them.
+    val d = docs(Seq((1L, "alpha left alpha right"),
+      (2L, "beta left beta right")))
+    val out = NlpOps.sppmiNeighbors(d).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("nbr"), r.getAs[Long]("cos2_x1e6"))).toMap
+    assert(out(("alpha", 1L)) === (("beta", 1000000L)))
+    assert(out(("beta", 1L)) === (("alpha", 1000000L)))
+    assert(out(("left", 1L)) === (("right", 1000000L)))
+  }
 }

@@ -364,4 +364,22 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(3L) && kept.contains(20L))
     assert(!kept.exists(Set(5L, 9L, 12L)), s"kept $kept")
   }
+
+  test("k-center: planted clusters each get exactly one exemplar; tight cover") {
+    val s = spark; import s.implicits._
+    // 8 well-separated clusters on dim 0 (centers 0,10,...,70), 5 points
+    // each jittered by i*0.01; intra sqDist <= 0.04^2 = 0.0016 -> x1000
+    // rounds to <= 2, inter >= ~99 -> greedy k=8 MUST pick one per
+    // cluster (any doubled cluster leaves another uncovered at dist ~1e5)
+    val data = for (j <- 0 until 8; i <- 0 until 5) yield
+      (j * 5L + i, Seq(j * 10.0 + i * 0.01, 0.0, 0.0, 0.0))
+    val out = VectorOps.kcenterSelect(data.toDF("vec_id", "e"), k = 8)
+      .collect()
+    assert(out.length === 8)
+    val clusters = out.map(_.getAs[Long]("vec_id") / 5).toSet
+    assert(clusters.size === 8, s"one exemplar per cluster, got $clusters")
+    assert(out.head.getAs[Long]("dist_x1000") === 0L, "seed distance is 0")
+    assert(out.forall(_.getAs[Long]("cover_x1000") <= 2L),
+      "cover radius bounded by the intra-cluster jitter")
+  }
 }
