@@ -173,6 +173,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBhj >= 3, s"q219 lost its broadcast joins ($nBhj):\n$plan")
   }
 
+  test("q231 readability: pure projection — no join, no aggregate exchange") {
+    val plan = SparkEntry.queries("q231_readability")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q231 grew a join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q231 grew an aggregate:\n$plan")
+  }
+
+  test("q237/q238/q239: vocabulary-keyed joins stay broadcast, never shuffled") {
+    Seq("q237_sppmi_neighbors", "q238_maxscore_audit", "q239_gate_auc")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("ShuffledHashJoin"),
+          s"$q grew a shuffled join:\n$plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q lost its broadcasts:\n$plan")
+      }
+    // q238's theta must come from a top-k operator, not a global sort
+    val p238 = SparkEntry.queries("q238_maxscore_audit")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p238.contains("TakeOrderedAndProject"),
+      s"q238 theta lost its top-k plan:\n$p238")
+  }
+
   test("every query runs, returns rows, and is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def snapshot(): (Int, Seq[String]) = {
