@@ -349,6 +349,79 @@ object VectorOps {
       .orderBy(col("rank"))
   }
 
+  /** q242: INT8 SCALAR QUANTIZATION AUDIT — the per-dimension min/max
+    * linear quantizer every vector store ships as its cheapest
+    * compression tier (4× smaller than float32; the baseline PQ and JL
+    * are compared against): code = round(255·(x−mn)/(mx−mn)) per dim,
+    * reconstruction error and retrieval impact measured EXACTLY:
+    *
+    *  - per dim: the ×1e12-grid sum of squared reconstruction error
+    *    (each per-value error lands on the integer grid BEFORE the sum,
+    *    so accumulation order cannot move it — the q203 discipline);
+    *  - corpus-level: recall@10 of the quantized top-10 (distances
+    *    summed from per-dim ×1e9-grid contributions of RECONSTRUCTED
+    *    values) against the exact top-10 on the same grid, for the
+    *    vec_id=0 query — the "does int8 change my neighbors" number.
+    *
+    * Shape: one posexplode → per-dim min/max (64-row aggregate,
+    * broadcast back) → stateless code/recon projection → per-vec
+    * map-combined distance aggregates → two 10-row cuts; nothing
+    * corpus-sized is ever sorted or joined non-broadcast.
+    */
+  def q242Int8Quant(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .localCheckpoint()
+    val stats = comps.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val recon = comps.join(broadcast(stats), "pos")
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          round(lit(255.0) * (col("x") - col("mn")) / (col("mx") - col("mn")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("r",
+        when(col("mx") > col("mn"),
+          col("mn") + col("code").cast("double") *
+            (col("mx") - col("mn")) / 255.0)
+          .otherwise(col("mn")))
+      .localCheckpoint()
+    val perDim = recon
+      .withColumn("e2",
+        round(lit(1e12) * (col("x") - col("r")) * (col("x") - col("r")))
+          .cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("e2")).as("err2_sum_p12"))
+    val q = recon.where(col("vec_id") === 0)
+      .select(col("pos"), col("x").as("qx"), col("r").as("qr"))
+    val dists = recon.join(broadcast(q), "pos")
+      .select(col("vec_id"),
+        round(lit(1e9) * (col("x") - col("qx")) * (col("x") - col("qx")))
+          .cast("long").as("de"),
+        round(lit(1e9) * (col("r") - col("qr")) * (col("r") - col("qr")))
+          .cast("long").as("dq"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("de")).as("d_exact"), sum(col("dq")).as("d_quant"))
+      .where(col("vec_id") =!= 0)
+    val exactTop = dists
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("d_exact"), col("vec_id"))))
+      .where(col("rk") <= 10).select(col("vec_id"))
+    val quantTop = dists
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("d_quant"), col("vec_id"))))
+      .where(col("rk") <= 10).select(col("vec_id"))
+    val recall = exactTop.join(quantTop, "vec_id")
+      .agg(count(lit(1)).as("recall10"))
+    perDim
+      .withColumn("mse_p12", expr("err2_sum_p12 div n"))
+      .crossJoin(broadcast(recall))
+      .select(col("pos").cast("long").as("dim"), col("n"),
+        col("err2_sum_p12"), col("mse_p12"), col("recall10"))
+      .orderBy(col("dim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space with the SAME k-means coarse quantizer the IVF index trains
@@ -877,6 +950,7 @@ object VectorOps {
     "q94_semdedup" -> q94SemDedup _,
     "q141_pq_ann" -> q141PqAnn _,
     "q240_kcenter_coreset" -> q240KcenterCoreset _,
+    "q242_int8_quant" -> q242Int8Quant _,
   )
 
   private def dkBucket(bits: Int, e: String = "emb"): String =
@@ -887,6 +961,46 @@ object VectorOps {
       s"(CASE WHEN $e[${offset + i + 1}]>0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q242: same per-dim min/max quantizer, same grid-before-sum error
+    // accounting, same grid-contribution top-10s (round is positive-tie
+    // identical across engines; every SUM is over BIGINT grid values)
+    "q242_int8_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, unnest(v) AS x,
+        |      generate_subscripts(v, 1) - 1 AS pos FROM e),
+        |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM c GROUP BY pos),
+        |cd AS (SELECT c.vec_id, c.pos, c.x, st.mn, st.mx,
+        |    CASE WHEN st.mx > st.mn
+        |         THEN round(255.0*(c.x-st.mn)/(st.mx-st.mn)) ELSE 0 END
+        |      AS code
+        |  FROM c JOIN st USING (pos)),
+        |rc AS (SELECT vec_id, pos, x,
+        |    CASE WHEN mx > mn THEN mn + code*(mx-mn)/255.0 ELSE mn END AS r
+        |  FROM cd),
+        |pd AS (SELECT pos, COUNT(*) AS n,
+        |    SUM(CAST(round(1e12*(x-r)*(x-r)) AS BIGINT)) AS err2
+        |  FROM rc GROUP BY pos),
+        |q AS (SELECT pos, x AS qx, r AS qr FROM rc WHERE vec_id = 0),
+        |d AS (SELECT rc.vec_id,
+        |    SUM(CAST(round(1e9*(rc.x-q.qx)*(rc.x-q.qx)) AS BIGINT))
+        |      AS d_exact,
+        |    SUM(CAST(round(1e9*(rc.r-q.qr)*(rc.r-q.qr)) AS BIGINT))
+        |      AS d_quant
+        |  FROM rc JOIN q USING (pos) WHERE rc.vec_id <> 0
+        |  GROUP BY rc.vec_id),
+        |et AS (SELECT vec_id FROM (SELECT vec_id,
+        |    row_number() OVER (ORDER BY d_exact, vec_id) AS rk FROM d)
+        |  WHERE rk <= 10),
+        |qt AS (SELECT vec_id FROM (SELECT vec_id,
+        |    row_number() OVER (ORDER BY d_quant, vec_id) AS rk FROM d)
+        |  WHERE rk <= 10),
+        |rec AS (SELECT COUNT(*) AS recall10 FROM et JOIN qt USING (vec_id))
+        |SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        |  CAST(err2 AS BIGINT) AS err2_sum_p12,
+        |  CAST(err2 // n AS BIGINT) AS mse_p12,
+        |  CAST(rec.recall10 AS BIGINT) AS recall10
+        |FROM pd, rec ORDER BY dim""".stripMargin,
     // q240: the 8 greedy rounds unrolled as CTE pairs (argmax, then
     // mindist refresh); sqDist via the dot identity, same ×1000 grid
     "q240_kcenter_coreset" -> {
