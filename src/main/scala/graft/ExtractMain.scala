@@ -13,11 +13,12 @@ import graft.sources.PagesSynth
   *     [--dedup 0.8] [--compact 128] [--span-clean 10] [--quality 20] \
   *     [--clf-gate 8] [--incremental /path/prev_out] [--curate 1] \
   *     [--index 64] [--export tokensPerShard] [--pack capTokens] \
-  *     [--warc-out parts] [--sample n] [--pii 1]
+  *     [--warc-out parts] [--sample n] [--pii 1] \
+  *     [--dedup-index 1] [--dedup-against /path/prev_out]
   *
   * `--curate 1` runs the full production chain in one command: extract →
-  * quality → span-clean → dedup → compact with stage defaults
-  * (20 / 10 / 0.8 / 128);
+  * quality → span-clean → dedup → signature-index → compact with stage
+  * defaults (20 / 10 / 0.8 / 128);
   * explicit per-stage flags override their parameter. The combined
   * summary lands atomically in `<out>/_curation.json`; every curation
   * stage commits through a [[graft.pipeline.StageManifest]], so a killed
@@ -147,6 +148,26 @@ object ExtractMain {
         s""","dedup":{"threshold":$t,"docs":${d.docs},"clustered_docs":${d.clusteredDocs},""" +
           s""""clusters":${d.clusters},"dups_dropped":${d.dupsDropped},"kept":${d.kept}}"""
       }.getOrElse("")
+    // --dedup-index 1: persist the release's SIGNATURE INDEX (md5
+    // fingerprint + minhash per doc, constant bytes/doc) under
+    // <out>/dedup/signatures — the only thing a FUTURE increment's
+    // --dedup-against ever reads from this corpus (never its text)
+    // (--curate implies it: a curated release should be incremental-ready,
+    // so the NEXT crawl's --dedup-against has its artifact waiting)
+    val dedupIndexJson = if (opts.contains("--dedup-index") || curate) {
+      val ix = graft.pipeline.IncrementalDedup.buildIndex(spark, out)
+      s""","dedup_index":{"docs":${ix.docs},"shingled":${ix.shingled}}"""
+    } else ""
+    // --dedup-against P: incremental content-dedup of THIS run's
+    // extracted docs against the release index at P (exact md5 + LSH-band
+    // candidates verified by sketch Jaccard); per-doc decisions at
+    // <out>/dedup/incremental
+    val dedupAgainstJson = opts.get("--dedup-against").map { p =>
+      val b = graft.pipeline.IncrementalDedup.dedupAgainst(spark, out, p)
+      s""","dedup_against":{"prev":"$p","docs":${b.docs},""" +
+        s""""exact_dups":${b.exactDups},"near_dups":${b.nearDups},""" +
+        s""""kept":${b.kept}}"""
+    }.getOrElse("")
     // --pii: the release gate — emails / phones / IPv4 in the extracted
     // text masked to typed placeholders (q151's Java∩RE2 regex family),
     // redacted view + per-doc audit counts at <out>/pii/redacted;
@@ -244,7 +265,7 @@ object ExtractMain {
       f"""{"batches":${res.batchesRun},"parts":${res.partsCommitted.size},""" +
         f""""docs":$docs,"html_bytes":$bytes,"wall_s":$wallS%.2f,""" +
         f""""docs_per_s":${docs / math.max(wallS, 0.001)}%.1f""" +
-        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$piiJson$exportJson$packJson$sampleJson$warcOutJson$compactJson$indexJson}"
+        s"$deltaJson$qualityJson$clfJson$spanJson$dedupJson$dedupIndexJson$dedupAgainstJson$piiJson$exportJson$packJson$sampleJson$warcOutJson$compactJson$indexJson}"
     // one summary manifest for the whole run (atomic tmp+rename, same
     // contract as the partition manifest) — what a scheduler reads to
     // decide the chain completed

@@ -2322,6 +2322,114 @@ object TextOps {
         expr("num2 * 1000000 div (2 * pos * neg)").as("auc_x1e6"))
   }
 
+  /** q243: INCREMENTAL CROSS-CORPUS DEDUP — dedup a NEW crawl batch
+    * against a FROZEN prior release using only the release's SIGNATURE
+    * INDEX (md5 content fingerprint + the q21 MinHash signature), never
+    * its text: the operation a recurring-crawl curation stack runs on
+    * every increment, where re-shingling petabytes of already-released
+    * text is not an option. A batch doc is `exact_dup` if its md5
+    * matches any frozen fingerprint, else `near_dup` if it shares an
+    * LSH band with a frozen doc AND the sketch-estimated Jaccard
+    * (matching-minhash fraction, ×1000 = agree·125 for 8 hashes) clears
+    * the threshold, else `kept`. The reported match is the SMALLEST
+    * qualifying frozen doc_id (the release's keeper rule) and
+    * `agree_x1000` the STRONGEST qualifying agreement; kept rows carry
+    * the -1/0 sentinels so every column stays non-null BIGINT.
+    *
+    * Here frozen = doc_id % 10 ≠ 7 and batch = doc_id % 10 = 7 with the
+    * index computed inline; [[graft.pipeline.IncrementalDedup]] is the
+    * pipeline form that PERSISTS the index as a parquet artifact and
+    * proves the release text is never re-read (PipelineSpec deletes it
+    * before the batch run).
+    *
+    * Scale shape: the frozen side is a (doc_id, fp, h0..h7) projection
+    * of the persisted index — constant bytes per released doc, no text,
+    * no shingling; the batch (always small next to the corpus) pays one
+    * explode→groupBy signature pass; exact matching is one fp equi-join
+    * against the index's fp column; near candidates come from q22's
+    * melted-band equi-join (the batch band table broadcasts when the
+    * increment is small); the agreement check is 8 integer comparisons
+    * on candidate pairs only. Nothing is all-pairs and the frozen
+    * corpus text is never touched.
+    */
+  def q243IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    incrementalDedupAgainst(
+      signatureIndex(docs.where(col("doc_id") % 10 =!= 7)),
+      docs.where(col("doc_id") % 10 === 7),
+      500L
+    ).orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, fp, h0..h7) signature-index rows for a (doc_id, text)
+    * corpus: fp = md5 of the text bytes (q15's exact-dedup key), h0..h7 =
+    * q21's seeded MinHash values over distinct word-bigram shingles.
+    * Docs with fewer than 2 tokens have no shingles and carry null
+    * minhashes — they participate in exact dedup only, matching their
+    * absence from shingle space. This is the projection
+    * [[graft.pipeline.IncrementalDedup]] persists per corpus release.
+    */
+  def signatureIndex(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(seededHash(i, col("s"))).as(s"h$i"))
+    val sig = docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docs.select(col("doc_id"), md5s(col("text")).as("fp"))
+      .join(sig, Seq("doc_id"), "left")
+  }
+
+  /** Bare API for [[q243IncrementalDedup]]: per-batch-doc decisions
+    * against an existing signature index (as built by [[signatureIndex]]
+    * or read back from [[graft.pipeline.IncrementalDedup]]'s artifact).
+    * `thresholdX1000` is the minimum sketch-estimated Jaccard (in ‰) for
+    * a near-dup; with 8 hashes the estimate moves in steps of 125.
+    */
+  def incrementalDedupAgainst(frozenIndex: DataFrame, batch: DataFrame,
+                              thresholdX1000: Long): DataFrame = {
+    // one signature pass over the increment; read 3× (fp join, band
+    // join, agreement join) → materialize
+    val bIdx = signatureIndex(batch).localCheckpoint()
+    val exact = bIdx.select(col("doc_id"), col("fp"))
+      .join(frozenIndex.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("exact_match")), Seq("fp"))
+      .select(col("doc_id"), col("exact_match"))
+    // melted 2×4 bands (q22's fixed banding — the static-oracle form;
+    // LshParams derives production bandings from the threshold)
+    def bandsOf(idx: DataFrame, idCol: String): DataFrame = idx
+      .where(col("h0").isNotNull)
+      .select(col("doc_id"),
+        posexplode(array(
+          md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
+          md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
+      .toDF(idCol, "band_idx", "digest")
+    val cand = bandsOf(bIdx, "b_id")
+      .join(bandsOf(frozenIndex, "f_id"), Seq("band_idx", "digest"))
+      .select(col("b_id"), col("f_id")).distinct()
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a.h$i") === col(s"f.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val near = cand
+      .join(bIdx.as("a"), col("b_id") === col("a.doc_id"))
+      .join(frozenIndex.as("f"), col("f_id") === col("f.doc_id"))
+      .select(col("b_id"), col("f_id"), (agree * lit(125L)).as("ag"))
+      .where(col("ag") >= thresholdX1000)
+      .groupBy(col("b_id"))
+      .agg(min(col("f_id")).as("near_match"), max(col("ag")).as("best_ag"))
+      .withColumnRenamed("b_id", "doc_id")
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("decision"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L))
+          .as("match_id"),
+        when(col("exact_match").isNotNull, lit(1000L))
+          .otherwise(coalesce(col("best_ag"), lit(0L))).as("agree_x1000"))
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3871,6 +3979,7 @@ object TextOps {
     "q235_posting_compress" -> q235PostingCompress _,
     "q238_maxscore_audit" -> q238MaxscoreAudit _,
     "q239_gate_auc" -> q239GateAuc _,
+    "q243_incremental_dedup" -> q243IncrementalDedup _,
     "q191_quote_attribution" -> q191QuoteAttribution _,
     "q192_syndication_lag" -> q192SyndicationLag _,
     "q193_idn_spoof" -> q193IdnSpoof _,
@@ -5241,6 +5350,57 @@ object TextOps {
          |  CAST(SUM(2*p*cumneg + p*n) * 1000000
          |    // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_x1e6
          |FROM cm""".stripMargin,
+    // q243: q15's md5 fingerprint + q21's minhash CTEs on both sides of
+    // the frozen/batch split, q22's band digests for candidates, and the
+    // 8-comparison sketch-Jaccard (steps of 125‰) — exact + near + kept
+    // decisions per batch doc, keeper = min frozen doc_id
+    "q243_incremental_dedup" ->
+      s"""WITH fz AS (SELECT doc_id, md5(text) AS fp FROM documents
+         |            WHERE doc_id % 10 != 7),
+         |bt AS (SELECT doc_id, md5(text) AS fp FROM documents
+         |       WHERE doc_id % 10 = 7),
+         |fsh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents
+         |        WHERE doc_id % 10 != 7),
+         |bsh AS (SELECT doc_id, unnest($dkBigrams) AS s FROM documents
+         |        WHERE doc_id % 10 = 7),
+         |fsig AS (SELECT doc_id,
+         |   ${(0 until NumHashes).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
+         |  FROM fsh GROUP BY doc_id),
+         |bsig AS (SELECT doc_id,
+         |   ${(0 until NumHashes).map(i => s"min(('0x' || substr(md5('$i|' || s),1,15))::BIGINT) AS h$i").mkString(",\n   ")}
+         |  FROM bsh GROUP BY doc_id),
+         |fb AS (SELECT doc_id, 0 AS band_idx,
+         |         md5(h0||'|'||h1||'|'||h2||'|'||h3) AS digest FROM fsig
+         |       UNION ALL SELECT doc_id, 1,
+         |         md5(h4||'|'||h5||'|'||h6||'|'||h7) FROM fsig),
+         |bb AS (SELECT doc_id, 0 AS band_idx,
+         |         md5(h0||'|'||h1||'|'||h2||'|'||h3) AS digest FROM bsig
+         |       UNION ALL SELECT doc_id, 1,
+         |         md5(h4||'|'||h5||'|'||h6||'|'||h7) FROM bsig),
+         |cand AS (SELECT DISTINCT bb.doc_id AS b_id, fb.doc_id AS f_id
+         |         FROM bb JOIN fb ON bb.band_idx = fb.band_idx
+         |           AND bb.digest = fb.digest),
+         |near AS (
+         |  SELECT b_id, min(f_id) AS near_match, max(ag) AS best_ag FROM (
+         |    SELECT c.b_id, c.f_id,
+         |      (${(0 until NumHashes).map(i => s"(CASE WHEN a.h$i = f.h$i THEN 1 ELSE 0 END)").mkString(" + ")}) * 125 AS ag
+         |    FROM cand c JOIN bsig a ON c.b_id = a.doc_id
+         |      JOIN fsig f ON c.f_id = f.doc_id)
+         |  WHERE ag >= 500 GROUP BY b_id),
+         |ex AS (SELECT bt.doc_id, fk.k AS exact_match FROM bt
+         |       JOIN (SELECT fp, min(doc_id) AS k FROM fz GROUP BY fp) fk
+         |         USING (fp))
+         |SELECT bt.doc_id,
+         |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+         |       WHEN near.near_match IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS decision,
+         |  CAST(COALESCE(ex.exact_match, near.near_match, -1) AS BIGINT)
+         |    AS match_id,
+         |  CAST(CASE WHEN ex.exact_match IS NOT NULL THEN 1000
+         |       ELSE COALESCE(near.best_ag, 0) END AS BIGINT) AS agree_x1000
+         |FROM bt LEFT JOIN ex USING (doc_id)
+         |  LEFT JOIN near ON bt.doc_id = near.b_id
+         |ORDER BY doc_id""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl

@@ -767,4 +767,93 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PiiStage.runResumable(spark, out2, maxUnits = 0).isEmpty)
     assert(PiiStage.runResumable(spark, out2).nonEmpty)
   }
+
+  test("incremental cross-release dedup: batch decided against the persisted " +
+       "signature index alone — release text deleted before the batch run") {
+    val out1 = Files.createTempDirectory("graft-xrel1").toString
+    val out2 = Files.createTempDirectory("graft-xrel2").toString
+    val cfg = ExtractJob.Config(numParts = 4, batchSize = 4,
+      repartitionSlices = 8, inputSnapshot = "release-v1")
+    ExtractJob.run(spark, PagesSynth.pagesDF(spark, 120L), out1, cfg)
+    val relShas = spark.read.parquet(ExtractJob.extractedPath(out1))
+      .select("url", "text_sha").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val ix = IncrementalDedup.buildIndex(spark, out1)
+    assert(ix.docs === 120L && ix.shingled === 120L)
+    // idempotent: a second call answers from the stage manifest
+    assert(IncrementalDedup.buildIndex(spark, out1) === ix)
+
+    // the increment under NEW urls: 20 exact content mirrors of release
+    // pages, 10 near variants (one appended paragraph), 30 novel pages
+    val mirrors = (0L until 20L).map { i =>
+      PagesSynth.pageFor(i).copy(url = s"http://mirror.example/copy/$i")
+    }
+    val nears = (20L until 30L).map { i =>
+      val p = PagesSynth.pageFor(i)
+      p.copy(url = s"http://mirror.example/near/$i",
+        html = p.html ++ "<p>updated</p>".getBytes(UTF_8))
+    }
+    val novel = (1000L until 1030L).map(PagesSynth.pageFor)
+    val sp = spark; import sp.implicits._
+    val batchPages = spark.createDataset(mirrors ++ nears ++ novel).toDF()
+    ExtractJob.run(spark, batchPages, out2,
+      cfg.copy(inputSnapshot = "release-v2"))
+
+    // the point of the artifact: the batch run must need NOTHING from the
+    // release but its signature index — delete the release text first
+    rmTree(ExtractJob.extractedPath(out1))
+    val b = IncrementalDedup.dedupAgainst(spark, out2, out1)
+
+    val dec = spark.read.parquet(IncrementalDedup.incrementalPath(out2))
+      .select("url", "decision", "match_url").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(dec.size === 60)
+    // ground truth for exact_dup, computed independently from the two
+    // extractions' sha256 columns (the index keys on md5 — same classes)
+    val relShaSet = relShas.map(_._2).toSet
+    val expectedExact = spark.read.parquet(ExtractJob.extractedPath(out2))
+      .select("url", "text_sha").collect()
+      .filter(r => relShaSet(r.getString(1))).map(_.getString(0)).toSet
+    assert(expectedExact.size >= 20, "all 20 planted mirrors must be exact")
+    assert(dec.filter(_._2._1 == "exact_dup").keySet === expectedExact)
+    // every planted mirror resolves to the release KEEPER url: min
+    // xxhash64(url) among release urls sharing its content
+    val keeperBySha = spark.createDataset(relShas).toDF("url", "sha")
+      .groupBy(col("sha"))
+      .agg(min(struct(xxhash64(col("url")), col("url"))).as("k"))
+      .select(col("sha"), col("k.url").as("keeper")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0L until 20L).foreach { i =>
+      val p = PagesSynth.pageFor(i)
+      val sha = ExtractPipeline.sha256Hex(Extractor.extractBytes(p.html).text)
+      assert(dec(s"http://mirror.example/copy/$i")._2 === keeperBySha(sha))
+    }
+    // planted near variants: never exact (the append changes the md5);
+    // caught as near_dup of their SOURCE url at high recall — fixed 2×4
+    // banding deterministically misses a very short page whose one-word
+    // append moves too much of its sketch, so ≥8/10 rather than 10/10
+    // (NeardupSpec pins the decision logic itself exactly)
+    val nearGot = (20L until 30L).map { i =>
+      val (d, m) = dec(s"http://mirror.example/near/$i")
+      assert(d !== "exact_dup", s"near/$i decided exact")
+      if (d == "near_dup")
+        assert(m === PagesSynth.pageFor(i).url, s"near/$i matched $m")
+      d == "near_dup"
+    }
+    assert(nearGot.count(identity) >= 8,
+      s"only ${nearGot.count(identity)}/10 planted nears caught")
+    // summary consistency + idempotent re-run from the stage manifest
+    assert(b.docs === 60 && b.exactDups === expectedExact.size &&
+      b.exactDups + b.nearDups + b.kept === 60 &&
+      b.nearDups >= nearGot.count(identity))
+    assert(IncrementalDedup.dedupAgainst(spark, out2, out1) === b)
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
+  }
 }

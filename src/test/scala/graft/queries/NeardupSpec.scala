@@ -223,4 +223,46 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
           got.exists(p => p._2 == 500L + i)), "planted dup lost")
     }
   }
+
+  test("incremental cross-corpus dedup: planted exact/near/novel batch docs " +
+       "decided correctly against the frozen signature index") {
+    val s = spark
+    import s.implicits._
+    val longA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four"
+    val longB = "the curation stack replays every increment against the " +
+      "frozen release index because re shingling released petabytes is " +
+      "not an option at web scale ever"
+    val frozen = Seq(
+      10L -> longA,
+      11L -> longB,
+      12L -> "solo", // <2 tokens: exact-only index row (null minhashes)
+      13L -> "exact twin content for the incremental dedup spec"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      100L -> "exact twin content for the incremental dedup spec", // = f13
+      101L -> (longA + " appended"),  // near variant of f10
+      102L -> ("completely different words about gardening tulips and " +
+        "watering cans in spring"),   // novel
+      103L -> "solo",                 // exact twin of the shingle-less f12
+      104L -> "unique"                // novel AND shingle-less
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalDedupAgainst(
+        TextOps.signatureIndex(frozen), batch, 500L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === 5)
+    // exact beats near: b100's bands also match f13's, but md5 wins
+    assert(got(100L) === (("exact_dup", 13L, 1000L)))
+    val (d101, m101, ag101) = got(101L)
+    assert(d101 === "near_dup" && m101 === 10L,
+      s"appended-word variant must near-match its source, got ${got(101L)}")
+    assert(ag101 >= 500L && ag101 <= 1000L && ag101 % 125 == 0)
+    assert(got(102L) === (("kept", -1L, 0L)))
+    // the exact path needs no shingles on either side…
+    assert(got(103L) === (("exact_dup", 12L, 1000L)))
+    // …and a shingle-less novel doc is kept, not crashed on null minhashes
+    assert(got(104L) === (("kept", -1L, 0L)))
+  }
 }

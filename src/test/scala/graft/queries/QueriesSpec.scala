@@ -173,6 +173,17 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBhj >= 3, s"q219 lost its broadcast joins ($nBhj):\n$plan")
   }
 
+  test("q243 incremental dedup: candidates stay equi-joined — no all-pairs") {
+    val plan = SparkEntry.queries("q243_incremental_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the frozen×batch comparison must ride the fp and (band_idx, digest)
+    // equi-joins; a nested-loop/cartesian here is the O(n·m) cliff the
+    // signature index exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q243 grew an all-pairs join:\n$plan")
+  }
+
   test("q231 readability: pure projection — no join, no aggregate exchange") {
     val plan = SparkEntry.queries("q231_readability")(spark, sfDir)
       .queryExecution.executedPlan.toString
