@@ -2369,14 +2369,25 @@ object TextOps {
     * absence from shingle space. This is the projection
     * [[graft.pipeline.IncrementalDedup]] persists per corpus release.
     */
-  def signatureIndex(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(seededHash(i, col("s"))).as(s"h$i"))
-    val sig = docs
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    docs.select(col("doc_id"), md5s(col("text")).as("fp"))
-      .join(sig, Seq("doc_id"), "left")
+  def signatureIndex(docs: DataFrame): DataFrame =
+    docs.select(Seq(col("doc_id"), md5s(col("text")).as("fp")) ++
+      signatureCols(col("text")): _*)
+
+  /** Row-local (HOF) form of the q21 MinHash signature: h_i =
+    * `array_min(transform(shingles, s → seededHash(i, s)))` — the SAME
+    * values as the explode→groupBy aggregation (min over a set is min
+    * over the array; a shingle-less doc yields null either way,
+    * NeardupSpec pins the equality) at ZERO shuffles: a stateless
+    * projection. That makes the signature computable inside a streaming
+    * micro-batch with no aggregation state
+    * ([[graft.streaming.ReleaseDedupStream]]) and lets [[signatureIndex]]
+    * skip the shuffle entirely — at 100 TB the signature pass is a pure
+    * map over the scan.
+    */
+  def signatureCols(text: Column): Seq[Column] = {
+    val sh = bigrams(text)
+    (0 until NumHashes).map(i =>
+      array_min(transform(sh, s => seededHash(i, s))).as(s"h$i"))
   }
 
   /** Bare API for [[q243IncrementalDedup]]: per-batch-doc decisions

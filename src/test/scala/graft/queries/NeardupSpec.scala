@@ -224,6 +224,44 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HOF signature index equals a sequential JVM MinHash reference") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "",                       // no tokens
+      4L -> "single",                 // one token → no shingles
+      5L -> "два слова ещё раз два слова",  // unicode, repeated shingles
+      6L -> "a b a b a b c",          // heavy shingle repeats
+      7L -> ("w" + "x " * 300 + "tail")) // longer doc
+    val docs = corpus.toDF("doc_id", "text")
+    // independent twin: MessageDigest md5, first 15 hex chars as a Long,
+    // min over distinct word-bigram shingles — plain sequential Scala
+    def seqSig(text: String): Seq[Option[Long]] = {
+      val tk = text.trim.toLowerCase.split("[ \\t\\n\\f\\r\\x0B]+")
+        .filter(_.nonEmpty)
+      val sh =
+        if (tk.length < 2) Set.empty[String]
+        else tk.sliding(2).map(_.mkString(" ")).toSet
+      (0 until 8).map { seed =>
+        if (sh.isEmpty) None
+        else Some(sh.map { g =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$seed|$g".getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            d.map(b => f"$b%02x").mkString.take(15), 16)
+        }.min)
+      }
+    }
+    val got = TextOps.signatureIndex(docs).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i =>
+        if (r.isNullAt(2 + i)) None else Some(r.getLong(2 + i)))).toMap
+    corpus.foreach { case (id, txt) =>
+      assert(got(id) === seqSig(txt), s"doc $id signature diverged")
+    }
+  }
+
   test("incremental cross-corpus dedup: planted exact/near/novel batch docs " +
        "decided correctly against the frozen signature index") {
     val s = spark
