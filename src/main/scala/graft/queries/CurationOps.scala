@@ -881,7 +881,87 @@ object CurationOps {
         col("w_chars"), col("mean_chars_x100"))
       .orderBy(col("r"))
 
+  /** Per-language keyword lists for [[codeDetect]] — tiny, word-exact,
+    * lowercased (the extension-free fallback signals public code-corpus
+    * pipelines use when a page has no path hint).
+    */
+  private val CodeKeywords: Seq[(String, Seq[String])] = Seq(
+    "c" -> Seq("#include", "printf", "sizeof", "struct", "void"),
+    "java" -> Seq("public", "static", "void", "class", "new"),
+    "js" -> Seq("function", "const", "var", "return", "=>"),
+    "python" -> Seq("def", "import", "lambda", "self", "elif"),
+    "rust" -> Seq("fn", "let", "mut", "impl", "match"))
+
+  /** q244: CODE / MATH CONTENT DETECTION — the non-natural-text gate
+    * every web-curation stack runs before language-model filtering:
+    * C4 (Raffel et al. 2020) famously DROPS any page containing `{`;
+    * The Stack (Kocetkov et al. 2022) routes code to its own corpus with
+    * per-language handling; OpenWebMath (Paster et al. 2023) keeps LaTeX
+    * pages C4 would have thrown away. This operator computes the
+    * deterministic signals those decisions need, per document:
+    * symbol-character density (`{}()[];=<>` as basis points of chars),
+    * indented-line fraction (2-space/tab starts — the layout signal),
+    * per-language keyword hit counts with an alphabetical-tiebreak
+    * argmax, LaTeX marker occurrences (`\frac \sum \int \begin{ $$`
+    * counted by literal replace — no regex escaping divergence to
+    * hand an oracle), the C4 brace flag, and the routed class
+    * (`code` > `math` > `prose`).
+    *
+    * Scale shape: ZERO shuffles besides the presentation sort — every
+    * signal is a row-local HOF/replace projection over the scan, the
+    * same WholeStageCodegen span as q231's readability.
+    */
+  def q244CodeDetect(s: SparkSession, dir: String): DataFrame =
+    codeDetect(tbl(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Bare API for [[q244CodeDetect]] over any `(doc_id, text)` table. */
+  def codeDetect(documents: DataFrame): DataFrame = {
+    val txt = col("text")
+    val tk = tokens(txt)
+    val lines = split(txt, "\n")
+    def kwCnt(kws: Seq[String]): Column =
+      size(filter(tk, t => t.isin(kws: _*))).cast("long")
+    // literal-substring occurrence count: (len - len(without)) / len(m)
+    def litCnt(sqlLit: String, w: Int): Column =
+      expr(s"(length(text) - length(replace(text, '$sqlLit', ''))) div $w")
+    val cnts = CodeKeywords.map { case (lang, kws) =>
+      lang -> kwCnt(kws).as(s"cnt_$lang")
+    }
+    val sym = regexp_replace(txt, """[{}()\[\];=<>]""", "")
+    val base = documents.select(
+      Seq(col("doc_id"),
+        length(txt).cast("long").as("n_chars"),
+        size(lines).cast("long").as("n_lines"),
+        (length(txt) - length(sym)).cast("long").as("n_sym"),
+        size(filter(lines, l =>
+          substring(l, 1, 2) === "  " || substring(l, 1, 1) === "\t"))
+          .cast("long").as("n_indent"),
+        (litCnt("""\\frac""", 5) + litCnt("""\\sum""", 4) +
+          litCnt("""\\int""", 4) + litCnt("""\\begin{""", 7) +
+          litCnt("$$", 2)).cast("long").as("math_hits"),
+        when(instr(txt, "{") > 0, 1L).otherwise(0L).as("has_brace")) ++
+        cnts.map(_._2): _*)
+      .withColumn("sym_bp", expr("10000 * n_sym div greatest(n_chars, 1)"))
+      .withColumn("indent_bp",
+        expr("10000 * n_indent div greatest(n_lines, 1)"))
+      .drop("n_chars", "n_sym", "n_indent")
+    val kwMax = greatest(CodeKeywords.map(k => col(s"cnt_${k._1}")): _*)
+    val langCase = CodeKeywords.foldLeft(
+      when(kwMax === 0L, "none")) { case (acc, (lang, _)) =>
+      acc.when(col(s"cnt_$lang") === kwMax, lang)
+    }
+    base
+      .withColumn("kw_max", kwMax)
+      .withColumn("kw_lang", langCase)
+      .withColumn("cls",
+        when(col("sym_bp") >= 300L &&
+          (col("indent_bp") >= 2000L || col("kw_max") >= 3L), "code")
+          .when(col("math_hits") >= 2L, "math")
+          .otherwise("prose"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_code_detect" -> q244CodeDetect _,
     "q201_poisson_bootstrap" -> q201PoissonBootstrap _,
     "q196_llm_artifacts" -> q196LlmArtifacts _,
     "q197_base64_junk" -> q197Base64Junk _,
@@ -906,6 +986,60 @@ object CurationOps {
     """regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r\x0B]+')"""
 
   val oracles: Map[String, String] = Map(
+    // q244: every signal is a per-row projection; replace() literal
+    // counting sidesteps regex-escape divergence entirely; the kw_lang
+    // CASE chain order (c, java, js, python, rust) IS the tiebreak
+    "q244_code_detect" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |    regexp_split_to_array(text, '\n') AS lines, $dkTokens AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    n_chars,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[{}()\\[\\];=<>]', '', 'g')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(lines, l -> substr(l, 1, 2) = '  '
+         |      OR substr(l, 1, 1) = chr(9))) AS BIGINT) AS n_indent,
+         |    CAST((length(text) - length(replace(text, '\\frac', ''))) // 5
+         |      + (length(text) - length(replace(text, '\\sum', ''))) // 4
+         |      + (length(text) - length(replace(text, '\\int', ''))) // 4
+         |      + (length(text) - length(replace(text, '\\begin{', ''))) // 7
+         |      + (length(text) - length(replace(text, '$$$$', ''))) // 2
+         |      AS BIGINT) AS math_hits,
+         |    CAST(CASE WHEN strpos(text, '{') > 0 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS has_brace,
+         |    CAST(len(list_filter(tk, x -> x IN ('#include', 'printf',
+         |      'sizeof', 'struct', 'void'))) AS BIGINT) AS cnt_c,
+         |    CAST(len(list_filter(tk, x -> x IN ('public', 'static',
+         |      'void', 'class', 'new'))) AS BIGINT) AS cnt_java,
+         |    CAST(len(list_filter(tk, x -> x IN ('function', 'const',
+         |      'var', 'return', '=>'))) AS BIGINT) AS cnt_js,
+         |    CAST(len(list_filter(tk, x -> x IN ('def', 'import',
+         |      'lambda', 'self', 'elif'))) AS BIGINT) AS cnt_python,
+         |    CAST(len(list_filter(tk, x -> x IN ('fn', 'let', 'mut',
+         |      'impl', 'match'))) AS BIGINT) AS cnt_rust
+         |  FROM b),
+         |d AS (
+         |  SELECT *, 10000 * n_sym // greatest(n_chars, 1) AS sym_bp,
+         |    10000 * n_indent // greatest(n_lines, 1) AS indent_bp,
+         |    greatest(cnt_c, cnt_java, cnt_js, cnt_python, cnt_rust)
+         |      AS kw_max
+         |  FROM c)
+         |SELECT doc_id, n_lines, math_hits, has_brace, cnt_c, cnt_java,
+         |  cnt_js, cnt_python, cnt_rust, sym_bp, indent_bp, kw_max,
+         |  CASE WHEN kw_max = 0 THEN 'none'
+         |       WHEN cnt_c = kw_max THEN 'c'
+         |       WHEN cnt_java = kw_max THEN 'java'
+         |       WHEN cnt_js = kw_max THEN 'js'
+         |       WHEN cnt_python = kw_max THEN 'python'
+         |       ELSE 'rust' END AS kw_lang,
+         |  CASE WHEN sym_bp >= 300 AND (indent_bp >= 2000 OR kw_max >= 3)
+         |         THEN 'code'
+         |       WHEN math_hits >= 2 THEN 'math'
+         |       ELSE 'prose' END AS cls
+         |FROM d ORDER BY doc_id""".stripMargin,
     // q187: same ticket argmax, ties (never observed) broken toward the
     // larger shard index to match Spark's lexicographic struct max
     "q187_rendezvous_shard" ->

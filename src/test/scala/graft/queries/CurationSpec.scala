@@ -285,4 +285,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx(1L) >= 12 && mx(2L) >= 12 && mx(3L) >= 12)
     assert(mx(4L) < 12 && mx(5L) < 12 && mx(6L) < 12)
   }
+  test("q244 code/math detection: planted code, LaTeX, and prose classify correctly") {
+    val s = spark; import s.implicits._
+    val py =
+      "def main():\n  import os\n  handler = lambda x: x\n" +
+      "  if ready:\n    return handler(os)\n  elif done:\n    pass"
+    val cSrc =
+      "#include <stdio.h>\nint main(void) {\n  struct point p;\n" +
+      "  printf(\"%d\", sizeof(p));\n  return 0;\n}"
+    val rust =
+      "fn run() {\n  let mut total = 0;\n  impl Display match total {\n" +
+      "    _ => total += 1,\n  }\n}"
+    val js =
+      "function add(a, b) {\n  const sum = a + b;\n  var out = sum;\n" +
+      "  return (x) => out + x;\n}"
+    val latex =
+      "the closed form uses \\frac{a}{b} inside \\begin{equation} with " +
+      "\\int f dx and \\sum terms, ending with $$E = mc^2$$"
+    val prose =
+      "ordinary narrative text flows here with no markup of any kind " +
+      "and keeps talking about gardens weather and travel plans"
+    val docs = Seq(1L -> py, 2L -> cSrc, 3L -> rust, 4L -> js,
+      5L -> latex, 6L -> prose).toDF("doc_id", "text")
+    val got = CurationOps.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("cls"),
+        r.getAs[String]("kw_lang"), r.getAs[Long]("has_brace")))).toMap
+    assert(got(1L)._1 === "code" && got(1L)._2 === "python")
+    assert(got(2L)._1 === "code" && got(2L)._2 === "c")
+    assert(got(3L)._1 === "code" && got(3L)._2 === "rust")
+    assert(got(4L)._1 === "code" && got(4L)._2 === "js")
+    assert(got(5L)._1 === "math" && got(5L)._3 === 1L) // C4 would drop it
+    assert(got(6L) === (("prose", "none", 0L)))
+  }
 }
