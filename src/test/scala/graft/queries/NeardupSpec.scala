@@ -224,6 +224,95 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- sequential JVM twin of the signature/decision pipeline ----
+  // (MessageDigest md5, first 15 hex chars as a Long, min over distinct
+  // word-bigram shingles — shares nothing with the Spark implementation)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def seqSig(text: String): Seq[Option[Long]] = {
+    val tk = text.trim.toLowerCase.split("[ \\t\\n\\f\\r\\x0B]+")
+      .filter(_.nonEmpty)
+    val sh =
+      if (tk.length < 2) Set.empty[String]
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    (0 until 8).map { seed =>
+      if (sh.isEmpty) None
+      else Some(sh.map(g =>
+        java.lang.Long.parseLong(md5hex(s"$seed|$g").take(15), 16)).min)
+    }
+  }
+
+  /** Sequential reference of the full q243 decision rule. */
+  private def refDecisions(frozen: Seq[(Long, String)],
+                           batch: Seq[(Long, String)],
+                           thr: Long): Map[Long, (String, Long, Long)] = {
+    def bandsOf(sig: Seq[Option[Long]]): Seq[(Int, String)] =
+      if (sig.head.isEmpty) Nil
+      else Seq(
+        0 -> md5hex(sig.slice(0, 4).map(_.get).mkString("|")),
+        1 -> md5hex(sig.slice(4, 8).map(_.get).mkString("|")))
+    val fz = frozen.map { case (id, t) => (id, md5hex(t), seqSig(t)) }
+    val keeperByFp = fz.groupBy(_._2).map { case (fp, xs) =>
+      fp -> xs.map(_._1).min
+    }
+    val fzByBand = fz.flatMap { case (id, _, sig) =>
+      bandsOf(sig).map(b => b -> ((id, sig)))
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    batch.map { case (id, t) =>
+      val fp = md5hex(t)
+      val sig = seqSig(t)
+      keeperByFp.get(fp) match {
+        case Some(k) => id -> (("exact_dup", k, 1000L))
+        case None =>
+          val cands = bandsOf(sig).flatMap(b =>
+            fzByBand.getOrElse(b, Nil)).distinct
+          val qual = cands.map { case (fid, fsig) =>
+            val agree = (0 until 8).count(i =>
+              sig(i).isDefined && sig(i) == fsig(i))
+            (fid, agree.toLong * 125L)
+          }.filter(_._2 >= thr)
+          if (qual.isEmpty) id -> (("kept", -1L, 0L))
+          else id -> (("near_dup", qual.map(_._1).min, qual.map(_._2).max))
+      }
+    }.toMap
+  }
+
+  test("incremental dedup decisions == sequential reference on randomized corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4243)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "web", "scale",
+      "index", "release", "token", "corpus", "crawl", "dedup", "the",
+      "of", "and", "x", "y", "z", "ничего", "больше")
+    def randDoc(): String =
+      Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 3).foreach { round =>
+      val frozen = (0L until 40L).map(i => i -> randDoc())
+      val batch = (100L until 125L).map { i =>
+        val r = rnd.nextInt(4)
+        val t =
+          if (r == 0) frozen(rnd.nextInt(40))._2              // exact copy
+          else if (r == 1) {                                  // perturbed
+            val src = frozen(rnd.nextInt(40))._2
+            if (src.isEmpty) randDoc() else src + " " + vocab(rnd.nextInt(vocab.size))
+          } else randDoc()                                    // fresh
+        i -> t
+      }
+      val got = TextOps.incrementalDedupAgainst(
+          TextOps.signatureIndex(frozen.toDF("doc_id", "text")),
+          batch.toDF("doc_id", "text"), 500L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      val want = refDecisions(frozen, batch, 500L)
+      assert(got === want, s"round $round diverged: " +
+        (got.toSet diff want.toSet).take(3).toString)
+    }
+  }
+
   test("HOF signature index equals a sequential JVM MinHash reference") {
     val s = spark
     import s.implicits._
@@ -236,24 +325,6 @@ class NeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       6L -> "a b a b a b c",          // heavy shingle repeats
       7L -> ("w" + "x " * 300 + "tail")) // longer doc
     val docs = corpus.toDF("doc_id", "text")
-    // independent twin: MessageDigest md5, first 15 hex chars as a Long,
-    // min over distinct word-bigram shingles — plain sequential Scala
-    def seqSig(text: String): Seq[Option[Long]] = {
-      val tk = text.trim.toLowerCase.split("[ \\t\\n\\f\\r\\x0B]+")
-        .filter(_.nonEmpty)
-      val sh =
-        if (tk.length < 2) Set.empty[String]
-        else tk.sliding(2).map(_.mkString(" ")).toSet
-      (0 until 8).map { seed =>
-        if (sh.isEmpty) None
-        else Some(sh.map { g =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$seed|$g".getBytes("UTF-8"))
-          java.lang.Long.parseLong(
-            d.map(b => f"$b%02x").mkString.take(15), 16)
-        }.min)
-      }
-    }
     val got = TextOps.signatureIndex(docs).collect()
       .map(r => r.getLong(0) -> (0 until 8).map(i =>
         if (r.isNullAt(2 + i)) None else Some(r.getLong(2 + i)))).toMap
