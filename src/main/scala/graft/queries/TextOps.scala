@@ -2441,6 +2441,63 @@ object TextOps {
           .otherwise(coalesce(col("best_ag"), lit(0L))).as("agree_x1000"))
   }
 
+  /** q245: HYBRID RETRIEVAL FUSION — Reciprocal Rank Fusion (Cormack,
+    * Clarke & Buettcher, SIGIR 2009) of the two ranking legs this repo
+    * already computes exactly: q92's exact-integer BM25 lexical top-50
+    * and q24's dense cosine top-50 against the vec_id = 0 query vector
+    * (the documents/embeddings tables share the 0..n-1 id space).
+    * rrf(d) = Σ_legs 1/(60 + rank_leg(d)) in 1e9 fixed point
+    * (`1000000000 div (60 + rank)`, BIGINT-exact in both engines); a doc
+    * absent from a leg contributes 0 and carries the -1 rank sentinel.
+    * This is the standard production shape for hybrid search: fuse on
+    * RANKS, never on incomparable scores.
+    *
+    * Scale shape: each leg ends in its own top-k (orderBy+limit →
+    * TakeOrderedAndProject) BEFORE ranks are assigned, so the
+    * single-partition row_number windows see ≤ 50 rows (q153's
+    * small-global-window case); the fusion join is 50×50 ids.
+    */
+  def q245RrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("dup", "line", "query")
+    val tk = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), expr("tot div n_docs").as("avgdl"))
+    val tf = tk.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dfT), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT)
+                |  * 22000 * tf * avgdl)
+                | div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"""
+          .stripMargin).as("term_score"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val lex = lexTop
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = VectorOps.denseTopK(s, dir, 50)
+      .withColumn("dense_rank", row_number()
+        .over(Window.orderBy(col("cos_x1000").desc, col("vec_id")))
+        .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"))
+      .withColumn("rrf",
+        expr("CASE WHEN lex_rank > 0 THEN 1000000000 div (60 + lex_rank) " +
+          "ELSE 0 END") +
+        expr("CASE WHEN dense_rank > 0 THEN 1000000000 div (60 + dense_rank) " +
+          "ELSE 0 END"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
   private val NumHashes = 8
 
   /** 60-bit seeded hash: first 15 hex chars of md5 as a BIGINT. Fixed-width
@@ -3991,6 +4048,7 @@ object TextOps {
     "q238_maxscore_audit" -> q238MaxscoreAudit _,
     "q239_gate_auc" -> q239GateAuc _,
     "q243_incremental_dedup" -> q243IncrementalDedup _,
+    "q245_rrf_hybrid" -> q245RrfHybrid _,
     "q191_quote_attribution" -> q191QuoteAttribution _,
     "q192_syndication_lag" -> q192SyndicationLag _,
     "q193_idn_spoof" -> q193IdnSpoof _,
@@ -5412,6 +5470,56 @@ object TextOps {
          |FROM bt LEFT JOIN ex USING (doc_id)
          |  LEFT JOIN near ON bt.doc_id = near.b_id
          |ORDER BY doc_id""".stripMargin,
+    // q245: q92's BM25 CTEs for the lexical leg, q24's cosine idiom for
+    // the dense leg, ranks assigned inside each leg's top-50 cut, RRF in
+    // 1e9 fixed point — absent-leg sentinel -1, contribution 0
+    "q245_rrf_hybrid" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl
+         |       FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN ('dup','line','query') GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    (CAST(length(bin((SELECT n_docs FROM st)))
+         |       - length(bin(df.df)) AS BIGINT)
+         |     * 22000 * tf.tf * (SELECT avgdl FROM st))
+         |    // (10 * (SELECT avgdl FROM st) * tf.tf
+         |        + 3 * (SELECT avgdl FROM st) + 9 * dl.dl) AS term_score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)),
+         |fs AS (SELECT doc_id, SUM(term_score) AS score FROM sc
+         |       GROUP BY doc_id),
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |  FROM (SELECT * FROM fs ORDER BY score DESC, doc_id LIMIT 50)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |qv AS (SELECT emb AS q FROM e WHERE vec_id = 0),
+         |dsc AS (SELECT vec_id,
+         |    CAST(round(1000*list_dot_product(emb, q) /
+         |      (sqrt(list_dot_product(emb, emb)) *
+         |       sqrt(list_dot_product(q, q)))) AS BIGINT) AS cos_x1000
+         |  FROM e, qv),
+         |den AS (SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos_x1000 DESC, vec_id)
+         |      AS dense_rank
+         |  FROM (SELECT * FROM dsc ORDER BY cos_x1000 DESC, vec_id
+         |        LIMIT 50)),
+         |j AS (SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+         |    CAST(COALESCE(lex_rank, -1) AS BIGINT) AS lex_rank,
+         |    CAST(COALESCE(dense_rank, -1) AS BIGINT) AS dense_rank
+         |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+         |SELECT doc_id, lex_rank, dense_rank,
+         |  CAST((CASE WHEN lex_rank > 0
+         |          THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+         |    + (CASE WHEN dense_rank > 0
+         |          THEN 1000000000 // (60 + dense_rank) ELSE 0 END)
+         |    AS BIGINT) AS rrf
+         |FROM j ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q92_bm25_topk" ->
       s"""WITH tk AS (SELECT doc_id, unnest($dkTokens) AS tok FROM documents),
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl

@@ -68,6 +68,17 @@ object VectorOps {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") === 0).select(col("e").as("q"))
 
+  /** q24's dense cosine ranking against the vec_id = 0 query vector,
+    * cut to top-`k` — exposed for cross-leg consumers (q245's hybrid
+    * RRF fusion joins this with the BM25 lexical leg).
+    */
+  private[queries] def denseTopK(s: SparkSession, dir: String,
+                                 k: Int): DataFrame =
+    emb(s, dir).crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), x1000(cosine(col("e"), col("q"))).as("cos_x1000"))
+      .orderBy(col("cos_x1000").desc, col("vec_id"))
+      .limit(k)
+
   /** Brute-force top-10 by cosine against the vec_id=0 query vector:
     * broadcast the 1-row query, score every vector, TakeOrderedAndProject.
     */
