@@ -31,12 +31,16 @@ object ClusterOps {
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val m = sym.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src").cast("long")).as("m"))
+    // r6: m = min over a src-partitioned WINDOW instead of groupBy +
+    // self-join — ONE src-keyed Exchange per star instead of two plus a
+    // join, and `sym` is evaluated once instead of twice (guide §2.4).
+    // Same skew profile as the join form: a hot node owned one join
+    // bucket before, one window partition now.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     // no distinct here: smallStar's min-aggregate is duplicate-insensitive
     // and its own output dedup runs anyway — dropping the intermediate
     // distinct removes one whole shuffle per round
-    sym.join(m, "src")
+    sym.withColumn("m", least(min(col("dst")).over(w), col("src").cast("long")))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -49,8 +53,10 @@ object ClusterOps {
     val oriented = e.select(
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val m = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    oriented.join(m, "src")
+    // r6: same window-for-groupBy+join replacement as largeStar — one
+    // Exchange per round half instead of two plus a join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    oriented.withColumn("m", min(col("dst")).over(w))
       .select(explode(array(col("dst"), col("src"))).as("v"), col("m"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
@@ -603,16 +609,29 @@ object ClusterOps {
       .where(col("u") =!= col("v"))
       .union(edges.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
       .distinct()
+      // r6: pre-partition on the per-round join key — localCheckpoint
+      // preserves output partitioning, so every round's sym⋈core join
+      // reshuffles only the small (node, core) table, not the edge set
+      // (guide §2.4: operations keyed the same way share one exchange)
+      .repartition(col("v"))
       .localCheckpoint() // one materialization feeds every round
     def hIndexStep(core: DataFrame): DataFrame = {
       val nb = sym
         .join(core.select(col("u").as("v"), col("c")), "v")
         .select(col("u"), col("c"))
-      // h-index of the neighbor multiset: sort desc, h = max(min(c, rank))
-      val w = Window.partitionBy(col("u")).orderBy(col("c").desc)
-      nb.withColumn("rn", row_number().over(w))
-        .groupBy(col("u"))
-        .agg(max(least(col("c"), col("rn").cast("long"))).as("c"))
+      // h-index of the neighbor multiset in ONE node-keyed aggregate
+      // (r6: the window + groupBy form paid two u-keyed Exchanges per
+      // round; this pays one). With values sorted descending,
+      // max_j min(c_j, j) = #{j : c_j ≥ j} — the standard h-index
+      // identity, tie-order-independent. Per-node state is the neighbor
+      // value list (degree-bounded), exactly what the window partition
+      // already materialized per node.
+      nb.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("c")), asc = false).as("cs"))
+        .select(col("u"),
+          size(filter(zip_with(col("cs"),
+            sequence(lit(1), size(col("cs"))),
+            (cv, i) => cv >= i), x => x)).cast("long").as("c"))
     }
     def stamp(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)),
@@ -817,6 +836,8 @@ object ClusterOps {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+      // r6: same per-round join-key pre-partitioning as [[coreness]]
+      .repartition(col("v"))
       .localCheckpoint() // one materialization feeds all rounds
     var lab = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))

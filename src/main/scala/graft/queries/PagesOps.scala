@@ -521,6 +521,11 @@ object PagesOps {
       .toDF("src", "dst")
       .where(col("src") =!= col("dst"))
       .distinct()
+      // r6: pre-partition on src — the BFS frontier join (q110) and the
+      // PageRank/HITS contribution joins (q72/q95) are src-keyed every
+      // round; localCheckpoint preserves the partitioning so only the
+      // small rank/frontier side reshuffles per round
+      .repartition(col("src"))
       .localCheckpoint()
   }
 

@@ -15,8 +15,54 @@ import org.apache.spark.sql.functions._
   *    SQL (driver sorts columns by name before hashing).
   */
 object Q {
+  /** Driver-side cache of input FILE LENGTHS (immutable metadata, the same
+    * class of information Spark's own file-index cache holds — never query
+    * results).
+    */
+  private val fileBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Scan widening for HASH-HEAVY pre-shuffle pipelines only (optimization
+    * guide §2.5 "input skew" / §6 split sizing): the harness fact tables
+    * are single parquet files well under `maxPartitionBytes`, so a scan —
+    * and all per-row work before the first Exchange — plans as ONE task
+    * regardless of session parallelism. Where that pre-shuffle work is
+    * multiple md5/shingle evaluations per row (MinHash signatures,
+    * winnowing gram hashes), one deterministic round-robin repartition to
+    * `defaultParallelism` recovers the lost cores; the condition is
+    * scale-adaptive — at any real corpus size the natural split count
+    * exceeds the core count and the plan is byte-identical to a plain
+    * read, so this adds NO exchange at 100 TB.
+    *
+    * Deliberately OPT-IN per call site, not the default read path: an A/B
+    * over the full suite showed the extra blocking AQE stage costs
+    * 0.2–0.5 s per materialization and REGRESSES every query whose
+    * pre-shuffle work is light or whose driver loop re-executes the scan
+    * subtree per round (k-means, GD, PageRank: each action would re-pay
+    * the exchange) — q141 1.6 s → 5.3 s, q92 0.75 s → 1.86 s under a
+    * blanket version of this. Only the measured winners call it.
+    * Results are unaffected: no query derives values from partitioning
+    * (no rand()/monotonically_increasing_id/spark_partition_id anywhere
+    * in the query surface) and the driver compare is order-insensitive.
+    */
+  def tblWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val bytes: Long = fileBytes.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    })
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val cores = spark.sparkContext.defaultParallelism
+    // measurement surface: GRAFT_SCAN_WIDEN=0 restores the plain read
+    val widen = sys.env.getOrElse("GRAFT_SCAN_WIDEN", "1") != "0"
+    if (widen && naturalSplits < cores) df.repartition(cores) else df
+  }
 
   /** Exact integer cents of a positive double column: round(x*100) per row
     * (IEEE-identical in Spark and DuckDB), summed as BIGINT.
@@ -951,7 +997,7 @@ object Relational {
       lit("Sup"), (col("l_suppkey") % 50).cast("string"), lit(".Example.COM"),
       port, lit("/o%2fr%7e/"), col("l_orderkey").cast("string"),
       lit("?item="), col("l_linenumber").cast("string"))
-    val src = tbl(s, dir, "lineitem")
+    val src = tblWide(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), url.as("url"))
     val out = java.nio.file.Files.createTempDirectory("graft-surtindex")
       .toString

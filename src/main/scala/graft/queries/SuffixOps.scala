@@ -55,10 +55,14 @@ object SuffixOps {
     */
   private def denseRanks(keys: DataFrame, m: Long,
                          buckets: Int): (DataFrame, Long) = {
+    // r6: materialized — the distinct-keys subtree otherwise runs twice
+    // per round (once under the counts collect, once under the caller's
+    // checkpoint of the re-ranked table)
     val b = keys.withColumn("bucket",
       expr(s"(k1 * ${buckets}L) div ${math.max(m, 1L)}L"))
+      .localCheckpoint()
     val localW = Window.partitionBy(col("bucket"))
-      .orderBy(col("k1"), col("k2"))
+      .orderBy(col("k1"), col("k2"), col("k3"), col("k4"))
     val counts = b.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
@@ -67,7 +71,8 @@ object SuffixOps {
       when(col("bucket") === bk, lit(off)).otherwise(acc)
     }
     val ranked = b.withColumn("lr", row_number().over(localW).cast("long"))
-      .select(col("k1"), col("k2"), (offCol + col("lr") - 1).as("nr"))
+      .select(col("k1"), col("k2"), col("k3"), col("k4"),
+        (offCol + col("lr") - 1).as("nr"))
     (ranked, counts.map(_._2).sum)
   }
 
@@ -121,15 +126,32 @@ object SuffixOps {
     var m = r.agg(max(col("rank"))).head().getLong(0) + 1
     var k = 1L
     while (m < n && k < n) {
-      val r2 = r.select((col("gpos") - k).as("gpos"),
-        col("rank").as("rank2"))
-      val paired = r.join(r2, Seq("gpos"), "left")
-        .na.fill(-1L, Seq("rank2"))
-      val keys = paired.select(col("rank").as("k1"), col("rank2").as("k2"))
-        .distinct()
+      // r6: prefix QUADRUPLING — one re-rank extends context to 4k via
+      // the tuple (rank[i], rank[i+k], rank[i+2k], rank[i+3k]); its
+      // lexicographic order equals suffix order by 4k chars (the
+      // classical doubling argument applied to two block levels at once,
+      // missing blocks filled with −1 < every rank exactly as doubling
+      // filled its one), so the loop runs log₄ rounds instead of log₂ —
+      // half the distinct/re-rank/checkpoint machinery per unit of
+      // context. Equality with the sequential reference is pinned in
+      // SuffixSpec. The pairing join is materialized — it otherwise runs
+      // twice per round (under denseRanks' counts collect AND under the
+      // final checkpoint of the re-ranked table).
+      def shifted(j: Int, name: String): DataFrame =
+        r.select((col("gpos") - j * k).as("gpos"), col("rank").as(name))
+      val paired = r
+        .join(shifted(1, "r2"), Seq("gpos"), "left")
+        .join(shifted(2, "r3"), Seq("gpos"), "left")
+        .join(shifted(3, "r4"), Seq("gpos"), "left")
+        .na.fill(-1L, Seq("r2", "r3", "r4"))
+        .coalesce(buckets)
+        .localCheckpoint()
+      val keys = paired.select(col("rank").as("k1"), col("r2").as("k2"),
+        col("r3").as("k3"), col("r4").as("k4")).distinct()
       val (ranked, distinctKeys) = denseRanks(keys, m, buckets)
       r = paired.join(ranked,
-          paired("rank") === ranked("k1") && paired("rank2") === ranked("k2"))
+          paired("rank") === ranked("k1") && paired("r2") === ranked("k2") &&
+            paired("r3") === ranked("k3") && paired("r4") === ranked("k4"))
         .select(col("gpos"), col("doc_id"), col("off"),
           col("nr").as("rank"))
         // task count tracks the chosen parallelism, not the session's
@@ -138,7 +160,7 @@ object SuffixOps {
         .coalesce(buckets)
         .localCheckpoint()
       m = distinctKeys // next domain — no extra job, it fell out of denseRanks
-      k *= 2
+      k *= 4
     }
     r
   }

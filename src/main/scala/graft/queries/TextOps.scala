@@ -606,7 +606,7 @@ object TextOps {
     * chunking.
     */
   def q58Winnow(s: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(tbl(s, dir, "documents"),
+    winnowFingerprints(tblWide(s, dir, "documents"),
       // tuning surface: larger chunks trade skew protection for less
       // per-chunk overhead (results identical at ANY value — exactness
       // property); default 4096 bounds a task at ~4 KB of grams
@@ -680,7 +680,7 @@ object TextOps {
     // sides of the self-join — without this the whole explode+window
     // winnow pipeline would run three times (measured 4.5 s → ~2 s at
     // sf0.1); a checkpoint/temp table in prod
-    val fps = winnowFingerprints(tbl(s, dir, "documents"), chunkChars = 4096)
+    val fps = winnowFingerprints(tblWide(s, dir, "documents"), chunkChars = 4096)
       .localCheckpoint()
     val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= 20)
@@ -885,7 +885,10 @@ object TextOps {
       .localCheckpoint() // one materialization: sizes + df + both join sides
     val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val srcDf = g.groupBy(col("g")).agg(count(lit(1)).as("src_df"))
+    // r6: materialized — both self-join sides otherwise re-run the
+    // g⋈src_df cap join (the band-table discipline of LshParams)
     val capped = g.join(srcDf.where(col("src_df") <= SyndMaxSrcDf), "g")
+      .localCheckpoint()
     val pairs = capped.select(col("g"), col("source").as("src_a"))
       .join(capped.select(col("g"), col("source").as("src_b")), "g")
       .where(col("src_a") < col("src_b"))
@@ -1195,9 +1198,16 @@ object TextOps {
     */
   def q125FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val fd = 500L // round(1000·J) threshold
-    val docs = tbl(s, dir, "documents")
+    // r6: shingle ARRAYS are computed once per doc and materialized —
+    // the old shape re-evaluated bigrams(text) four times per compared
+    // pair inside the twin's cross product and the LSH verify (2 M+
+    // tokenize+shingle evaluations at sf0.1); every consumer below
+    // (signatures, LSH verify, brute twin) now reads the same array.
+    val docs = tblWide(s, dir, "documents") // 32 md5/shingle below — widen pays
       .select(col("doc_id"), col("text"))
       .where(size(tokens(col("text"))) >= 20)
+      .select(col("doc_id"), bigrams(col("text")).as("dsh"))
+      .localCheckpoint()
     val evalDocs = tbl(s, dir, "documents")
       .where(size(tokens(col("text"))) >= 40)
       .orderBy(col("doc_id")).limit(20)
@@ -1208,11 +1218,12 @@ object TextOps {
             (t, i) => when(i % 10 === 0,
               concat(lit("evalvar"), i.cast("string"))).otherwise(t)),
           " ").as("etext"))
+      .select(col("eval_id"), bigrams(col("etext")).as("esh"))
       .localCheckpoint() // tiny; feeds signatures, verify, and the twin
     val nh = 32
     val bands = 16
-    def sigOf(df: DataFrame, idc: String, textc: String): DataFrame = {
-      val ex = df.select(col(idc), explode(bigrams(col(textc))).as("sh"))
+    def sigOf(df: DataFrame, idc: String, shc: String): DataFrame = {
+      val ex = df.select(col(idc), explode(col(shc)).as("sh"))
       val aggs = (0 until nh).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
       ex.groupBy(col(idc)).agg(aggs.head, aggs.tail: _*)
     }
@@ -1220,14 +1231,14 @@ object TextOps {
       .select(col(idc), posexplode(array((0 until bands).map(b =>
         md5s(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)))
       .toDF(idc, "band_idx", "k")
-    val docBands = melt(sigOf(docs, "doc_id", "text"), "doc_id")
-    val evalBands = melt(sigOf(evalDocs, "eval_id", "etext"), "eval_id")
+    val docBands = melt(sigOf(docs, "doc_id", "dsh"), "doc_id")
+    val evalBands = melt(sigOf(evalDocs, "eval_id", "esh"), "eval_id")
     val candidates = docBands
       .join(broadcast(evalBands), Seq("band_idx", "k"))
       .select(col("doc_id"), col("eval_id")).distinct()
     def jacX1000: Column = round(lit(1000) *
-      size(array_intersect(bigrams(col("text")), bigrams(col("etext")))) /
-      size(array_union(bigrams(col("text")), bigrams(col("etext"))))).cast("long")
+      size(array_intersect(col("dsh"), col("esh"))) /
+      size(array_union(col("dsh"), col("esh")))).cast("long")
     val lshFound = candidates
       .join(docs, "doc_id").join(broadcast(evalDocs), "eval_id")
       .select(col("doc_id"), col("eval_id"), jacX1000.as("j"))
@@ -1265,7 +1276,7 @@ object TextOps {
     */
   def q116PrefixJoin(s: SparkSession, dir: String): DataFrame =
     prefixJaccardPairs(
-      tbl(s, dir, "documents").select(col("doc_id"), col("text")), 500)
+      tblWide(s, dir, "documents").select(col("doc_id"), col("text")), 500)
 
   /** Exact similarity self-join (production API): all doc pairs with
     * round(1000·Jaccard) ≥ `jacX1000` over distinct word-bigram shingles,
@@ -1278,31 +1289,52 @@ object TextOps {
       jacX1000: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = (jacX1000 - 1).toDouble / 1000.0
-    val sh = docs
-      .select(col("doc_id"), bigrams(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .localCheckpoint() // one shingle pass feeds df, prefixes, AND verify
+    // one shingle-ARRAY pass per doc feeds the df aggregate, the prefix
+    // index AND candidate verification (r6: the old shape re-joined the
+    // exploded shingle table twice per candidate pair — |cand|·n̄ rows
+    // through a shuffle join; arrays verify each pair in one codegen'd
+    // array_intersect instead)
+    val sets = docs
+      .select(col("doc_id"), bigrams(col("text")).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).as("n"))
+      .localCheckpoint()
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("arr")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val pref = sh.join(dfreq, "s")
       .withColumn("i", row_number().over(w))
       .where(col("i") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
-      .select(col("s"), col("doc_id"), col("n"))
+      .select(col("s"), col("doc_id"), col("n"), col("i"))
       .localCheckpoint() // materialize the prefix index ONCE; both
                          // self-join sides and nothing else read it
+    // candidate generation: size filter + PPJoin positional filter (Xiao
+    // et al., WWW'08 §3.2), both lossless: a qualifying pair's FIRST
+    // common shingle in the global (df, s) order sits at ranks (ia, ib)
+    // with every other common shingle strictly after it on both sides,
+    // so |A∩B| ≤ 1 + min(na−ia, nb−ib); J > t forces |A∩B| >
+    // t/(1+t)·(na+nb), and that first-match row is emitted (prefix
+    // lemma), so keeping rows where the bound clears the requirement
+    // never drops a qualifying pair.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * t <=
-            least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+            least(col("a.n"), col("b.n")) &&
+          lit(1.0) + least(col("a.n") - col("a.i"), col("b.n") - col("b.i")) >=
+            lit(t / (1.0 + t)) * (col("a.n") + col("b.n")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    // exact verification on the compact per-doc arrays: two doc-keyed
+    // equi-joins (AQE broadcasts `sets` when it fits, shuffles cleanly
+    // when not) + one array_intersect per surviving pair
     cand
-      .join(sh.as("x"), col("a_id") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("b_id") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+        col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
+        col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"),
+        col("na"), col("nb"))
       .select(col("a_id"), col("b_id"), col("inter"),
         round(lit(1000.0) * col("inter") /
           (col("na") + col("nb") - col("inter")))
@@ -2510,13 +2542,15 @@ object TextOps {
     conv(substring(md5(concat(lit(s"$seed|"), c).cast("binary")), 1, 15),
       16, 10).cast("long")
 
-  private def signature(s: SparkSession, dir: String): DataFrame = {
-    val ex = tbl(s, dir, "documents")
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
+  private def signatureOf(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("s"))
     val aggs = (0 until NumHashes).map(i =>
       min(seededHash(i, col("s"))).as(s"h$i"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def signature(s: SparkSession, dir: String): DataFrame =
+    signatureOf(tblWide(s, dir, "documents")) // 8 md5/shingle — widen pays
 
   /** MinHash signatures (8 md5-seeded min-hashes over bigram shingles) —
     * one explode + one groupBy; signature bytes per doc are constant, so
@@ -2541,8 +2575,16 @@ object TextOps {
   /** q22's candidate pairs without the presentation sort — the form other
     * operators (q49's cluster closure) consume.
     */
-  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = signature(s, dir).select(col("doc_id"),
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(tblWide(s, dir, "documents"))
+
+  /** q22's candidate pairs over an explicit doc set. Because the MinHash
+    * signature and band digests are PER-DOC functions, the pair set over
+    * any subset S equals the full-corpus pair set restricted to S×S —
+    * which is what lets q212 run this directly on its audit stripe.
+    */
+  private[queries] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val bands = signatureOf(docs).select(col("doc_id"),
         posexplode(array(
           md5s(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
           md5s(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))))))
@@ -3751,14 +3793,28 @@ object TextOps {
     * oracle derivations fused on the stripe).
     */
   def q212LshQuality(s: SparkSession, dir: String): DataFrame = {
-    val stripe = tbl(s, dir, "documents")
+    val stripe = tblWide(s, dir, "documents")
       .where(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id"), col("text"))
-    val lsh = minhashPairs(s, dir)
-      .where(pmod(col("a_id"), lit(2)) === 0 && pmod(col("b_id"), lit(2)) === 0)
-      .select(col("a_id"), col("b_id")).distinct()
-    val truth = prefixJaccardPairs(stripe, 500)
-      .select(col("a_id"), col("b_id"))
+    // r6: bands computed on the stripe directly — signatures/band digests
+    // are per-doc functions, so [[minhashPairsOf]] over the stripe IS the
+    // full-corpus candidate set restricted to even×even pairs (what the
+    // previous shape computed by building ALL signatures and filtering
+    // the pairs afterwards — twice the signature work for the same rows).
+    // The two legs' construction-time localCheckpoints are independent
+    // jobs, so they build CONCURRENTLY (guide §2.6) instead of
+    // serializing on the driver.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lshF = Future {
+      minhashPairsOf(stripe).select(col("a_id"), col("b_id")).distinct()
+    }
+    val truthF = Future {
+      prefixJaccardPairs(stripe, 500).select(col("a_id"), col("b_id"))
+    }
+    val lsh = Await.result(lshF, Duration.Inf)
+    val truth = Await.result(truthF, Duration.Inf)
     lsh.withColumn("in_lsh", lit(1))
       .join(truth.withColumn("in_truth", lit(1)), Seq("a_id", "b_id"),
         "full_outer")

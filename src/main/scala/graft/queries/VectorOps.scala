@@ -528,16 +528,29 @@ object VectorOps {
     */
   private[queries] def pqCodebooks(vecs: DataFrame, m: Int, k: Int,
                                    iters: Int): Array[Array[Seq[Double]]] = {
-    val d = vecs.select(size(col("e"))).head().getInt(0)
+    // r6: materialize the input once — the m·iters assignment/re-average
+    // jobs below otherwise each re-run the source scan — and train the m
+    // independent subspace k-means CONCURRENTLY from driver threads
+    // (guide §2.6: each tiny job underfills the cluster; overlapping them
+    // back-fills the idle cores). Deterministic: subspaces are fully
+    // independent and results are collected in subspace order.
+    val v = vecs.localCheckpoint()
+    val d = v.select(size(col("e"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val sub = d / m
-    (0 until m).toArray.map { j =>
-      kmeansCentroids(
-        vecs.select(col("vec_id"), slice(col("e"), j * sub + 1, sub).as("e")),
-        k, iters)
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1).map(_._2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (0 until m).map { j =>
+      Future {
+        kmeansCentroids(
+          v.select(col("vec_id"), slice(col("e"), j * sub + 1, sub).as("e")),
+          k, iters)
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+          .sortBy(_._1).map(_._2)
+      }
     }
+    Await.result(Future.sequence(futs), Duration.Inf).toArray
   }
 
   /** Encode every vector as its m-array of subspace centroid ids — ONE
@@ -767,10 +780,14 @@ object VectorOps {
       .select(col("vec_id").as("src_id"), col("e").as("se"))
     val tgt = e.filter(col("label") % 2 === 1)
       .select(col("vec_id").as("tgt_id"), col("e").as("te"))
+    // r6: materialized — the side×side cosine scoring otherwise runs
+    // TWICE (once under the kNN-rank windows, once re-joined as `m`);
+    // ids+grid-cosine rows only, never the vectors
     val pairs = src.crossJoin(broadcast(tgt))
       .select(col("src_id"), col("tgt_id"),
         x1000(cosine(col("se"), col("te"))).as("c"))
       .where(col("c") > 0)
+      .localCheckpoint()
     val wS = Window.partitionBy(col("src_id")).orderBy(col("c").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id")).orderBy(col("c").desc, col("src_id"))
     val ranked = pairs

@@ -37,7 +37,12 @@ object SurtIndex {
     require(numParts > 0, s"numParts $numParts")
     graft.functions.GraftExtensions.ensureRegistered(spark)
     val dataDir = s"$outDir/data"
+    // r6: materialized — repartitionByRange runs a full range-boundary
+    // SAMPLING pass over the input before the real shuffle, so without
+    // this the surt_key derivation (and whatever feeds `df`) executes
+    // twice per build
     val keyed = df.withColumn("surt", call_function("surt_key", col(urlCol)))
+      .localCheckpoint()
     keyed
       .repartitionByRange(numParts, col("surt"))
       .sortWithinPartitions("surt")
