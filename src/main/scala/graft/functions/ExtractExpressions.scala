@@ -600,7 +600,8 @@ object GraftExtensions {
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cos" -> (args => VecCos(args(0), args(1))),
     "vec_sqdist" -> (args => VecSqDist(args(0), args(1))),
-    "vec_norm" -> (args => VecNorm(args.head)))
+    "vec_norm" -> (args => VecNorm(args.head)),
+    "sorted_inter_count" -> (args => SortedInterCount(args(0), args(1))))
 
   def inject(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd vector kernels (SURVEY.md §4.3 path (b)).
   *
@@ -146,4 +146,58 @@ case class VecNorm(child: Expression) extends UnaryExpression with ExpectsInputT
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
+}
+
+/** Sorted-set kernels over BIGINT arrays (the q116/q212 candidate-verify
+  * hot path). `size(array_intersect(a, b))` allocates an OpenHashSet AND
+  * the materialized intersection array per row; for arrays that are
+  * already sorted and distinct, a linear merge computes the same count
+  * with zero allocation.
+  */
+object IntSetOps {
+  /** |A∩B| of two SORTED ASC, element-distinct long arrays by linear
+    * merge. Null element → null (matches array_intersect's null
+    * sensitivity for the arrays this engine feeds it — none carry null
+    * elements).
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+}
+
+/** `sorted_inter_count(a, b)` — |A∩B| of two sorted-distinct BIGINT
+  * arrays, single merge pass, no per-row allocation.
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_inter_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntSetOps.sortedInterCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("interc")
+      s"""java.lang.Long $tmp = graft.functions.IntSetOps.sortedInterCount($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
 }

@@ -403,27 +403,30 @@ object ClusterOps {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    var eig = nodes.select(col("node"), lit(1.0).as("x")).localCheckpoint()
-    var kat = nodes.select(col("node"), lit(1.0).as("k")).localCheckpoint()
+    // r6: the two chains iterate over the SAME e⋈scores-on-src →
+    // groupBy(dst) shape, so one (node, x, k) state table runs both in a
+    // single join + single aggregate per round — half the per-round jobs
+    // and checkpoints of the former separate eig/kat loops, with every
+    // per-chain expression (the round9 grid snaps, the eigen L1 read-back,
+    // the Katz 1 + 0.1·c update) computed exactly as before over the same
+    // rows. The final eig⋈kat join disappears (the state already holds
+    // both columns).
+    var xk = nodes.select(col("node"), lit(1.0).as("x"), lit(1.0).as("k"))
+      .localCheckpoint()
     for (_ <- 1 to 3) {
       val raw = nodes
-        .join(e.join(eig, col("src") === col("node"))
-            .groupBy(col("dst")).agg(sum(col("x")).as("c")),
+        .join(e.join(xk, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("x")).as("c"), sum(col("k")).as("ck")),
           col("node") === col("dst"), "left")
-        .select(col("node"), round9(coalesce(col("c"), lit(0.0))).as("x"))
+        .select(col("node"), round9(coalesce(col("c"), lit(0.0))).as("x"),
+          round9(lit(1.0) + lit(0.1) * coalesce(col("ck"), lit(0.0))).as("k"))
         .localCheckpoint()
       val s1 = raw.agg(sum(col("x"))).head.getDouble(0)
-      eig = raw.select(col("node"), round9(col("x") / s1).as("x"))
-        .localCheckpoint()
-      kat = nodes
-        .join(e.join(kat, col("src") === col("node"))
-            .groupBy(col("dst")).agg(sum(col("k")).as("c")),
-          col("node") === col("dst"), "left")
-        .select(col("node"),
-          round9(lit(1.0) + lit(0.1) * coalesce(col("c"), lit(0.0))).as("k"))
+      xk = raw.select(col("node"), round9(col("x") / s1).as("x"), col("k"))
         .localCheckpoint()
     }
-    eig.join(kat, "node")
+    xk
       .select(col("node"), round(col("x") * 1e9).cast("long").as("eig_x1e9"),
         round(col("k") * 1e9).cast("long").as("katz_x1e9"))
       .orderBy(col("node"))
@@ -609,15 +612,17 @@ object ClusterOps {
       .where(col("u") =!= col("v"))
       .union(edges.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
       .distinct()
-      // r6: pre-partition on the per-round join key — localCheckpoint
-      // preserves output partitioning, so every round's sym⋈core join
-      // reshuffles only the small (node, core) table, not the edge set
-      // (guide §2.4: operations keyed the same way share one exchange)
-      .repartition(col("v"))
+      // r6: pre-partition on u — the per-round PLAN is
+      // sym ⋈bcast core-on-v → groupBy(u), so with the (node, core) side
+      // broadcast (it is one row per node, ≪ edges) the edge table's
+      // u-partitioning flows through the join into the aggregate and a
+      // round pays ZERO exchange on the edge set (guide §2.4; the earlier
+      // v-keyed layout still re-shuffled the joined rows for groupBy(u))
+      .repartition(col("u"))
       .localCheckpoint() // one materialization feeds every round
     def hIndexStep(core: DataFrame): DataFrame = {
       val nb = sym
-        .join(core.select(col("u").as("v"), col("c")), "v")
+        .join(broadcast(core.select(col("u").as("v"), col("c"))), "v")
         .select(col("u"), col("c"))
       // h-index of the neighbor multiset in ONE node-keyed aggregate
       // (r6: the window + groupBy form paid two u-keyed Exchanges per

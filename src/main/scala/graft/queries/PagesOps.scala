@@ -626,11 +626,14 @@ object PagesOps {
       val rawA = e.join(h, col("src") === col("node"))
         .groupBy(col("dst")).agg(round9(sum(col("h"))).as("ra"))
       val aTot = rawA.agg(round9(sum(col("ra"))).as("tot"))
+      // r6: no checkpoint on the half-step — each localCheckpoint is an
+      // eager ~0.2 s job on a tiny table; `h`'s end-of-iteration
+      // checkpoint bounds the lineage (a's plan is one join over the
+      // checkpointed h), and the final a-join recomputes one cheap step
       a = nodes.join(rawA, col("node") === col("dst"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("node"),
           round9(coalesce(col("ra"), lit(0.0)) / col("tot")).as("a"))
-        .localCheckpoint()
       val rawH = e.join(a, col("dst") === col("node"))
         .groupBy(col("src")).agg(round9(sum(col("a"))).as("rh"))
       val hTot = rawH.agg(round9(sum(col("rh"))).as("tot"))

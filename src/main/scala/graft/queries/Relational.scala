@@ -724,7 +724,9 @@ object Relational {
             lit("/"), (col("l_partkey") % 28 + 1).cast("string")))
         .otherwise(concat(lit("/item/"), col("l_partkey").cast("string"),
           lit("?session="), col("l_orderkey").cast("string"))))
-    val u = tbl(s, dir, "lineitem")
+    // tblWide: two regexp_extract + regexp_replace per row over the 600 k
+    // single-split lineitem scan (guide §2.5 input-skew class)
+    val u = tblWide(s, dir, "lineitem")
       .select(url.as("url"))
       .select(regexp_extract(col("url"), "^https://([^/]+)", 1).as("host"),
         regexp_replace(regexp_extract(col("url"), "^https://[^/]+(.*)$", 1),
@@ -850,13 +852,21 @@ object Relational {
       graft.core.SitemapParser.parse(FrontierSynth.sitemapXml(h))
         .map(e => (h, e.loc, e.priority))
     }.toDF("h", "url", "priority")
-    // link leg: extracted-outlink-style candidates with default priority
-    val linkCands = tbl(s, dir, "lineitem")
+    // link leg: extracted-outlink-style candidates with default priority.
+    // r6: ONE lineitem scan + ONE distinct feeds both the candidate leg
+    // and the crawled-order leg (was two scans + two distinct shuffles);
+    // `was_crawled` is a function of l_orderkey, which the url embeds
+    // bijectively, so the distinct's cardinality and both derived sets
+    // are unchanged.
+    val ordBase = tbl(s, dir, "lineitem")
       .select((col("l_suppkey") % 20).cast("long").as("h"),
         concat(lit("https://site"), (col("l_suppkey") % 20).cast("string"),
           lit(".example/order/"), col("l_orderkey").cast("string")).as("url"),
-        lit(0.5).as("priority"))
+        (col("l_orderkey") % 3 === 0).as("was_crawled"))
       .distinct()
+      .localCheckpoint()
+    val linkCands = ordBase
+      .select(col("h"), col("url"), lit(0.5).as("priority"))
     val cands = smCands.unionByName(linkCands)
     // already crawled: /page/N with N%4=0 and /order/K with K%3=0 (what a
     // previous run's manifest would list)
@@ -864,11 +874,7 @@ object Relational {
       (0 until 10).filter(_ % 4 == 0)
         .map(n => s"https://${FrontierSynth.host(h)}/page/$n")
     }.toDF("url").unionByName(
-      tbl(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 3 === 0)
-        .select(concat(lit("https://site"), (col("l_suppkey") % 20).cast("string"),
-          lit(".example/order/"), col("l_orderkey").cast("string")).as("url"))
-        .distinct())
+      ordBase.filter(col("was_crawled")).select(col("url")))
     // admission: the host's PARSED rules, q61's regex machinery
     val rules = hosts.flatMap { h =>
       graft.core.RobotsTxt.rulesFor(FrontierSynth.robots(h), "graftbot")

@@ -873,6 +873,9 @@ object TextOps {
     */
   private val SyndMaxSrcDf = 10
   def q111Syndication(s: SparkSession, dir: String): DataFrame = {
+    // (measured: tblWide regressed this query 2.35 → 2.72 s — the md5-per-
+    // window work here sits AFTER the distinct's exchange repartitions it,
+    // so widening only added a blocking stage; plain read kept)
     val tk = tbl(s, dir, "documents")
       .select(col("source"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= 10)
@@ -1298,41 +1301,86 @@ object TextOps {
       .select(col("doc_id"), bigrams(col("text")).as("arr"))
       .select(col("doc_id"), col("arr"), size(col("arr")).as("n"))
       .localCheckpoint()
-    val sh = sets.select(col("doc_id"), col("n"), explode(col("arr")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sh0 = sets.select(col("doc_id"), col("n"), explode(col("arr")).as("s"))
+    // r6: DICTIONARY-ENCODE shingles to integer ids (profiled: the string
+    // shingle was the join key of the 12.8M-row prefix self-join AND the
+    // element type of the verification arrays — both hash/compare ~13-char
+    // strings where an int does). `sid` is an arbitrary-but-frozen
+    // injective map (one id per distinct shingle, materialized by the
+    // localCheckpoint so every later consumer reads the same assignment);
+    // candidate generation and |A∩B| depend only on shingle EQUALITY,
+    // which any injective recoding preserves exactly, so the output is
+    // invariant to which ids were drawn. This is plain dictionary
+    // encoding, not hashing — no collisions, nothing derived from row
+    // order reaches the result.
+    val dict = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("sid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sh = sh0.join(dict, "s")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val pref = sh.join(dfreq, "s")
+    val pref = sh
       .withColumn("i", row_number().over(w))
       .where(col("i") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
-      .select(col("s"), col("doc_id"), col("n"), col("i"))
+      .select(col("sid").as("s"), col("doc_id"), col("n"), col("i"))
       .localCheckpoint() // materialize the prefix index ONCE; both
                          // self-join sides and nothing else read it
-    // candidate generation: size filter + PPJoin positional filter (Xiao
-    // et al., WWW'08 §3.2), both lossless: a qualifying pair's FIRST
-    // common shingle in the global (df, s) order sits at ranks (ia, ib)
-    // with every other common shingle strictly after it on both sides,
-    // so |A∩B| ≤ 1 + min(na−ia, nb−ib); J > t forces |A∩B| >
-    // t/(1+t)·(na+nb), and that first-match row is emitted (prefix
-    // lemma), so keeping rows where the bound clears the requirement
-    // never drops a qualifying pair.
+    // per-doc SORTED shingle-id arrays for candidate verification (same
+    // distinct elements as `arr` under the dictionary bijection; sorted so
+    // the verify step can merge-count without per-pair allocation)
+    val isets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sid"))).as("iarr"),
+        max(col("n")).as("n"))
+      .localCheckpoint()
+    // candidate generation: size filter in the join + the ACCUMULATED
+    // PPJoin positional/suffix bound after the pair aggregate (Xiao et
+    // al., WWW'08 §3.2), both lossless. The rank ia assigned by the
+    // (df, s) window is monotone in the global shingle order within each
+    // doc, so the common shingles of a pair that fall inside BOTH
+    // prefixes are exactly a PREFIX e1..e_op of the pair's common-shingle
+    // sequence; every remaining common shingle ranks after (ma, mb) :=
+    // (rank_A(e_op), rank_B(e_op)) on both sides, giving the upper bound
+    //   |A∩B| ≤ op + min(na − ma, nb − mb).
+    // J > t forces |A∩B| > t/(1+t)·(na+nb), so discarding pairs whose
+    // bound misses that requirement never drops a qualifying pair — and
+    // the aggregate replaces the former `distinct()` one-for-one (same
+    // pair-keyed exchange, map-side partial agg), while pruning far more
+    // candidates than the previous first-match-only per-row filter
+    // before the array_intersect verification below.
+    // …plus the ASYMMETRIC prefix bound on the pair's smaller side: for a
+    // qualifying pair, I ≥ t/(1+t)·(na+nb) ≥ 2t/(1+t)·min(na,nb), so the
+    // minimal common shingle's rank on the SMALLER side is at most
+    // n_min − ⌈2t/(1+t)·n_min⌉ + 1 — a strictly shorter prefix than the
+    // ⌈t·n⌉ bound the index itself uses (which remains necessary for the
+    // larger-side role). Both region constraints are monotone in rank, so
+    // the common shingles surviving the join are still a PREFIX of the
+    // pair's common-shingle sequence and the accumulated bound below
+    // stays exact.
+    val t2 = 2.0 * t / (1.0 + t)
+    val smallSidePrefix = when(col("a.n") <= col("b.n"),
+      col("a.i") <= col("a.n") - ceil(lit(t2) * col("a.n")) + lit(1))
+      .otherwise(col("b.i") <= col("b.n") - ceil(lit(t2) * col("b.n")) + lit(1))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * t <=
-            least(col("a.n"), col("b.n")) &&
-          lit(1.0) + least(col("a.n") - col("a.i"), col("b.n") - col("b.i")) >=
-            lit(t / (1.0 + t)) * (col("a.n") + col("b.n")))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // exact verification on the compact per-doc arrays: two doc-keyed
-    // equi-joins (AQE broadcasts `sets` when it fits, shuffles cleanly
-    // when not) + one array_intersect per surviving pair
+            least(col("a.n"), col("b.n")) && smallSidePrefix)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("op"),
+        max(col("a.i")).as("ma"), max(col("b.i")).as("mb"),
+        max(col("a.n")).as("pna"), max(col("b.n")).as("pnb"))
+      .where(col("op") + least(col("pna") - col("ma"), col("pnb") - col("mb"))
+        >= lit(t / (1.0 + t)) * (col("pna") + col("pnb")))
+      .select(col("a_id"), col("b_id"))
+    // exact verification on the compact per-doc sorted id arrays: two
+    // doc-keyed equi-joins (AQE broadcasts `isets` when it fits, shuffles
+    // cleanly when not) + one allocation-free merge count per pair
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
     cand
-      .join(sets.select(col("doc_id").as("a_id"), col("arr").as("arr_a"),
+      .join(isets.select(col("doc_id").as("a_id"), col("iarr").as("arr_a"),
         col("n").as("na")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("arr").as("arr_b"),
+      .join(isets.select(col("doc_id").as("b_id"), col("iarr").as("arr_b"),
         col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+        call_function("sorted_inter_count", col("arr_a"), col("arr_b"))
           .as("inter"),
         col("na"), col("nb"))
       .select(col("a_id"), col("b_id"), col("inter"),
@@ -1712,6 +1760,10 @@ object TextOps {
     */
   def q219HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (measured: materializing the token arrays once (localCheckpoint) to
+    // share across the dl/qterms/tf branches regressed 2.35 → 3.96 s —
+    // storing ~1M token strings costs more than the three cheap re-scans;
+    // left as three independent scan branches)
     val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
     val tk = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -2087,7 +2139,7 @@ object TextOps {
     * rarest shingles — same machinery, asymmetric threshold).
     */
   def q227ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
-    val ex = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+    val ex = tblWide(s, dir, "documents").filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), bigrams(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
       .localCheckpoint()
@@ -2661,6 +2713,9 @@ object TextOps {
     * stays expressible.
     */
   def q41SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // (measured: tblWide A/B'd 2.46 s plain vs 2.92 s widened — the
+    // signature work per row is one md5 per distinct token, light enough
+    // that the extra blocking exchange outweighs the recovered cores)
     val toks = tbl(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))

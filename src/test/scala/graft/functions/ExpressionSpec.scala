@@ -444,4 +444,24 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT blocklist_hits(CAST(NULL AS STRING), " +
       "array('x')) IS NULL").collect()(0).getBoolean(0))
   }
+
+  test("sorted_inter_count == size(array_intersect) on sorted-distinct arrays") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    def arr(): Seq[Long] =
+      Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+    val rows = Seq.fill(300)((arr(), arr())) ++
+      Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq.empty[Long], Seq.empty[Long]),
+        (Seq(5L), Seq(5L)), (Seq(Long.MinValue, 0L, Long.MaxValue),
+          Seq(Long.MinValue, Long.MaxValue)))
+    val df = rows.toDF("a", "b")
+    val got = df.selectExpr("sorted_inter_count(a, b) AS k",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS r")
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null array -> null (BinaryExpression null propagation)
+    assert(spark.sql("SELECT sorted_inter_count(CAST(NULL AS ARRAY<BIGINT>), " +
+      "array(1L)) IS NULL").collect()(0).getBoolean(0))
+  }
 }
