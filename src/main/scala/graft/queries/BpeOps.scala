@@ -154,7 +154,10 @@ object BpeOps {
     val merges = trainBpe(Q.tbl(s, dir, "documents"), 8)
       .map(m => (m.left, m.right))
     import s.implicits._
-    val jvm = Q.tbl(s, dir, "documents")
+    // tblWide on both certifying legs: the per-row BPE encode (JVM hot
+    // loop / 8-level Catalyst fold) is heavy stateless scan work with no
+    // earlier exchange to spread it (the q204 profile)
+    val jvm = Q.tblWide(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val words = jvmTokens(if (text == null) "" else text)
@@ -171,7 +174,7 @@ object BpeOps {
       case (c, (l, r)) => applyMerge(c, l, r)
     }
     val subsCol = transform(wordsCol, w => encExpr(w))
-    val twin = Q.tbl(s, dir, "documents").select(col("doc_id"),
+    val twin = Q.tblWide(s, dir, "documents").select(col("doc_id"),
       size(wordsCol).cast("long").as("t_words"),
       aggregate(subsCol, lit(0L), (acc, x) => acc + size(x)).as("t_subwords"),
       size(filter(subsCol, x => size(x) === 1)).cast("long").as("t_whole"),
@@ -240,6 +243,8 @@ object BpeOps {
       case (c, (l, r)) => applyMerge(c, l, r)
     }
     val subsCol = transform(wordsCol, w => encExpr(w))
+    // (measured: tblWide on this leg was a wash — the twin leg's
+    // mapGroups, capped at one task per language, bounds the query)
     val rel = Q.tbl(s, dir, "documents")
       .select(col("lang"),
         octet_length(col("text")).cast("long").as("b"),

@@ -300,6 +300,8 @@ object LmOps {
     * Not SQL-expressible (iterative training) → rows-only + flag.
     */
   def q117QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    // (measured: tblWide on the feature scan was a wash — the GD
+    // iterations over the checkpointed features bound this query)
     val feats = clfFeatures(plantedBinary(tbl(s, dir, "documents")), ClfDim)
       .localCheckpoint()
     val (w, losses) = trainClassifier(feats, ClfDim, ClfIters)

@@ -1312,7 +1312,10 @@ object TextOps {
     // which any injective recoding preserves exactly, so the output is
     // invariant to which ids were drawn. This is plain dictionary
     // encoding, not hashing — no collisions, nothing derived from row
-    // order reaches the result.
+    // order reaches the result. (Production note: on a cluster, persist
+    // the dictionary to storage — reliable checkpoint or a table — so a
+    // lost replica cannot re-draw ids; localCheckpoint suffices in the
+    // single-JVM harness.)
     val dict = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("sid", monotonically_increasing_id())
       .localCheckpoint()
@@ -1359,7 +1362,15 @@ object TextOps {
     val smallSidePrefix = when(col("a.n") <= col("b.n"),
       col("a.i") <= col("a.n") - ceil(lit(t2) * col("a.n")) + lit(1))
       .otherwise(col("b.i") <= col("b.n") - ceil(lit(t2) * col("b.n")) + lit(1))
-    val cand = pref.as("a").join(pref.as("b"),
+    // r6: SHUFFLE_HASH hint (guide §3.1) — the default sort-merge join
+    // buffers and re-scans each equal-key run, and this self-join's runs
+    // are df-sized (hundreds of rows on the synthetic vocab), emitting
+    // 8–12 M pairs from a 132 k-row index: paired A/B measured 10.6 s
+    // (SMJ) vs 5.8 s (SHJ) for the whole query. The same hint was A/B'd
+    // on the other duplicate-key self-joins (q227/q63/q111/q120/q220)
+    // and was a wash there — their runs are capped far smaller — so it
+    // is applied only here.
+    val cand = pref.as("a").hint("shuffle_hash").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * t <=
             least(col("a.n"), col("b.n")) && smallSidePrefix)
@@ -1392,7 +1403,7 @@ object TextOps {
   }
 
   def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
+    val docs = tblWide(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs)
     tokenGrams(docs, "doc_id", 13)
       .join(broadcast(evalGrams), col("g") === col("eg"))
@@ -1441,7 +1452,7 @@ object TextOps {
     */
   def q64BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(s)
-    val docs = tbl(s, dir, "documents")
+    val docs = tblWide(s, dir, "documents")
     val evalGrams = decontamEvalGrams(docs).localCheckpoint()
     val bloom = evalGrams.agg(graft.functions.BloomBuild
       .udafColumn(xxhash64(col("eg")), numBits = 1 << 16, k = 6).as("bf"))
@@ -3617,7 +3628,9 @@ object TextOps {
     */
   def q204Acronyms(s: SparkSession, dir: String): DataFrame = {
     val pat = "([a-z]+(?: [a-z]+){1,5}) \\(([a-z]{2,6})\\)"
-    tbl(s, dir, "documents")
+    // tblWide: two regexp_extract_all passes per row on a single-split
+    // scan with no shuffle before the final sort (the q154 profile)
+    tblWide(s, dir, "documents")
       .withColumn("wire",
         when(pmod(col("doc_id"), lit(6)) === 0,
           concat(col("text"),

@@ -42,7 +42,7 @@ def flush(name, buf):
 for raw in open(log, errors="replace"):
     line = raw.rstrip("\n")
     # strip sbt's [error] prefix that wraps forked stderr/stdout if present
-    line = re.sub(r"^\[error\] ", "", line)
+    line = re.sub(r"^\[(error|info)\] ", "", line)
     m = re.match(r"^=+ (q\w+) =+$", line)
     if m:
         flush(name, buf)
